@@ -1,13 +1,128 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Serdes
+
+/** Driver contract — every operator from SURVEY.md §2 (plus the
+  * beyond-reference training-data ops) registered as a named query with a
+  * DuckDB oracle twin where SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def txns(s: SparkSession, dir: String): DataFrame = Tables.transactions(s, dir)
+  private def agg(s: SparkSession, dir: String): DataFrame = StockAggregation.aggregate(txns(s, dir))
+
+  /** txns with the event timestamp retained, for windowed queries. */
+  private def txnsTs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("ts"),
+      concat(lit("U"), lpad(col("user_id").cast("string"), 6, "0")).as("symbol"),
+      (col("event_id") % 2 === 0).as("buy"),
+      col("value").as("amount"),
+      (col("event_id") % 1000 + 1).cast("int").as("number_shares")
+    )
+
+  private def windowedAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = StockAggregation.aggregateWindowed(txnsTs(s, dir), "1 hour")
+    w.select(
+      unix_timestamp(col("window_start")).as("window_start_s"),
+      col("symbol"), col("buys"), col("sells"), col("number_shares")
+    )
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Exercises the
+    * whole core path: events→txn mapping, aggregation, range bounds, and the
+    * JSONPath-predicate compiler.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    InteractiveQueries.filteredRangeQuery(
+      agg(spark, "/root/testdata/sf0.001"),
+      lower = Some("U000000"), upper = Some("U000099"),
+      predicate = "@.buys > @.sells || @.sells > @.buys"
+    )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1/A2: the maintained aggregation (KafkaStreamsService.java:62-90)
+    "q_aggregate" -> ((s, dir) => agg(s, dir)),
+    // ---- Q1: KeyQuery point lookup (StockController.java:186-206)
+    "q_key_query" -> ((s, dir) => InteractiveQueries.keyQuery(agg(s, dir), "U000007")),
+    // ---- Q2: MultiKeyQuery (query/MultiKeyQuery.java:9-51)
+    "q_multi_key" -> ((s, dir) =>
+      InteractiveQueries.multiKeyQuery(agg(s, dir), Seq("U000003", "U000007", "U000011"))),
+    // ---- Q3: RangeQuery, all 4 bound modes (query/QueryUtils.java:15-29)
+    "q_range_both" -> ((s, dir) =>
+      InteractiveQueries.rangeQuery(agg(s, dir), Some("U000004"), Some("U000009"))),
+    "q_range_lower" -> ((s, dir) =>
+      InteractiveQueries.rangeQuery(agg(s, dir), Some("U000010"), None)),
+    "q_range_upper" -> ((s, dir) =>
+      InteractiveQueries.rangeQuery(agg(s, dir), None, Some("U000005"))),
+    "q_range_unbounded" -> ((s, dir) =>
+      InteractiveQueries.rangeQuery(agg(s, dir), None, None)),
+    // ---- Q4: FilteredRangeQuery = range + JSONPath predicate
+    //      (query/FilteredRangeQuery.java:8-70, store/CustomQueryStore.java:68-97)
+    "q_filtered_range" -> ((s, dir) =>
+      InteractiveQueries.filteredRangeQuery(
+        agg(s, dir), Some("U000000"), Some("U000099"), "@.buys > @.sells")),
+    "q_filtered_range_mixed" -> ((s, dir) =>
+      InteractiveQueries.filteredRangeQuery(
+        agg(s, dir), None, None,
+        "@.sells >= @.buys && @.number_shares > 1000 || @.symbol == 'U000007'")),
+    // ---- S2/S3: serde round-trip parity (SerdeUtil.java:97-167) — encode
+    //      every txn to JSON, decode back, aggregate; must equal q_aggregate.
+    "q_serde_roundtrip" -> ((s, dir) =>
+      StockAggregation.aggregate(Serdes.roundTripTransactions(txns(s, dir)))),
+    // ---- Q5: windowed aggregate + FilteredWindowRangeQuery
+    //      (query/FilteredWindowRangeQuery.java:11-74 — declared, never wired)
+    "q_window_agg" -> ((s, dir) => windowedAgg(s, dir)),
+    "q_window_range" -> ((s, dir) =>
+      InteractiveQueries.filteredWindowRangeQuery(
+        StockAggregation.aggregateWindowed(txnsTs(s, dir), "1 hour"),
+        from = Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704153600L))),
+        to = Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704240000L))),
+        predicate = Some("@.buys > @.sells"))
+        .select(
+          unix_timestamp(col("window_start")).as("window_start_s"),
+          col("symbol"), col("buys"), col("sells"), col("number_shares")))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private val W = s"WITH txns AS (${Tables.txnsCte}), agg AS (${StockAggregation.aggregateSelect})"
+
+  private val windowAggCte: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+      |       concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol_raw,
+      |       event_id % 2 = 0 AS buy, value AS amount,
+      |       CAST(event_id % 1000 + 1 AS INT) AS number_shares
+      |FROM events""".stripMargin
+
+  private val windowAggSelect: String =
+    """SELECT window_start_s, symbol_raw AS symbol,
+      |  CAST(SUM(CASE WHEN buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS buys,
+      |  CAST(SUM(CASE WHEN NOT buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sells,
+      |  CAST(SUM(number_shares) AS BIGINT) AS number_shares
+      |FROM wtx GROUP BY window_start_s, symbol_raw""".stripMargin
+
+  private val WW = s"WITH wtx AS ($windowAggCte), wagg AS ($windowAggSelect)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_aggregate" -> s"$W SELECT * FROM agg",
+    "q_key_query" -> s"$W SELECT * FROM agg WHERE symbol = 'U000007'",
+    "q_multi_key" -> s"$W SELECT * FROM agg WHERE symbol IN ('U000003','U000007','U000011')",
+    "q_range_both" -> s"$W SELECT * FROM agg WHERE symbol >= 'U000004' AND symbol <= 'U000009'",
+    "q_range_lower" -> s"$W SELECT * FROM agg WHERE symbol >= 'U000010'",
+    "q_range_upper" -> s"$W SELECT * FROM agg WHERE symbol <= 'U000005'",
+    "q_range_unbounded" -> s"$W SELECT * FROM agg",
+    "q_filtered_range" ->
+      s"$W SELECT * FROM agg WHERE symbol >= 'U000000' AND symbol <= 'U000099' AND buys > sells",
+    "q_filtered_range_mixed" ->
+      s"$W SELECT * FROM agg WHERE (sells >= buys AND number_shares > 1000) OR symbol = 'U000007'",
+    "q_serde_roundtrip" -> s"$W SELECT * FROM agg",
+    "q_window_agg" -> s"$WW SELECT * FROM wagg",
+    "q_window_range" ->
+      s"$WW SELECT * FROM wagg WHERE buys > sells AND window_start_s >= 1704153600 AND window_start_s < 1704240000"
+  )
 }

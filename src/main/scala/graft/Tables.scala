@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md) plus the
+  * canonical mapping from the `events` table to the reference's
+  * stock-transaction stream shape.
+  *
+  * The reference consumes `StockTransaction` records from Kafka topic `input`
+  * (`streams/KafkaStreamsService.java:78-82`). The driver's test substrate has
+  * no stock table, so we derive a deterministic transaction stream from
+  * `events` — the mapping is pure SQL so the DuckDB oracle can reproduce it
+  * exactly (see [[Tables.txnsCte]]).
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]); read it as a long and rebuild a proper
+    * microsecond timestamp column. Epoch math on the long is exact, so this
+    * is deterministic and engine-portable.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+
+  /** Canonical `events` → transaction-stream mapping:
+    *   symbol        = 'U' || lpad(user_id, 6, '0')   (string key; lexicographic
+    *                   range scans over it match the reference's byte-lex key
+    *                   order for ASCII keys, SURVEY §1.3)
+    *   buy           = event_id % 2 = 0
+    *   amount        = value
+    *   number_shares = event_id % 1000 + 1
+    *
+    * All derivations are integer/string ops — deterministic and identically
+    * computable by DuckDB.
+    */
+  def transactions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(lit("U"), lpad(col("user_id").cast("string"), 6, "0")).as("symbol"),
+      (col("event_id") % 2 === 0).as("buy"),
+      col("value").as("amount"),
+      (col("event_id") % 1000 + 1).cast("int").as("number_shares")
+    )
+
+  /** The DuckDB-SQL twin of [[transactions]], as a CTE body. Oracle queries
+    * compose it via `WITH txns AS (<txnsCte>) SELECT ...`.
+    */
+  val txnsCte: String =
+    """SELECT concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
+      |       event_id % 2 = 0 AS buy,
+      |       value AS amount,
+      |       CAST(event_id % 1000 + 1 AS INT) AS number_shares
+      |FROM events""".stripMargin
+}

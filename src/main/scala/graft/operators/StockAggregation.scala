@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's single maintained aggregation (A1+A2): per-symbol running
+  * buy/sell dollar totals and share count — the Aggregator in
+  * `streams/KafkaStreamsService.java:62-74` wired at `:84-90`.
+  *
+  * Spark realization: one declarative hash aggregate. Catalyst plans
+  * partial (map-side) + final phases automatically, so the shuffle moves one
+  * row per (partition, symbol), not one per input record — the property that
+  * keeps this shape viable at 100 TB.
+  *
+  * Dollar sums go through DECIMAL(18,2): the inputs are 2-dp decimals, so
+  * decimal accumulation is exact and independent of partition/add order —
+  * double accumulation would differ in the last ulp between runs and engines.
+  * The final cast back to double is then deterministic (nearest double of an
+  * exact decimal) and matches what any other engine computes the same way.
+  */
+object StockAggregation {
+
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** txns(symbol, buy, amount, number_shares) → agg(symbol, buys, sells, number_shares). */
+  def aggregate(txns: DataFrame): DataFrame =
+    txns
+      .groupBy(col("symbol"))
+      .agg(
+        decSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
+        decSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
+        sum(col("number_shares")).as("number_shares")
+      )
+
+  /** DuckDB-SQL twin over a `txns` relation (compose after Tables.txnsCte). */
+  val aggregateSelect: String =
+    """SELECT symbol,
+      |  CAST(SUM(CASE WHEN buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS buys,
+      |  CAST(SUM(CASE WHEN NOT buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sells,
+      |  CAST(SUM(number_shares) AS BIGINT) AS number_shares
+      |FROM txns
+      |GROUP BY symbol""".stripMargin
+
+  /** Event-time tumbling-window variant — realizes the reference's declared
+    * but never-executed `FilteredWindowRangeQuery` intent (Q5,
+    * `query/FilteredWindowRangeQuery.java:11-74`; dispatch gap
+    * `store/CustomQueryStore.java:60-64`). Grouping by `window(ts, ...)` keeps
+    * the same one-shuffle hash-aggregate shape; `window_start` is emitted as a
+    * plain timestamp column so the result stays engine-portable.
+    */
+  def aggregateWindowed(txnsWithTs: DataFrame, windowDuration: String = "1 hour"): DataFrame =
+    txnsWithTs
+      .groupBy(window(col("ts"), windowDuration), col("symbol"))
+      .agg(
+        decSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
+        decSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
+        sum(col("number_shares")).as("number_shares")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("symbol"), col("buys"), col("sells"), col("number_shares")
+      )
+}
