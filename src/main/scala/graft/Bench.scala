@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. One untimed warm-up pass over every query (absorbs JVM /
+  * codegen / parquet-footer warm-up), then one timed pass. A failing query is
+  * recorded as an error and fails the run (exit 1) — never silently counted
+  * as fast.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +13,42 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val errors = scala.collection.mutable.Map.empty[String, String]
+
+    // warm-up: run everything once, untimed; remember failures
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val results = SparkEntry.queries.collect { case (name, fn) if !errors.contains(name) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.filter { case (name, _) => !errors.contains(name) }
+
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
+      sys.exit(1)
+    }
   }
 }

@@ -15,15 +15,8 @@ object SparkEntry {
   private def txns(s: SparkSession, dir: String): DataFrame = Tables.transactions(s, dir)
   private def agg(s: SparkSession, dir: String): DataFrame = StockAggregation.aggregate(txns(s, dir))
 
-  /** txns with the event timestamp retained, for windowed queries. */
   private def txnsTs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
-      col("ts"),
-      concat(lit("U"), lpad(col("user_id").cast("string"), 6, "0")).as("symbol"),
-      (col("event_id") % 2 === 0).as("buy"),
-      col("value").as("amount"),
-      (col("event_id") % 1000 + 1).cast("int").as("number_shares")
-    )
+    Tables.transactionsWithTs(s, dir)
 
   private def windowedAgg(s: SparkSession, dir: String): DataFrame = {
     val w = StockAggregation.aggregateWindowed(txnsTs(s, dir), "1 hour")
@@ -52,6 +45,13 @@ object SparkEntry {
     // ---- Q2: MultiKeyQuery (query/MultiKeyQuery.java:9-51)
     "q_multi_key" -> ((s, dir) =>
       InteractiveQueries.multiKeyQuery(agg(s, dir), Seq("U000003", "U000007", "U000011"))),
+    // ---- Q2 at scale: key set too large for an IN-list literal → broadcast
+    //      left-semi join (the 100TB path; keys = 500 even-numbered symbols)
+    "q_multi_key_large" -> ((s, dir) => {
+      val keys = s.range(0, 1000, 2).select(
+        concat(lit("U"), lpad(col("id").cast("string"), 6, "0")).as("symbol"))
+      InteractiveQueries.multiKeyQueryLarge(agg(s, dir), keys)
+    }),
     // ---- Q3: RangeQuery, all 4 bound modes (query/QueryUtils.java:15-29)
     "q_range_both" -> ((s, dir) =>
       InteractiveQueries.rangeQuery(agg(s, dir), Some("U000004"), Some("U000009"))),
@@ -74,6 +74,11 @@ object SparkEntry {
     //      every txn to JSON, decode back, aggregate; must equal q_aggregate.
     "q_serde_roundtrip" -> ((s, dir) =>
       StockAggregation.aggregate(Serdes.roundTripTransactions(txns(s, dir)))),
+    // ---- S3/S4: changelog encode→decode round-trip of the AGGREGATE (the
+    //      reference's stored value, SerdeUtil.java:97-133) — must equal
+    //      q_aggregate.
+    "q_changelog_roundtrip" -> ((s, dir) =>
+      Serdes.decodeAggregation(Serdes.encodeAggregation(agg(s, dir)))),
     // ---- Q5: windowed aggregate + FilteredWindowRangeQuery
     //      (query/FilteredWindowRangeQuery.java:11-74 — declared, never wired)
     "q_window_agg" -> ((s, dir) => windowedAgg(s, dir)),
@@ -93,11 +98,9 @@ object SparkEntry {
   private val W = s"WITH txns AS (${Tables.txnsCte}), agg AS (${StockAggregation.aggregateSelect})"
 
   private val windowAggCte: String =
-    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
-      |       concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol_raw,
-      |       event_id % 2 = 0 AS buy, value AS amount,
-      |       CAST(event_id % 1000 + 1 AS INT) AS number_shares
-      |FROM events""".stripMargin
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+       |       symbol AS symbol_raw, buy, amount, number_shares
+       |FROM (${Tables.txnsTsCte})""".stripMargin
 
   private val windowAggSelect: String =
     """SELECT window_start_s, symbol_raw AS symbol,
@@ -121,6 +124,11 @@ object SparkEntry {
     "q_filtered_range_mixed" ->
       s"$W SELECT * FROM agg WHERE (sells >= buys AND number_shares > 1000) OR symbol = 'U000007'",
     "q_serde_roundtrip" -> s"$W SELECT * FROM agg",
+    "q_changelog_roundtrip" -> s"$W SELECT * FROM agg",
+    "q_multi_key_large" ->
+      s"""$W SELECT * FROM agg WHERE symbol IN (
+         |  SELECT concat('U', lpad(CAST(generate_series AS VARCHAR), 6, '0'))
+         |  FROM generate_series(0, 998, 2))""".stripMargin,
     "q_window_agg" -> s"$WW SELECT * FROM wagg",
     "q_window_range" ->
       s"$WW SELECT * FROM wagg WHERE buys > sells AND window_start_s >= 1704153600 AND window_start_s < 1704240000"

@@ -22,6 +22,12 @@ object Tables {
     * ([PARQUET_TYPE_ILLEGAL]); read it as a long and rebuild a proper
     * microsecond timestamp column. Epoch math on the long is exact, so this
     * is deterministic and engine-portable.
+    *
+    * The `nanosAsLong` conf is also set in every session builder this repo
+    * owns (Verify/Bench/tests); it is additionally set here because the
+    * driver's smoke check calls [[SparkEntry.entry]] with a session we did
+    * not build. The flag only affects TIMESTAMP(NANOS) columns, which exist
+    * nowhere else in the test substrate, so no other read changes behavior.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,20 +52,34 @@ object Tables {
     * computable by DuckDB.
     */
   def transactions(spark: SparkSession, dir: String): DataFrame =
+    transactionsWithTs(spark, dir).drop("ts")
+
+  /** [[transactions]] with the event timestamp retained, for windowed and
+    * streaming queries. This is THE events→txn mapping; everything else
+    * (batch txns, window CTEs) composes from it so the Scala and SQL sides
+    * cannot drift apart.
+    */
+  def transactionsWithTs(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
+      col("ts"),
       concat(lit("U"), lpad(col("user_id").cast("string"), 6, "0")).as("symbol"),
       (col("event_id") % 2 === 0).as("buy"),
       col("value").as("amount"),
       (col("event_id") % 1000 + 1).cast("int").as("number_shares")
     )
 
-  /** The DuckDB-SQL twin of [[transactions]], as a CTE body. Oracle queries
-    * compose it via `WITH txns AS (<txnsCte>) SELECT ...`.
-    */
-  val txnsCte: String =
-    """SELECT concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
+  /** The DuckDB-SQL twin of [[transactionsWithTs]], as a CTE body. */
+  val txnsTsCte: String =
+    """SELECT ts,
+      |       concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
       |       event_id % 2 = 0 AS buy,
       |       value AS amount,
       |       CAST(event_id % 1000 + 1 AS INT) AS number_shares
       |FROM events""".stripMargin
+
+  /** The DuckDB-SQL twin of [[transactions]] — composed from [[txnsTsCte]].
+    * Oracle queries use it via `WITH txns AS (<txnsCte>) SELECT ...`.
+    */
+  val txnsCte: String =
+    s"SELECT symbol, buy, amount, number_shares FROM ($txnsTsCte)"
 }

@@ -86,38 +86,47 @@ object JsonPathPredicate {
   }
 
   /** Reference evaluator over an in-memory row (field → Any), used by the
-    * ScalaCheck differential tests. Numeric comparisons are double-based, as
-    * jayway's ValueCompare does for mixed numeric types.
+    * ScalaCheck differential tests. Three-valued like the compiled Column
+    * (Catalyst SQL logic): a comparison with null is None (unknown), and
+    * None propagates through Not/And/Or exactly as SQL does — so
+    * `eval(...).contains(true)` matches "row survives the filter".
+    * Numeric comparisons are double-based, as jayway's ValueCompare does for
+    * mixed numeric types.
     */
-  def eval(p: Pred, row: Map[String, Any]): Boolean = p match {
-    case And(l, r) => eval(l, row) && eval(r, row)
-    case Or(l, r)  => eval(l, row) || eval(r, row)
-    case Not(i)    => !eval(i, row)
+  def eval(p: Pred, row: Map[String, Any]): Option[Boolean] = p match {
+    case And(l, r) =>
+      (eval(l, row), eval(r, row)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+    case Or(l, r) =>
+      (eval(l, row), eval(r, row)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+    case Not(i) => eval(i, row).map(!_)
     case Cmp(l, op, r) =>
       val lv = evalOperand(l, row)
       val rv = evalOperand(r, row)
       (lv, rv) match {
-        case (null, _) | (_, null) =>
-          op match {
-            case "==" => false // SQL semantics: null compares unknown
-            case "!=" => false
-            case _    => false
-          }
+        case (null, _) | (_, null) => None // SQL: any comparison with null is unknown
         case (a: Double, b: Double) =>
-          op match {
+          Some(op match {
             case "==" => a == b;  case "!=" => a != b
             case "<"  => a < b;   case "<=" => a <= b
             case ">"  => a > b;   case ">=" => a >= b
-          }
+          })
         case (a: String, b: String) =>
-          op match {
+          Some(op match {
             case "==" => a == b;  case "!=" => a != b
             case "<"  => a < b;   case "<=" => a <= b
             case ">"  => a > b;   case ">=" => a >= b
-          }
+          })
         case (a: Boolean, b: Boolean) =>
           op match {
-            case "==" => a == b;  case "!=" => a != b
+            case "==" => Some(a == b);  case "!=" => Some(a != b)
             case _    => throw new IllegalArgumentException(s"bad bool cmp $op")
           }
         case (a, b) =>
@@ -204,26 +213,9 @@ object JsonPathPredicate {
             parts += s.substring(start, i)
           }
           FieldRef(parts.toSeq)
-        case '\'' =>
+        case q @ ('\'' | '"') =>
           i += 1
-          val sb = new StringBuilder
-          while (i < s.length && s(i) != '\'') {
-            if (s(i) == '\\' && i + 1 < s.length) { sb.append(s(i + 1)); i += 2 }
-            else { sb.append(s(i)); i += 1 }
-          }
-          if (i >= s.length) fail("unterminated string literal")
-          i += 1
-          StringLit(sb.toString)
-        case '"' =>
-          i += 1
-          val sb = new StringBuilder
-          while (i < s.length && s(i) != '"') {
-            if (s(i) == '\\' && i + 1 < s.length) { sb.append(s(i + 1)); i += 2 }
-            else { sb.append(s(i)); i += 1 }
-          }
-          if (i >= s.length) fail("unterminated string literal")
-          i += 1
-          StringLit(sb.toString)
+          StringLit(stringBody(q))
         case c if c.isDigit || c == '-' || c == '+' =>
           val start = i
           if (s(i) == '-' || s(i) == '+') i += 1
@@ -237,6 +229,34 @@ object JsonPathPredicate {
         case _ if s.startsWith("null", i)  => i += 4; NullLit
         case c => fail(s"unexpected character '$c'")
       }
+    }
+
+    /** Body of a string literal after the opening quote. JSON/jayway escape
+      * semantics: the common escapes are interpreted; anything else is
+      * rejected loudly (grammar policy: exactly the supported subset,
+      * SURVEY §7.3).
+      */
+    private def stringBody(quote: Char): String = {
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != quote) {
+        if (s(i) == '\\') {
+          if (i + 1 >= s.length) fail("dangling escape")
+          s(i + 1) match {
+            case 'n'  => sb.append('\n')
+            case 't'  => sb.append('\t')
+            case 'r'  => sb.append('\r')
+            case '\\' => sb.append('\\')
+            case '\'' => sb.append('\'')
+            case '"'  => sb.append('"')
+            case '/'  => sb.append('/')
+            case c    => fail(s"unsupported escape '\\$c'")
+          }
+          i += 2
+        } else { sb.append(s(i)); i += 1 }
+      }
+      if (i >= s.length) fail("unterminated string literal")
+      i += 1
+      sb.toString
     }
 
     private def peekOp(op: String): Boolean = { skipWs(); s.startsWith(op, i) }

@@ -15,39 +15,82 @@ import org.apache.spark.sql.types._
   *   zero-valued fields at the store layer but the REST layer forces them
   *   present (`config/KafkaStreamsAppConfiguration.java:66-84`); `to_json`
   *   keeps zeros, i.e. we pin the REST-layer behavior (SURVEY §1.3).
+  *
+  * Wire-format note: the reference's JSON uses camelCase `numberShares` —
+  * Jackson serializes the POJO getter `getNumberShares`
+  * (`model/StockTransaction.java:3-9`) and proto3 `JsonFormat.printer()`
+  * camelizes the proto field `number_shares`
+  * (`interactive_query_service.proto:44,50`). The wire schemas below therefore
+  * say `numberShares`; the internal engine column stays `number_shares`.
   */
 object Serdes {
 
-  /** Wire schema of the input record (`model/StockTransaction.java:3-9`). */
-  val stockTransactionSchema: StructType = StructType(Seq(
+  /** Wire schema of the input record (`model/StockTransaction.java:3-9`),
+    * field names as Jackson emits them.
+    */
+  val stockTransactionWireSchema: StructType = StructType(Seq(
     StructField("symbol", StringType),
     StructField("buy", BooleanType),
     StructField("amount", DoubleType),
-    StructField("number_shares", IntegerType)
+    StructField("numberShares", IntegerType)
   ))
 
-  /** Kafka-shaped decode: a string/binary JSON value column → typed columns. */
-  def decodeTransaction(json: Column): Column =
-    from_json(json.cast("string"), stockTransactionSchema)
+  /** Wire schema of the stored aggregate (`interactive_query_service.proto:46-51`
+    * via `JsonFormat.printer()` — camelCase field names).
+    */
+  val aggregationWireSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("buys", DoubleType),
+    StructField("sells", DoubleType),
+    StructField("numberShares", LongType)
+  ))
 
-  /** txns DataFrame → (symbol, value-JSON) changelog shape, ready for a Kafka
-    * sink (`.to(outputTopic)`, `KafkaStreamsService.java:93`).
+  /** Kafka-shaped decode: a string/binary JSON value column → typed struct
+    * with wire field names.
+    */
+  def decodeTransaction(json: Column): Column =
+    from_json(json.cast("string"), stockTransactionWireSchema)
+
+  /** Encode one txn row to its wire JSON (Jackson shape, camelCase). */
+  def encodeTransaction(txns: DataFrame): Column =
+    to_json(struct(
+      col("symbol"), col("buy"), col("amount"),
+      col("number_shares").as("numberShares")
+    ))
+
+  /** agg DataFrame → (key, value-JSON) changelog shape, ready for a Kafka
+    * sink (`.to(outputTopic)`, `KafkaStreamsService.java:93`). Value is the
+    * proto-JSON of the aggregate (`SerdeUtil.java:97-111`, camelCase).
     */
   def encodeAggregation(agg: DataFrame): DataFrame =
     agg.select(
       col("symbol").as("key"),
-      to_json(struct(col("symbol"), col("buys"), col("sells"), col("number_shares"))).as("value")
+      to_json(struct(
+        col("symbol"), col("buys"), col("sells"),
+        col("number_shares").as("numberShares")
+      )).as("value")
     )
 
-  /** Round-trip: encode each txn row to JSON and decode it back. Used by the
-    * serde-parity query — the result must be byte-identical to the input.
+  /** Inverse of [[encodeAggregation]]: changelog (key, value-JSON) → typed
+    * aggregate columns with internal names (`SerdeUtil.java:113-133`).
     */
-  def roundTripTransactions(txns: DataFrame): DataFrame = {
-    val encoded = txns.select(
-      to_json(struct(col("symbol"), col("buy"), col("amount"), col("number_shares"))).as("value")
-    )
-    encoded
+  def decodeAggregation(changelog: DataFrame): DataFrame =
+    changelog
+      .select(from_json(col("value").cast("string"), aggregationWireSchema).as("a"))
+      .select(
+        col("a.symbol").as("symbol"), col("a.buys").as("buys"),
+        col("a.sells").as("sells"), col("a.numberShares").as("number_shares")
+      )
+
+  /** Round-trip: encode each txn row to wire JSON and decode it back. Used by
+    * the serde-parity query — the result must be byte-identical to the input.
+    */
+  def roundTripTransactions(txns: DataFrame): DataFrame =
+    txns
+      .select(encodeTransaction(txns).as("value"))
       .select(decodeTransaction(col("value")).as("t"))
-      .select(col("t.symbol"), col("t.buy"), col("t.amount"), col("t.number_shares"))
-  }
+      .select(
+        col("t.symbol").as("symbol"), col("t.buy").as("buy"),
+        col("t.amount").as("amount"), col("t.numberShares").as("number_shares")
+      )
 }
