@@ -40,13 +40,15 @@ for name in sorted(oracle):
         sv, dv = s[c], d[c]
         try:
             if sv.dtype.kind == 'f' or dv.dtype.kind == 'f':
-                ok = ((sv.isna() & dv.isna()) | (sv == dv)).all()
+                match = (sv.isna() & dv.isna()) | (sv == dv)
             else:
-                ok = (sv.astype(str) == dv.astype(str)).all()
+                match = (sv.astype(str) == dv.astype(str))
+            ok = match.all()
         except Exception as e:
+            match = pd.Series(False, index=s.index)
             ok = False
         if not ok:
-            mism = (sv.astype(str) != dv.astype(str))
+            mism = ~match
             idx = mism[mism].index[:3]
             print(f"{name}: VALUE mismatch col={c} e.g. spark={sv[idx].tolist()} duck={dv[idx].tolist()}")
             eq = False

@@ -119,10 +119,14 @@ object JsonPathPredicate {
             case ">"  => a > b;   case ">=" => a >= b
           })
         case (a: String, b: String) =>
+          // Catalyst compares UTF8String bytes, i.e. code-POINT order; Java's
+          // String.compareTo is UTF-16 code-UNIT order. They diverge for
+          // supplementary characters vs U+E000..U+FFFF, so compare code points.
+          val c = codePointCompare(a, b)
           Some(op match {
-            case "==" => a == b;  case "!=" => a != b
-            case "<"  => a < b;   case "<=" => a <= b
-            case ">"  => a > b;   case ">=" => a >= b
+            case "==" => c == 0;  case "!=" => c != 0
+            case "<"  => c < 0;   case "<=" => c <= 0
+            case ">"  => c > 0;   case ">=" => c >= 0
           })
         case (a: Boolean, b: Boolean) =>
           op match {
@@ -132,6 +136,22 @@ object JsonPathPredicate {
         case (a, b) =>
           throw new IllegalArgumentException(s"type mismatch: $a $op $b")
       }
+  }
+
+  /** Lexicographic compare by Unicode code points — equivalent to comparing
+    * the strings' UTF-8 byte sequences, which is what Catalyst's UTF8String
+    * ordering does.
+    */
+  private def codePointCompare(a: String, b: String): Int = {
+    var ia = 0; var ib = 0
+    while (ia < a.length && ib < b.length) {
+      val ca = a.codePointAt(ia)
+      val cb = b.codePointAt(ib)
+      if (ca != cb) return Integer.compare(ca, cb)
+      ia += Character.charCount(ca)
+      ib += Character.charCount(cb)
+    }
+    Integer.compare(a.length - ia, b.length - ib)
   }
 
   private def evalOperand(o: Operand, row: Map[String, Any]): Any = o match {

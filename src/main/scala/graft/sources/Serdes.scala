@@ -37,6 +37,14 @@ object Serdes {
 
   /** Wire schema of the stored aggregate (`interactive_query_service.proto:46-51`
     * via `JsonFormat.printer()` — camelCase field names).
+    *
+    * Deliberate deviation: the proto declares `number_shares` as int32
+    * (`interactive_query_service.proto:50`) but this engine's aggregate sums
+    * shares into a Long, so the wire schema widens the field to LongType.
+    * A changelog value whose sum exceeds 2^31-1 would not parse back through
+    * the reference's int32 `JsonFormat.parser()` — acceptable here because the
+    * reference itself would have overflowed its int accumulator long before
+    * (`KafkaStreamsService.java:70`); widening is the correct engine-side fix.
     */
   val aggregationWireSchema: StructType = StructType(Seq(
     StructField("symbol", StringType),
@@ -51,8 +59,11 @@ object Serdes {
   def decodeTransaction(json: Column): Column =
     from_json(json.cast("string"), stockTransactionWireSchema)
 
-  /** Encode one txn row to its wire JSON (Jackson shape, camelCase). */
-  def encodeTransaction(txns: DataFrame): Column =
+  /** Encode one txn row to its wire JSON (Jackson shape, camelCase). A plain
+    * column expression over the standard txn column names — bind it by
+    * selecting it on a DataFrame that has those columns.
+    */
+  def encodeTransaction: Column =
     to_json(struct(
       col("symbol"), col("buy"), col("amount"),
       col("number_shares").as("numberShares")
@@ -87,7 +98,7 @@ object Serdes {
     */
   def roundTripTransactions(txns: DataFrame): DataFrame =
     txns
-      .select(encodeTransaction(txns).as("value"))
+      .select(encodeTransaction.as("value"))
       .select(decodeTransaction(col("value")).as("t"))
       .select(
         col("t.symbol").as("symbol"), col("t.buy").as("buy"),
