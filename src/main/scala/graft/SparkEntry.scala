@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.sources.Serdes
+import graft.streaming.StreamingState
 
 /** Driver contract — every operator from SURVEY.md §2 (plus the
   * beyond-reference training-data ops) registered as a named query with a
@@ -90,7 +91,21 @@ object SparkEntry {
         predicate = Some("@.buys > @.sells"))
         .select(
           unix_timestamp(col("window_start")).as("window_start_s"),
-          col("symbol"), col("buys"), col("sells"), col("number_shares")))
+          col("symbol"), col("buys"), col("sells"), col("number_shares"))),
+    // ---- S1/S4/S5: the streaming twin (KafkaStreamsService.java:76-96) —
+    //      file-stream replay → update-mode stateful agg (RocksDB state) →
+    //      foreachBatch changelog sink; snapshot = latest value per key.
+    "q_streaming_snapshot" -> ((s, dir) => StreamingState.snapshot(s, dir)),
+    // ---- S4: per-batch update-mode emission is real — a key's update count
+    //      equals the number of distinct chunks (micro-batches) containing it.
+    "q_streaming_changelog_counts" -> ((s, dir) => StreamingState.changelogCounts(s, dir)),
+    // ---- S5+Q1/Q4: the IQ functions run UNCHANGED against the streaming
+    //      snapshot — the reference's "query the live store" path.
+    "q_streaming_key_query" -> ((s, dir) =>
+      InteractiveQueries.keyQuery(StreamingState.snapshot(s, dir), "U000007")),
+    "q_streaming_filtered_range" -> ((s, dir) =>
+      InteractiveQueries.filteredRangeQuery(
+        StreamingState.snapshot(s, dir), Some("U000000"), Some("U000099"), "@.buys > @.sells"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -131,6 +146,17 @@ object SparkEntry {
          |  FROM generate_series(0, 998, 2))""".stripMargin,
     "q_window_agg" -> s"$WW SELECT * FROM wagg",
     "q_window_range" ->
-      s"$WW SELECT * FROM wagg WHERE buys > sells AND window_start_s >= 1704153600 AND window_start_s < 1704240000"
+      s"$WW SELECT * FROM wagg WHERE buys > sells AND window_start_s >= 1704153600 AND window_start_s < 1704240000",
+    // Streaming twin: the final snapshot must equal the batch aggregate; the
+    // per-key update count must equal the number of distinct replay chunks
+    // (micro-batches) containing that key.
+    "q_streaming_snapshot" -> s"$W SELECT * FROM agg",
+    "q_streaming_key_query" -> s"$W SELECT * FROM agg WHERE symbol = 'U000007'",
+    "q_streaming_filtered_range" ->
+      s"$W SELECT * FROM agg WHERE symbol >= 'U000000' AND symbol <= 'U000099' AND buys > sells",
+    "q_streaming_changelog_counts" ->
+      s"""WITH ctxns AS (${Tables.txnsChunkCte(StreamingState.NumChunks)})
+         |SELECT symbol, CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_updates
+         |FROM ctxns GROUP BY symbol""".stripMargin
   )
 }

@@ -60,13 +60,34 @@ object Tables {
     * cannot drift apart.
     */
   def transactionsWithTs(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
-      col("ts"),
-      concat(lit("U"), lpad(col("user_id").cast("string"), 6, "0")).as("symbol"),
-      (col("event_id") % 2 === 0).as("buy"),
-      col("value").as("amount"),
-      (col("event_id") % 1000 + 1).cast("int").as("number_shares")
-    )
+    events(spark, dir).select(col("ts") +: txnCols: _*)
+
+  /** The four txn-shape columns, single-sourced so the batch, windowed, and
+    * streaming paths cannot drift apart.
+    */
+  private val txnCols: Seq[org.apache.spark.sql.Column] = Seq(
+    concat(lit("U"), lpad(col("user_id").cast("string"), 6, "0")).as("symbol"),
+    (col("event_id") % 2 === 0).as("buy"),
+    col("value").as("amount"),
+    (col("event_id") % 1000 + 1).cast("int").as("number_shares")
+  )
+
+  /** Txn stream with a deterministic chunk id (`event_id % nChunks`) used by
+    * the streaming twin to stage the events into N replay files — each chunk
+    * becomes exactly one micro-batch, so per-key update counts are
+    * oracle-checkable (see [[txnsChunkCte]]).
+    */
+  def transactionsChunked(spark: SparkSession, dir: String, nChunks: Int): DataFrame =
+    events(spark, dir).select(txnCols :+ (col("event_id") % nChunks).cast("int").as("chunk"): _*)
+
+  /** DuckDB-SQL twin of [[transactionsChunked]], as a CTE body. */
+  def txnsChunkCte(nChunks: Int): String =
+    s"""SELECT concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
+       |       event_id % 2 = 0 AS buy,
+       |       value AS amount,
+       |       CAST(event_id % 1000 + 1 AS INT) AS number_shares,
+       |       CAST(event_id % $nChunks AS INT) AS chunk
+       |FROM events""".stripMargin
 
   /** The DuckDB-SQL twin of [[transactionsWithTs]], as a CTE body. */
   val txnsTsCte: String =

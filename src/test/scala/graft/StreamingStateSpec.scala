@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{InteractiveQueries, StockAggregation}
+import graft.streaming.StreamingState
+
+/** The streaming twin (S1-stream/S4/S5) at sf0.001: update-mode emission,
+  * changelog shape, snapshot parity with the batch aggregate, and the IQ
+  * functions running unchanged over the snapshot.
+  */
+class StreamingStateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val changelog = StreamingState.changelog(spark, sfDir).cache()
+  private lazy val snapshot = StreamingState.snapshot(spark, sfDir).cache()
+  private lazy val batchAgg =
+    StockAggregation.aggregate(Tables.transactions(spark, sfDir))
+
+  test("replay produces one micro-batch per staged chunk") {
+    val ids = changelog.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until StreamingState.NumChunks.toLong))
+  }
+
+  test("update mode emits per-batch updates, not just final state") {
+    val nKeys = changelog.select("key").distinct().count()
+    assert(changelog.count() > nKeys,
+      "changelog must contain multiple updates per key across micro-batches")
+    // within one micro-batch a key is emitted at most once
+    val dupInBatch = changelog.groupBy("batch_id", "key").count()
+      .filter(col("count") > 1).count()
+    assert(dupInBatch == 0)
+  }
+
+  test("changelog value is the reference's proto-JSON wire shape") {
+    val row = changelog.filter(col("key") === "U000007")
+      .orderBy(col("batch_id").desc).select("value").head().getString(0)
+    assert(row.contains("\"symbol\":\"U000007\""))
+    assert(row.contains("\"numberShares\":")) // camelCase, SerdeUtil.java:97-111
+    assert(!row.contains("number_shares"))
+  }
+
+  test("snapshot (latest update per key) equals the batch aggregate") {
+    assert(snapshot.count() == batchAgg.count())
+    assert(snapshot.except(batchAgg).isEmpty && batchAgg.except(snapshot).isEmpty)
+  }
+
+  test("interactive queries run unchanged against the streaming snapshot") {
+    val k = InteractiveQueries.keyQuery(snapshot, "U000007").collect()
+    val kb = InteractiveQueries.keyQuery(batchAgg, "U000007").collect()
+    assert(k.sameElements(kb))
+    val r = InteractiveQueries.filteredRangeQuery(
+      snapshot, Some("U000000"), Some("U000099"), "@.buys > @.sells")
+    val rb = InteractiveQueries.filteredRangeQuery(
+      batchAgg, Some("U000000"), Some("U000099"), "@.buys > @.sells")
+    assert(r.count() == rb.count())
+  }
+
+  test("updates are cumulative state values, strictly growing per key") {
+    // Decode every update with its batch id; per-event share counts are >= 1,
+    // so a key's number_shares must strictly increase across the batches that
+    // emit it — updates are cumulative state, not per-batch deltas.
+    import org.apache.spark.sql.expressions.Window
+    val decoded = changelog.select(
+      col("batch_id"),
+      from_json(col("value"), graft.sources.Serdes.aggregationWireSchema).as("a"))
+      .select(col("batch_id"), col("a.symbol").as("key"), col("a.numberShares").as("shares"))
+    val w = Window.partitionBy("key").orderBy("batch_id")
+    val violations = decoded.withColumn("prev", lag("shares", 1).over(w))
+      .filter(col("prev").isNotNull && col("shares") <= col("prev")).count()
+    assert(violations == 0)
+  }
+}
