@@ -1,0 +1,67 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.StockAggregation
+
+/** The serving-side materialized state table (S5's read half): the aggregate
+  * snapshot written ONCE, which the interactive-query functions then read —
+  * mirroring the reference, where IQ queries hit the pre-materialized RocksDB
+  * store (`streams/KafkaStreamsService.java:84-90`) rather than re-consuming
+  * the input topic. Re-computing the aggregation from raw events on every key
+  * lookup (rounds 1–2 here) would re-scan the raw table at 100 TB; serving
+  * from the snapshot makes a key query O(matching row-groups).
+  *
+  * Layout chosen for the serving patterns (key point lookup, key-range scan,
+  * multi-key): range-partitioned by `symbol` and sorted within partitions, so
+  * every parquet file covers a disjoint key interval and carries tight
+  * min/max symbol statistics. Catalyst then prunes:
+  *   - KeyQuery / MultiKeyQuery → `PushedFilters: [EqualTo/In(symbol,...)]`
+  *     + row-group skip via column min/max;
+  *   - RangeQuery → only the files whose [min,max] intersects the bounds.
+  * At cluster scale the same layout is a bucketed/sorted table (or liquid
+  * clustering); the number of range partitions is sized to target file size,
+  * not hardcoded — here 8 keeps files non-trivial at the test SFs.
+  *
+  * The raw-recompute plan remains the ORACLE (the DuckDB SQL recomputes from
+  * events); the engine path reads the snapshot.
+  */
+object MaterializedState {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  private def stateDir(sfDir: String): Path =
+    Paths.get("target", "state", sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
+      .toAbsolutePath
+
+  /** Write the snapshot for this scale factor (once per JVM); returns its
+    * path.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String =
+    built.computeIfAbsent(sfDir, _ => {
+      val dir = stateDir(sfDir)
+      deleteRecursively(dir)
+      StockAggregation.aggregate(Tables.transactions(spark, sfDir))
+        .repartitionByRange(8, col("symbol"))
+        .sortWithinPartitions("symbol")
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
+  /** The serving table. Filters over `symbol` push into the scan and prune
+    * files/row-groups via the sorted layout's min/max statistics.
+    */
+  def read(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(ensure(spark, sfDir))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+}

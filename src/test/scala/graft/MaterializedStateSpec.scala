@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.operators.{InteractiveQueries, StockAggregation}
+import graft.state.MaterializedState
+
+/** Serving-path checks: the IQ functions read the materialized snapshot, the
+  * snapshot equals the raw-recompute aggregate, and key predicates actually
+  * reach the parquet scan (pushdown + file pruning via the sorted layout).
+  */
+class MaterializedStateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val state = MaterializedState.read(spark, sfDir)
+  private lazy val raw = StockAggregation.aggregate(Tables.transactions(spark, sfDir))
+
+  test("snapshot equals the raw-recompute aggregate") {
+    assert(state.count() == raw.count())
+    assert(state.except(raw).isEmpty && raw.except(state).isEmpty)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in plan"))
+
+  test("key query pushes the symbol predicate into the parquet scan") {
+    val scan = scanOf(InteractiveQueries.keyQuery(state, "U000007"))
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(symbol,U000007)"), s"PushedFilters=$pushed")
+  }
+
+  test("range bounds push down, and the layout gives disjoint per-file key intervals") {
+    val bounded = InteractiveQueries.rangeQuery(state, Some("U000004"), Some("U000009"))
+    val pushed = scanOf(bounded).metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(symbol,U000004)") &&
+      pushed.contains("LessThanOrEqual(symbol,U000009)"), s"PushedFilters=$pushed")
+    // The range-partition + sort layout means every parquet file covers a
+    // disjoint symbol interval — the property that lets the pushed bounds
+    // skip whole row groups via column min/max statistics.
+    val intervals = state
+      .select(input_file_name().as("f"), col("symbol"))
+      .groupBy("f").agg(min("symbol").as("lo"), max("symbol").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(intervals.length > 1, s"snapshot should span multiple files, got ${intervals.length}")
+    intervals.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file intervals overlap: $hi1 >= $lo2")
+      case _ =>
+    }
+  }
+
+  test("filtered range collapses key bounds and compiled predicate into one scan") {
+    val df = InteractiveQueries.filteredRangeQuery(
+      state, Some("U000000"), Some("U000099"), "@.buys > @.sells")
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one scan, no shuffle: predicate evaluated inside the scan stage
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in serving plan:\n$plan")
+  }
+}
