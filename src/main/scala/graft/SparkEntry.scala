@@ -114,7 +114,19 @@ object SparkEntry {
       InteractiveQueries.keyQuery(StreamingState.snapshot(s, dir), "U000007")),
     "q_streaming_filtered_range" -> ((s, dir) =>
       InteractiveQueries.filteredRangeQuery(
-        StreamingState.snapshot(s, dir), Some("U000000"), Some("U000099"), "@.buys > @.sells"))
+        StreamingState.snapshot(s, dir), Some("U000000"), Some("U000099"), "@.buys > @.sells")),
+    // ---- Beyond-reference (north star): dedup over `documents` -----------
+    // exact dedup: hash-groupBy on content hash, deterministic survivor
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // near-dup: MinHash LSH candidates + exact 3-gram Jaccard re-check;
+    // output is exactly the pairs with jaccard >= 0.7 (oracle: brute force)
+    "q_dedup_near" -> ((s, dir) =>
+      Dedup.nearDuplicatePairs(Tables.documents(s, dir), n = 3, k = 64, threshold = 0.7)),
+    // simhash near-dup: banded fingerprint join (pigeonhole-complete recall);
+    // xxhash64-based fingerprint is not SQL-expressible → rows-only check,
+    // semantics pinned by DedupSpec instead
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 3))
   )
 
   // ------------------------------------------------------------- oracles
@@ -166,6 +178,26 @@ object SparkEntry {
     "q_streaming_changelog_counts" ->
       s"""WITH ctxns AS (${Tables.txnsChunkCte(StreamingState.NumChunks)})
          |SELECT symbol, CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_updates
-         |FROM ctxns GROUP BY symbol""".stripMargin
+         |FROM ctxns GROUP BY symbol""".stripMargin,
+    // Dedup: survivors = lowest doc_id per distinct text (plus the md5 the
+    // engine groups by); near-dup oracle = brute-force 3-gram Jaccard.
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, doc_id, text, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1""".stripMargin,
+    "q_dedup_near" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |                   for i in range(1, len(string_split(text,' ')) - 1)]) AS ss
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       len(list_intersect(a.ss, b.ss))::DOUBLE
+        |         / len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+        |        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7""".stripMargin
   )
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup semantics on constructed corpora (the synthetic documents table has
+  * no exact duplicates, so exact-dup behavior needs fixtures) plus the LSH
+  * recall/precision properties on the real table.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest-id row per distinct text") {
+    val docs = corpus(
+      (3L, "the quick brown fox"),
+      (1L, "the quick brown fox"),
+      (2L, "a different document"),
+      (5L, "a different document"),
+      (4L, "unique text"))
+    val kept = Dedup.exact(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 2L, 4L)))
+  }
+
+  test("exact dedup emits the md5 content hash it groups by") {
+    val kept = Dedup.exact(corpus((1L, "abc"))).select("content_hash").head().getString(0)
+    assert(kept == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+
+  test("near-dup pairs: identical and near-identical docs found, distinct docs not") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearSame = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = corpus((1L, base), (2L, base), (3L, nearSame), (4L, other))
+    val pairs = Dedup.nearDuplicatePairs(docs, n = 3, k = 32, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("near-dup jaccard is the exact shingle jaccard, not an estimate") {
+    // doc2 = doc1 with the last token changed: 20 tokens -> 18 shingles,
+    // 17 shared, union 19 -> jaccard = 17/19
+    val t1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val t2 = (1 to 19).map(i => s"w$i").mkString(" ") + " X"
+    val j = Dedup.nearDuplicatePairs(corpus((1L, t1), (2L, t2)), n = 3, k = 32, threshold = 0.5)
+      .select("jaccard").head().getDouble(0)
+    assert(math.abs(j - 17.0 / 19.0) < 1e-15)
+  }
+
+  test("LSH candidates on the real corpus never go all-pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val pairs = Dedup.nearDuplicatePairs(docs, threshold = 0.7)
+    // plan must contain no cartesian/broadcast-nested-loop join
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs join in plan:\n$plan")
+    assert(pairs.count() <= n * 4, "near-dup output should be sparse")
+  }
+
+  test("simhash: identical docs collide, near docs within hamming 3, far docs beyond") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "ALTERED" else s"tok$i").mkString(" ")
+    val far = (200 to 260).map(i => s"z$i").mkString(" ")
+    val fps = corpus((1L, base), (2L, base), (3L, near), (4L, far))
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(4L)) > 3,
+      "unrelated docs should differ in many bits")
+    val pairs = Dedup.simhashNearDuplicates(
+      corpus((1L, base), (2L, base), (3L, near), (4L, far)), maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash banding is pigeonhole-complete: hamming<=3 pair always found") {
+    // flip exactly 3 bits spread across three different bands of doc1's
+    // fingerprint via synthetic fingerprints is not constructible from text;
+    // instead verify the guarantee on the real corpus: every pair with
+    // hamming <= 3 (computed brute-force on collected fingerprints) appears
+    // in the banded join output.
+    val docs = Tables.documents(spark, sfDir)
+    val fps = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashNearDuplicates(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+}
