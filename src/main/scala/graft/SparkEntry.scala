@@ -126,7 +126,18 @@ object SparkEntry {
     // xxhash64-based fingerprint is not SQL-expressible → rows-only check,
     // semantics pinned by DedupSpec instead
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 3))
+      Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 3)),
+    // ---- Beyond-reference: similarity search over `embeddings` -----------
+    // exact cosine top-k for a small query set (oracle: brute-force SQL)
+    "q_similarity_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+    // exact ε-neighbor pair listing (embedding-cosine near-dup)
+    "q_similarity_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), threshold = 0.45)),
+    // ANN: LSH-bucketed candidates + exact re-rank — approximate by design,
+    // so rows-only here; recall vs brute force is pinned in SimilaritySpec
+    "q_similarity_ann" -> ((s, dir) =>
+      Similarity.annTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10))
   )
 
   // ------------------------------------------------------------- oracles
@@ -146,6 +157,17 @@ object SparkEntry {
       |FROM wtx GROUP BY window_start_s, symbol_raw""".stripMargin
 
   private val WW = s"WITH wtx AS ($windowAggCte), wagg AS ($windowAggSelect)"
+
+  /** DuckDB cosine between `e.embedding` and `qv` — element-wise double
+    * widening, sequential sum, matching [[Similarity.cosine]].
+    */
+  private val duckCosine: String =
+    """list_sum(list_transform(range(1, len(e.embedding)+1),
+      |                        i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+      |/ (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |                                i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+      | * sqrt(list_sum(list_transform(range(1, len(qv)+1),
+      |                                i -> qv[i]::DOUBLE * qv[i]::DOUBLE))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_aggregate" -> s"$W SELECT * FROM agg",
@@ -198,6 +220,30 @@ object SparkEntry {
         |         / len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
-        |        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7""".stripMargin
+        |        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7""".stripMargin,
+    // Similarity: explicit element-wise double dot products so the float→
+    // double widening and accumulation match the engine's zip_with/aggregate;
+    // scores rounded to 6 dp on both sides before ranking/thresholding.
+    "q_similarity_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+         |s AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    round($duckCosine, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> query_id)
+         |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY score DESC, neighbor_id) AS rn
+         |      FROM s)
+         |WHERE rn <= 10""".stripMargin,
+    "q_similarity_pairs" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+         |s AS (
+         |  SELECT query_id AS vec_b, e.vec_id AS vec_a,
+         |    round($duckCosine, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id < query_id)
+         |SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45""".stripMargin
   )
 }

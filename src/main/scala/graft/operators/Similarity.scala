@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — beyond-
+  * reference extension (SURVEY §2.5 north star) over the `embeddings` table.
+  *
+  * All scoring is built-in higher-order functions (`zip_with` / `aggregate`)
+  * on the array column — codegen'd, no UDFs. Floats are widened to double
+  * element-wise and accumulated in array order, so the scores are
+  * reproducible bit-for-bit across engines that do the same (the DuckDB
+  * oracles are written to).
+  *
+  * Scale design:
+  *   - brute-force top-k broadcasts the (small) query set and scores the
+  *     corpus map-side; the top-k itself is a TWO-PHASE bounded aggregation
+  *     (per-partition k, then merge-of-k-lists) so the shuffle carries
+  *     queries × partitions × k rows — not queries × corpus. A window
+  *     row_number would shuffle every scored row.
+  *   - the ANN path generates candidates by multi-table random-hyperplane
+  *     LSH — an equi-join on (table, bucket) keys — then re-ranks candidates
+  *     exactly. Hyperplanes are deterministic pseudo-vectors derived from
+  *     xxhash64, so results are stable across runs and partitionings.
+  *   - exact ε-pair listing (`cosinePairs`) is inherently all-pairs; it exists
+  *     as the exactness baseline/oracle twin. At scale use the LSH candidate
+  *     path when approximate recall is acceptable.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated left-to-right in
+    * double.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Bounded two-phase top-k per query over (query_id, neighbor_id, score)
+    * rows: local per-partition top-k (state bounded by k per open group),
+    * then a merge of the per-partition lists. Ordering is (score desc,
+    * neighbor_id asc) — fully deterministic under ties.
+    * Returns (query_id, rank, neighbor_id, score).
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val item = struct(negate(col("score")).as("neg"), col("neighbor_id"))
+    val local = scored
+      .groupBy(col("query_id"), spark_partition_id().as("p"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("top"))
+    local
+      .groupBy("query_id")
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(
+        col("query_id"), (col("i") + 1).cast("int").as("rank"),
+        col("t.neighbor_id").as("neighbor_id"), negate(col("t.neg")).as("score"))
+  }
+
+  /** Exact cosine top-k: score every (query, corpus) pair via a broadcast of
+    * the query set, then bounded top-k. Scores are rounded to 6 dp before
+    * ranking so that rank order (with the id tie-break) is engine-portable.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = broadcast(
+      embeddings.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("nv"), col("qv")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** All pairs with cosine >= threshold — the exact ε-neighbor listing.
+    * Inherently quadratic (no bucketing can be exact for arbitrary vectors);
+    * kept as the exactness baseline. Returns (vec_a, vec_b, score), a < b.
+    */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** LSH bucket key for one hash table: `bits` random-hyperplane sign bits.
+    * Hyperplane (table, j)'s i-th component is ±1 derived from
+    * xxhash64(table, j, i) — deterministic, no stored model.
+    */
+  def lshBucket(v: Column, table: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x.cast("double") *
+            when(pmod(xxhash64(lit(table), lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << j)).otherwise(0)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates = corpus vectors sharing ANY of `tables`
+    * LSH buckets with the query (equi-join on (table, bucket) — never
+    * all-pairs), re-ranked with exact cosine, then bounded top-k.
+    * Recall trades against candidate-set size via (tables, bits).
+    */
+  def annTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      tables: Int = 8,
+      bits: Int = 6): DataFrame = {
+    def bucketed(df: DataFrame, idName: String, vName: String): DataFrame =
+      df.select(col(idName), col(vName),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(vName), t, bits)): _*)).as(Seq("tbl", "bkt")))
+
+    val corpus = bucketed(
+      embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      "neighbor_id", "nv")
+    val queries = broadcast(bucketed(
+      embeddings.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv"))
+
+    val scored = corpus.join(queries, Seq("tbl", "bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("nv"), col("qv")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+}

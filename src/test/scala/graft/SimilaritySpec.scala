@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine on hand-computed vectors") {
+    val df = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(-1f, 0f)), (3L, Seq(1f, 1f)))
+    val c = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(c((0L, 0L)) == 1.0)
+    assert(c((0L, 1L)) == 0.0)
+    assert(c((0L, 2L)) == -1.0)
+    assert(math.abs(c((0L, 3L)) - 1.0 / math.sqrt(2)) < 1e-15)
+  }
+
+  test("brute-force top-k: an exact duplicate vector ranks first") {
+    val base = (1 to 8).map(_.toFloat)
+    val df = vecs(
+      (0L, base), (1L, base), (2L, base.map(-_)), (3L, base.reverse),
+      (4L, Seq.fill(8)(1f)))
+    val top = Similarity.bruteForceTopK(df, Seq(0L), k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.head == 1L) // identical vector: cosine 1
+    assert(!top.contains(2L) || top.last == 2L) // antipode ranks last if present
+  }
+
+  test("top-k is deterministic under score ties (id tie-break)") {
+    val v = Seq(1f, 0f)
+    val df = vecs((0L, v), (5L, v), (3L, v), (9L, v))
+    val top = Similarity.bruteForceTopK(df, Seq(0L), k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.sameElements(Array(3L, 5L, 9L))) // all score 1.0 -> id order
+  }
+
+  test("ann: bucketed candidates, no cartesian product, recall beats random") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val ann = Similarity.annTopK(emb, queryIds, k = 10)
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in ANN plan:\n$plan")
+
+    val brute = Similarity.bruteForceTopK(emb, queryIds, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = ann.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+
+    // candidate set must be a real subset of the corpus (bucketing bites)
+    val n = emb.count()
+    val candidates = Similarity.annTopK(emb, queryIds, k = n.toInt).count()
+    assert(candidates < queryIds.size * (n - 1),
+      s"ANN candidates ($candidates) must be smaller than all pairs")
+    // embeddings are near-random (no cluster structure), so absolute recall
+    // is data-limited; require it to beat the candidate fraction (random
+    // bucketing) by a wide margin — deterministic hashes make this stable
+    val candidateFraction = candidates.toDouble / (queryIds.size * (n - 1))
+    assert(recall > candidateFraction + 0.1,
+      s"recall $recall should beat random-candidate baseline $candidateFraction")
+  }
+
+  test("cosine pairs at threshold lists exactly the brute-force pairs") {
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(1f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0.9f, 0.1f, 0.05f)))
+    val pairs = Similarity.cosinePairs(df, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+}
