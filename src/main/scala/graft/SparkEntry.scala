@@ -137,7 +137,18 @@ object SparkEntry {
     // ANN: LSH-bucketed candidates + exact re-rank — approximate by design,
     // so rows-only here; recall vs brute force is pinned in SimilaritySpec
     "q_similarity_ann" -> ((s, dir) =>
-      Similarity.annTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10))
+      Similarity.annTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+    // ---- Beyond-reference: text analysis over `documents` ----------------
+    "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
+    "q_text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), k = 20)),
+    // language-ID and winnowing fingerprints hash with xxhash64 / train
+    // corpus-derived profiles — not SQL-expressible → rows-only; semantics
+    // pinned in TextAnalysisSpec
+    "q_text_langid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.languageId(docs, docs)
+    }),
+    "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir)))
   )
 
   // ------------------------------------------------------------- oracles
@@ -244,6 +255,21 @@ object SparkEntry {
          |    round($duckCosine, 6) AS score
          |  FROM embeddings e, q
          |  WHERE e.vec_id < query_id)
-         |SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45""".stripMargin
+         |SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45""".stripMargin,
+    // Text analysis
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  list_sum(list_transform(string_split(text, ' '), t -> len(t)))::DOUBLE
+        |    / len(string_split(text, ' ')) AS avg_token_len,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))::DOUBLE
+        |    / len(string_split(text, ' ')) AS stopword_ratio,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_text_top_terms" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin
   )
 }

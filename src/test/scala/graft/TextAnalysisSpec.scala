@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("textStats hand-computed") {
+    val r = TextAnalysis.textStats(corpus((1L, "the cat sat on the mat"))).head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_distinct_tokens") == 5)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 17.0 / 6.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6.0) < 1e-15)
+    assert(r.getAs[Int]("n_bpe_tokens") == 6)
+  }
+
+  test("BPE-ish regex splits punctuation and digits from words") {
+    val r = TextAnalysis.textStats(corpus((1L, "ab3cd, x!"))).head()
+    // tokens: ab | 3 | cd | , | x | !  -> 6
+    assert(r.getAs[Int]("n_bpe_tokens") == 6)
+  }
+
+  test("topTerms orders by count desc then term asc") {
+    val docs = corpus((1L, "b a a c b a"), (2L, "c b"))
+    val top = TextAnalysis.topTerms(docs, 3)
+      .as[(String, Long)].collect()
+    assert(top.sameElements(Array(("a", 3L), ("b", 3L), ("c", 2L))))
+  }
+
+  test("languageId learns profiles and classifies by character n-grams") {
+    val labeled = Seq(
+      (1L, "aaab aaab aaba abaa baaa", "aa"),
+      (2L, "abab aabb aaab baab abba", "aa"),
+      (3L, "zzzy zzyz zyzz yzzz zzzz", "zz"),
+      (4L, "zyzy zzyy zzzy yyzz zyyz", "zz")
+    ).toDF("doc_id", "text", "lang")
+    val unknown = corpus((10L, "aaba abab aaab"), (11L, "zzyz zyzz yzzy"))
+    val pred = TextAnalysis.languageId(unknown, labeled)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(pred(10L) == "aa")
+    assert(pred(11L) == "zz")
+  }
+
+  test("languageId over the real corpus predicts a language for every doc") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val preds = TextAnalysis.languageId(docs, docs)
+    assert(preds.count() == docs.count())
+    assert(preds.filter(col("predicted_lang").isNull).count() == 0)
+  }
+
+  test("fingerprints: identical docs identical, disjoint docs disjoint") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "entirely different content with no overlapping substrings here"
+    val df = corpus((1L, a), (2L, a), (3L, b))
+      .select(col("doc_id"), TextAnalysis.fingerprintSet(col("text")).as("fps"))
+    val sets = df.as[(Long, Seq[Long])].collect().toMap
+    assert(sets(1L) == sets(2L))
+    assert(sets(1L).toSet.intersect(sets(3L).toSet).isEmpty)
+  }
+
+  test("winnowing guarantee: docs sharing a substring of length k+w-1 share a fingerprint") {
+    // k=8, w=4 -> any shared substring of length >= 11 must share a fingerprint
+    val shared = "XYZQWERTYUI" // 11 chars
+    val d1 = s"prefix one $shared suffix alpha"
+    val d2 = s"totally other beginning $shared and a different end"
+    val sets = corpus((1L, d1), (2L, d2))
+      .select(col("doc_id"), TextAnalysis.fingerprintSet(col("text")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sets(1L).toSet.intersect(sets(2L).toSet).nonEmpty)
+  }
+
+  test("short docs get empty fingerprint sets, not errors") {
+    val r = TextAnalysis.fingerprints(corpus((1L, "tiny"))).head()
+    assert(r.getAs[Int]("n_fingerprints") == 0)
+    assert(r.isNullAt(r.fieldIndex("min_fingerprint")))
+  }
+}
