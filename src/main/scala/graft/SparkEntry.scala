@@ -148,7 +148,16 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       TextAnalysis.languageId(docs, docs)
     }),
-    "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir)))
+    "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // ---- Beyond-reference: multimodal binary columns ---------------------
+    // typed metadata over opaque binary payloads (oracle-checkable)
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
+    // native-expression frame slicing + per-frame features (xxhash64-based →
+    // rows-only; semantics pinned in MultimodalSpec)
+    "q_multimodal_frames" -> ((s, dir) => Multimodal.frameFeatures(Tables.documents(s, dir))),
+    // the mapPartitions decode seam with the stub codec (rows-only)
+    "q_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeWithStub(Tables.documents(s, dir)).toDF())
   )
 
   // ------------------------------------------------------------- oracles
@@ -270,6 +279,16 @@ object SparkEntry {
     "q_text_top_terms" ->
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-        |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin
+        |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin,
+    // Multimodal metadata: UTF-8 byte length and fixed-size frame count over
+    // the payload bytes; mime assignment mirrors the engine's derivation.
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
+        |  END AS mime,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS INT) AS n_frames
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline — beyond-reference extension (SURVEY §2.5
+  * north star): media (image/audio/video) carried as opaque `binary` columns
+  * with a typed metadata struct, plus decode / feature-extract / frame-sample
+  * stages.
+  *
+  * The test substrate has no media files and this container has no codec
+  * libraries, so the DECODE step is a clearly-marked deterministic stub
+  * ([[StubDecoder]]); everything around it — the binary payload column, the
+  * metadata schema, frame slicing, per-frame feature extraction, the
+  * partition-batched decode plumbing — is real and is what carries over
+  * unchanged when a JNI/py codec replaces the stub.
+  *
+  * Two execution paths, deliberately:
+  *   - [[frameFeatures]]: native Catalyst expressions (binary substr +
+  *     xxhash64) — the right path when the "feature" is expressible, keeps
+  *     whole-stage codegen;
+  *   - [[decodeWithStub]]: `mapPartitions` over a typed Dataset with a
+  *     per-partition decoder instance — the Spark-idiomatic shape for real
+  *     codec libraries (heavy init amortized per partition, rows streamed per
+  *     batch; the Scala analogue of a Pandas `mapInPandas` decode). Kept off
+  *     the oracle path and benchmarked separately: it breaks codegen by
+  *     design, which is the price of arbitrary native decoders.
+  */
+object Multimodal {
+
+  val FrameBytes = 256
+
+  /** Derive the multimodal asset table from `documents`: the UTF-8 bytes of
+    * `text` stand in for media bytes; mime type is assigned deterministically
+    * so all three media kinds appear. Schema is the real thing:
+    * (doc_id, payload binary, meta struct<mime,byte_len,n_frames>).
+    */
+  def assets(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    val mime = element_at(
+      array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs.select(
+      col("doc_id"),
+      payload.as("payload"),
+      struct(
+        mime.as("mime"),
+        length(payload).as("byte_len"),
+        ceil(length(payload).cast("double") / FrameBytes).cast("int").as("n_frames")
+      ).as("meta"))
+  }
+
+  /** Metadata projection (oracle-checkable): typed per-asset facts derived
+    * from the opaque payload without decoding it.
+    */
+  def metadata(docs: DataFrame): DataFrame =
+    assets(docs).select(
+      col("doc_id"),
+      col("meta.mime").as("mime"),
+      col("meta.byte_len").as("byte_len"),
+      col("meta.n_frames").as("n_frames"))
+
+  /** Native-expression feature path: slice the payload into fixed-size
+    * frames (binary substring), hash each frame (the stand-in for a per-frame
+    * feature vector), optionally sample every `stride`-th frame. No UDF —
+    * stays inside whole-stage codegen.
+    * Returns (doc_id, n_frames, n_sampled, first_frame_feature).
+    */
+  def frameFeatures(docs: DataFrame, stride: Int = 2): DataFrame = {
+    val a = assets(docs)
+    val frames = transform(
+      sequence(lit(0), col("meta.n_frames") - 1),
+      i => xxhash64(col("payload").substr(i * FrameBytes + 1, lit(FrameBytes))))
+    val sampled = filter(frames, (_, i) => i % stride === 0)
+    a.select(
+      col("doc_id"),
+      col("meta.n_frames").as("n_frames"),
+      size(sampled).as("n_sampled"),
+      element_at(frames, 1).as("first_frame_feature"))
+  }
+
+  /** A decoded media frame batch row. */
+  final case class DecodedFrames(docId: Long, mime: String, nFrames: Int, features: Array[Long])
+
+  /** The decoder seam a real codec plugs into: payload bytes → per-frame
+    * feature values.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(mime: String, payload: Array[Byte]): Array[Long]
+  }
+
+  /** STUB — deterministic fake decode. A real implementation would hand the
+    * bytes to an image/audio/video library; none exists in this environment,
+    * so frames are fixed-size byte slices and the "feature" is a 64-bit hash
+    * of each slice. Deterministic, so tests and parity checks are stable.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decode(mime: String, payload: Array[Byte]): Array[Long] =
+      payload.grouped(FrameBytes).map { frame =>
+        // FNV-1a over the frame bytes — cheap, deterministic, dependency-free
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < frame.length) { h ^= (frame(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+        h
+      }.toArray
+  }
+
+  /** Partition-batched decode: one decoder per partition (where a real codec
+    * would initialize its native context once), rows streamed through it.
+    * This is the `mapInPandas`-shaped seam; use [[frameFeatures]] whenever
+    * the feature is expressible natively.
+    */
+  def decodeWithStub(docs: DataFrame, decoder: MediaDecoder = StubDecoder): Dataset[DecodedFrames] = {
+    val a = assets(docs).select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+    implicit val enc = Encoders.product[DecodedFrames]
+    a.as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { rows =>
+        // real codecs initialize per-partition state here (native handles,
+        // thread pools); the stub needs none
+        rows.map { case (id, mime, payload) =>
+          val feats = decoder.decode(mime, payload)
+          DecodedFrames(id, mime, feats.length, feats)
+        }
+      }
+  }
+}
