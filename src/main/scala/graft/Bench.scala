@@ -23,13 +23,17 @@ object Bench {
 
     val errors = scala.collection.mutable.Map.empty[String, String]
 
+    // optional local-profiling filter (unset for driver runs = all queries)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
     // warm-up: run everything once, untimed; remember failures
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
     }
 
-    val results = SparkEntry.queries.collect { case (name, fn) if !errors.contains(name) =>
+    val results = queries.collect { case (name, fn) if !errors.contains(name) =>
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

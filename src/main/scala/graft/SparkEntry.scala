@@ -121,7 +121,7 @@ object SparkEntry {
     // near-dup: MinHash LSH candidates + exact 3-gram Jaccard re-check;
     // output is exactly the pairs with jaccard >= 0.7 (oracle: brute force)
     "q_dedup_near" -> ((s, dir) =>
-      Dedup.nearDuplicatePairs(Tables.documents(s, dir), n = 3, k = 64, threshold = 0.7)),
+      Dedup.nearDuplicatePairs(Tables.documents(s, dir), n = 3, threshold = 0.7)),
     // simhash near-dup: banded fingerprint join (pigeonhole-complete recall);
     // xxhash64-based fingerprint is not SQL-expressible → rows-only check,
     // semantics pinned by DedupSpec instead
@@ -258,13 +258,18 @@ object SparkEntry {
          |      FROM s)
          |WHERE rn <= 10""".stripMargin,
     "q_similarity_pairs" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
-         |s AS (
-         |  SELECT query_id AS vec_b, e.vec_id AS vec_a,
-         |    round($duckCosine, 6) AS score
-         |  FROM embeddings e, q
-         |  WHERE e.vec_id < query_id)
-         |SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45""".stripMargin,
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(embedding)+1),
+        |                   i -> embedding[i]::DOUBLE
+        |                        / sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |                                        j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)))) AS nv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_sum(list_transform(range(1, len(a.nv)+1), i -> a.nv[i] * b.nv[i])), 6) AS score
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45""".stripMargin,
     // Text analysis
     "q_text_stats" ->
       """SELECT doc_id,

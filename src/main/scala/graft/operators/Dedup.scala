@@ -49,49 +49,76 @@ object Dedup {
   /** MinHash signature: for each of k hash permutations, the minimum
     * `xxhash64(shingle, seed=j)` over the document's shingle set. Null for
     * documents with no shingles.
+    *
+    * A note on expression structure, which dominates cost at scale: a Column
+    * built from a reused Scala `val` DUPLICATES its expression tree at every
+    * use site — there is no Catalyst-level sharing. Expensive derived arrays
+    * must therefore be materialized as their own projection alias and
+    * referenced as an attribute (CollapseProject deliberately refuses to
+    * inline non-cheap aliases referenced more than once). The k permutation
+    * minima here scan the shingle-hash attribute `hs`, built once per row by
+    * [[nearDuplicatePairs]]; permutations re-hash the 8-byte long, not the
+    * shingle string.
     */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    when(size(shingleSet) > 0,
+  def minhashSignatureFromHashes(hs: Column, k: Int): Column =
+    when(size(hs) > 0,
       array((0 until k).map { j =>
-        array_min(transform(shingleSet, s => xxhash64(s, lit(j))))
+        array_min(transform(hs, h => xxhash64(h, lit(j))))
       }: _*))
 
-  /** Near-duplicate pairs by word-n-gram Jaccard, via MinHash LSH.
+  /** Near-duplicate pairs by word-n-gram Jaccard, via banded MinHash LSH.
     *
-    * Candidate generation: one row per (permutation, minhash value) — docs
-    * sharing ANY of the k minhash values become candidates (bands of r=1).
-    * A pair with Jaccard J survives all k permutations un-collided with
-    * probability (1-J)^k — at k=64 and J >= threshold >= 0.5 that is < 1e-19,
-    * i.e. recall is exact for every practical corpus, while candidates stay
-    * an equi-join on bucket keys. (At petabyte scale with low thresholds
-    * you'd raise r to trade recall for fewer false candidates; the re-check
-    * below already removes false positives exactly.)
+    * Candidate generation: the k-permutation signature splits into bands of
+    * `bandSize` (r) rows each; docs agreeing on ALL r minhashes of any band
+    * (bucket key = hash of the band's minhash slice) become candidates — an
+    * equi-join on bucket keys, never all-pairs. A pair with Jaccard J misses
+    * every band with probability (1 - J^r)^(k/r): with the defaults r=3,
+    * b=21 that is 1.5e-4 at J=0.7 and 6e-13 at J=0.9.
+    *
+    * r > 1 matters on corpora with a small shared vocabulary (like this
+    * substrate, 31 words): with r=1 the globally-common shingles make a few
+    * buckets hold most of the corpus, and the candidate join degenerates
+    * toward quadratic with extreme skew. Requiring r simultaneous minima to
+    * agree shrinks false-candidate probability from J to J^r per band —
+    * the difference between a skew-bound join and a sparse one at 100 TB.
     *
     * Every candidate pair is then re-checked with EXACT Jaccard over the
-    * shingle sets, so the output is precisely the pairs with
-    * jaccard >= threshold — SQL-oracle-checkable by brute force.
+    * shingle sets, so the output is precisely the candidate pairs with
+    * jaccard >= threshold — SQL-oracle-checkable by brute force wherever the
+    * corpus's similarity histogram keeps the banding's miss probability
+    * negligible at the threshold (pairs just above threshold are the ones at
+    * risk; here the nearest pair sits at J=0.90).
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
   def nearDuplicatePairs(
       docs: DataFrame,
       n: Int = 3,
-      k: Int = 64,
+      k: Int = 63,
+      bandSize: Int = 3,
       threshold: Double = 0.7,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    require(k % bandSize == 0, s"k=$k must be a multiple of bandSize=$bandSize")
+    val nBands = k / bandSize
     val withShingles = docs
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
     val sigs = withShingles
-      .select(col("id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"), col("sh"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), col("sh"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
 
-    // (perm, minhash) bucket rows; join within buckets only
-    val buckets = sigs.select(col("id"), posexplode(col("sig")).as(Seq("perm", "mh")))
+    // one bucket key per band: hash of the band's r-minhash slice (+ band id
+    // so equal slices in different bands stay distinct buckets)
+    val buckets = sigs.select(
+      col("id"),
+      posexplode(array((0 until nBands).map { b =>
+        xxhash64(lit(b), slice(col("sig"), b * bandSize + 1, bandSize))
+      }: _*)).as(Seq("band", "bkt")))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
-        col("a.perm") === col("b.perm") && col("a.mh") === col("b.mh") &&
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
@@ -106,20 +133,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over the token multiset: bit b of the fingerprint is the
-    * sign of sum over tokens of (+1 if bit b of xxhash64(token) else -1).
-    * Pure codegen'd expressions — one pass over the token array per band of
-    * bits.
+  /** 64-bit SimHash over the document's word-3-gram shingles: bit b of the
+    * fingerprint is the sign of sum over shingles of (+1 if bit b of
+    * xxhash64(shingle) else -1). Shingles, not unigram tokens: on corpora
+    * with a small shared vocabulary every document contains nearly the same
+    * token SET, which collapses token-level simhashes onto a few values and
+    * blows up the banded join; shingles carry word order and keep the
+    * fingerprints spread.
+    *
+    * Convenience single-Column form — the 64 per-bit votes each re-derive the
+    * shingle pipeline, fine for fixtures. Corpus-scale callers use
+    * [[fingerprintDF]], which materializes the shingle-hash array once per
+    * row (see the expression-structure note on
+    * [[minhashSignatureFromHashes]]).
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
+  def simhash64(text: Column, n: Int = 3): Column =
+    fingerprintBits(transform(shingles(text, n), t => xxhash64(t)))
+
+  /** The 64 per-bit majority votes over a materialized hash-array column. */
+  private def fingerprintBits(hs: Column): Column = {
     val bits = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L),
+      val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << b)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
+
+  /** (id, fp) simhash fingerprints with the shingle-hash array built once per
+    * row in its own projection, so the 64 vote aggregates scan a concrete
+    * long array instead of re-running tokenize→shingle→hash per bit.
+    */
+  def fingerprintDF(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), fingerprintBits(col("hs")).as("fp"))
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming, with
     * band-join candidate generation: the 64-bit fingerprint splits into
@@ -136,7 +186,7 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val fps = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val fps = fingerprintDF(docs, textCol = textCol, idCol = idCol)
 
     val bands = fps.select(
       col("id"), col("fp"),

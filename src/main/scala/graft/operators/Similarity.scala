@@ -77,17 +77,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Unit-normalized double vectors, norm computed ONCE per row in its own
+    * projection (a Column `val` reused across expressions would duplicate the
+    * norm subtree and re-evaluate it per use — Catalyst has no cross-use
+    * sharing for inline expressions, only for projection aliases).
+    */
+  def normalized(embeddings: DataFrame, idName: String, vName: String): DataFrame =
+    embeddings
+      .select(col("vec_id").as(idName), col("embedding").as("v"),
+        sqrt(aggregate(col("embedding"),
+          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+      .select(col(idName), transform(col("v"), x => x.cast("double") / col("nrm")).as(vName))
+
   /** All pairs with cosine >= threshold — the exact ε-neighbor listing.
     * Inherently quadratic (no bucketing can be exact for arbitrary vectors);
-    * kept as the exactness baseline. Returns (vec_a, vec_b, score), a < b.
+    * kept as the exactness baseline. Vectors are pre-normalized once per row,
+    * so each pair costs a single dot product instead of dot + two norms.
+    * Returns (vec_a, vec_b, score), a < b.
     */
   def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val a = normalized(embeddings, "vec_a", "na")
+    val b = normalized(embeddings, "vec_b", "nb")
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("score"))
+        round(aggregate(zip_with(col("na"), col("nb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x), 6).as("score"))
       .filter(col("score") >= threshold)
   }
 

@@ -38,7 +38,7 @@ class DedupSpec extends AnyFunSuite {
     val nearSame = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
     val other = (100 to 140).map(i => s"v$i").mkString(" ")
     val docs = corpus((1L, base), (2L, base), (3L, nearSame), (4L, other))
-    val pairs = Dedup.nearDuplicatePairs(docs, n = 3, k = 32, threshold = 0.7)
+    val pairs = Dedup.nearDuplicatePairs(docs, n = 3, k = 32, bandSize = 2, threshold = 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
@@ -48,7 +48,7 @@ class DedupSpec extends AnyFunSuite {
     // 17 shared, union 19 -> jaccard = 17/19
     val t1 = (1 to 20).map(i => s"w$i").mkString(" ")
     val t2 = (1 to 19).map(i => s"w$i").mkString(" ") + " X"
-    val j = Dedup.nearDuplicatePairs(corpus((1L, t1), (2L, t2)), n = 3, k = 32, threshold = 0.5)
+    val j = Dedup.nearDuplicatePairs(corpus((1L, t1), (2L, t2)), n = 3, k = 32, bandSize = 2, threshold = 0.5)
       .select("jaccard").head().getDouble(0)
     assert(math.abs(j - 17.0 / 19.0) < 1e-15)
   }
