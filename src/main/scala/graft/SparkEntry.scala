@@ -101,6 +101,11 @@ object SparkEntry {
         .select(
           unix_timestamp(col("window_start")).as("window_start_s"),
           col("symbol"), col("buys"), col("sells"), col("number_shares"))),
+    // ---- S4/A2 per-record semantics: the changelog as the reference's
+    //      cache=0 config emits it — one cumulative update per input record
+    //      (KafkaStreamsAppConfiguration.java:92) — as a running window agg.
+    "q_changelog_per_record" -> ((s, dir) =>
+      StockAggregation.perRecordChangelog(Tables.transactionsWithId(s, dir))),
     // ---- S1/S4/S5: the streaming twin (KafkaStreamsService.java:76-96) —
     //      file-stream replay → update-mode stateful agg (RocksDB state) →
     //      foreachBatch changelog sink; snapshot = latest value per key.
@@ -108,6 +113,10 @@ object SparkEntry {
     // ---- S4: per-batch update-mode emission is real — a key's update count
     //      equals the number of distinct chunks (micro-batches) containing it.
     "q_streaming_changelog_counts" -> ((s, dir) => StreamingState.changelogCounts(s, dir)),
+    // ---- S5 literal: read the live streaming state store itself (Spark's
+    //      statestore data source over the checkpoint — the exact analogue of
+    //      StateQueryRequest.inStore, StockController.java:265-270).
+    "q_statestore_query" -> ((s, dir) => StreamingState.stateStoreSnapshot(s, dir)),
     // ---- S5+Q1/Q4: the IQ functions run UNCHANGED against the streaming
     //      snapshot — the reference's "query the live store" path.
     "q_streaming_key_query" -> ((s, dir) =>
@@ -210,10 +219,20 @@ object SparkEntry {
     "q_window_agg" -> s"$WW SELECT * FROM wagg",
     "q_window_range" ->
       s"$WW SELECT * FROM wagg WHERE buys > sells AND window_start_s >= 1704153600 AND window_start_s < 1704240000",
+    "q_changelog_per_record" ->
+      s"""WITH itxns AS (${Tables.txnsIdCte})
+         |SELECT symbol, event_id,
+         |  CAST(SUM(CASE WHEN buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS DOUBLE) AS buys,
+         |  CAST(SUM(CASE WHEN NOT buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS DOUBLE) AS sells,
+         |  CAST(SUM(number_shares) OVER w AS BIGINT) AS number_shares
+         |FROM itxns
+         |WINDOW w AS (PARTITION BY symbol ORDER BY event_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // Streaming twin: the final snapshot must equal the batch aggregate; the
     // per-key update count must equal the number of distinct replay chunks
     // (micro-batches) containing that key.
     "q_streaming_snapshot" -> s"$W SELECT * FROM agg",
+    "q_statestore_query" -> s"$W SELECT * FROM agg",
     "q_streaming_key_query" -> s"$W SELECT * FROM agg WHERE symbol = 'U000007'",
     "q_streaming_filtered_range" ->
       s"$W SELECT * FROM agg WHERE symbol >= 'U000000' AND symbol <= 'U000099' AND buys > sells",

@@ -72,6 +72,22 @@ object Tables {
     (col("event_id") % 1000 + 1).cast("int").as("number_shares")
   )
 
+  /** Txns with the unique event id retained — the deterministic per-key
+    * arrival order used by the per-record changelog (the reference's
+    * cache=0 emission, one update per input record).
+    */
+  def transactionsWithId(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(col("event_id") +: txnCols: _*)
+
+  /** DuckDB-SQL twin of [[transactionsWithId]], as a CTE body. */
+  val txnsIdCte: String =
+    """SELECT event_id,
+      |       concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
+      |       event_id % 2 = 0 AS buy,
+      |       value AS amount,
+      |       CAST(event_id % 1000 + 1 AS INT) AS number_shares
+      |FROM events""".stripMargin
+
   /** Txn stream with a deterministic chunk id (`event_id % nChunks`) used by
     * the streaming twin to stage the events into N replay files — each chunk
     * becomes exactly one micro-batch, so per-key update counts are

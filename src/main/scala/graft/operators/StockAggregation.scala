@@ -42,6 +42,33 @@ object StockAggregation {
       |FROM txns
       |GROUP BY symbol""".stripMargin
 
+  /** Per-record changelog (A2 with cache disabled): for EVERY input record,
+    * the aggregate value immediately after applying it — exactly the records
+    * the reference's `output` topic carries (`max.cache.config=0`,
+    * `KafkaStreamsAppConfiguration.java:92`; emission per update
+    * `KafkaStreamsService.java:89-93`). The micro-batch streaming twin
+    * compresses this to one update per (key, batch); this operator recovers
+    * the full per-record stream as a running window aggregation over the
+    * deterministic per-key arrival order (`event_id`, unique).
+    *
+    * Plan shape: one shuffle on symbol + one sort by (symbol, event_id) —
+    * running-total state is a single row per open key. Scale-safe: the sort
+    * is within partitions after hash distribution, never global.
+    *
+    * Input must carry `event_id`; returns one row per input record.
+    */
+  def perRecordChangelog(txnsWithId: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def runSum(c: Column): Column = sum(c.cast("decimal(18,2)")).over(w).cast("double")
+    txnsWithId.select(
+      col("symbol"), col("event_id"),
+      runSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
+      runSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
+      sum(col("number_shares")).over(w).as("number_shares"))
+  }
+
   /** Event-time tumbling-window variant — realizes the reference's declared
     * but never-executed `FilteredWindowRangeQuery` intent (Q5,
     * `query/FilteredWindowRangeQuery.java:11-74`; dispatch gap

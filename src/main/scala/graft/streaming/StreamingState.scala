@@ -146,6 +146,28 @@ object StreamingState {
     Serdes.decodeAggregation(latest)
   }
 
+  /** The literal state-store read path (S5): Spark's `statestore` data
+    * source over the streaming checkpoint — the exact analogue of the
+    * reference's interactive queries hitting the live RocksDB store
+    * (`kafkaStreams.query(StateQueryRequest.inStore(...))`,
+    * `controller/StockController.java:265-270`). The row value is the
+    * aggregation BUFFER (partial decimal sums + emptiness flags); its three
+    * fields all print as "sum", so decode casts the struct positionally to
+    * named fields. Must equal the batch aggregate exactly.
+    */
+  def stateStoreSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureRun(spark, sfDir)
+    val ckpt = workDir(sfDir).resolve("checkpoint").toString
+    val vs = col("value").cast(
+      "struct<buys:decimal(28,2),e1:boolean,sells:decimal(28,2),e2:boolean,shares:bigint>")
+    spark.read.format("statestore").load(ckpt)
+      .select(
+        col("key.symbol").as("symbol"),
+        vs.getField("buys").cast("double").as("buys"),
+        vs.getField("sells").cast("double").as("sells"),
+        vs.getField("shares").as("number_shares"))
+  }
+
   /** Per-key update counts — proves per-batch update-mode emission: a key is
     * emitted in batch i iff chunk i contains at least one of its events, so
     * the oracle is `COUNT(DISTINCT chunk)` per symbol in pure SQL.

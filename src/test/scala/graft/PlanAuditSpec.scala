@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Systematic 100×-scale plan audit over EVERY registered query: no
+  * accidental cartesian products, no driver-side loops hiding in the plans.
+  * The two exact brute-force baselines are the only whitelisted quadratic
+  * plans (ε-pair listing and brute-force top-k score every pair by
+  * definition; both broadcast their small side).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // inherently all-pairs by specification (exactness baselines)
+  private val quadraticByDesign = Set("q_similarity_pairs", "q_similarity_topk")
+
+  test("no registered query plans a cartesian or nested-loop join (unless quadratic by design)") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (quadraticByDesign.contains(name)) None
+      else {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
+  }
+
+  test("every query with an oracle entry is registered, and vice versa where required") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle entries without a query: ${o -- q}")
+    // rows-only entries are the hash-based/approximate ops, by design
+    val rowsOnly = q -- o
+    val expectedRowsOnly = Set(
+      "q_dedup_simhash", "q_similarity_ann", "q_text_langid",
+      "q_text_fingerprint", "q_multimodal_frames", "q_multimodal_decode")
+    assert(rowsOnly == expectedRowsOnly,
+      s"unexpected rows-only queries (add an oracle or whitelist deliberately): ${rowsOnly -- expectedRowsOnly}")
+  }
+}

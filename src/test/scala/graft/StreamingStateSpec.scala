@@ -59,6 +59,12 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(r.count() == rb.count())
   }
 
+  test("statestore data source reads the live store, equal to the batch aggregate") {
+    val st = StreamingState.stateStoreSnapshot(spark, sfDir)
+    assert(st.count() == batchAgg.count())
+    assert(st.except(batchAgg).isEmpty && batchAgg.except(st).isEmpty)
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
