@@ -101,6 +101,22 @@ object SparkEntry {
         .select(
           unix_timestamp(col("window_start")).as("window_start_s"),
           col("symbol"), col("buys"), col("sells"), col("number_shares"))),
+    // ---- S2/S3 binary framing: ValueAndTimestamp serde round trip
+    //      (SerdeUtil.java:53-95 — 8-byte BE timestamp ‖ JSON bytes);
+    //      aggregate of the decoded stream + per-key max decoded timestamp
+    //      must match raw recompute.
+    "q_serde_vat_roundtrip" -> ((s, dir) => {
+      val t = txnsTs(s, dir)
+      val encoded = t.select(Serdes.encodeValueAndTimestamp(
+        unix_millis(col("ts")), Serdes.encodeTransaction).as("bin"))
+      val (tsMs, json) = Serdes.decodeValueAndTimestamp(col("bin"))
+      val decoded = encoded
+        .select(tsMs.as("ts_ms"), Serdes.decodeTransaction(json).as("t"))
+        .select(col("ts_ms"), col("t.symbol").as("symbol"), col("t.buy").as("buy"),
+          col("t.amount").as("amount"), col("t.numberShares").as("number_shares"))
+      StockAggregation.aggregate(decoded.drop("ts_ms"))
+        .join(decoded.groupBy("symbol").agg(max(col("ts_ms")).as("max_ts_ms")), "symbol")
+    }),
     // ---- S4/A2 per-record semantics: the changelog as the reference's
     //      cache=0 config emits it — one cumulative update per input record
     //      (KafkaStreamsAppConfiguration.java:92) — as a running window agg.
@@ -219,6 +235,13 @@ object SparkEntry {
     "q_window_agg" -> s"$WW SELECT * FROM wagg",
     "q_window_range" ->
       s"$WW SELECT * FROM wagg WHERE buys > sells AND window_start_s >= 1704153600 AND window_start_s < 1704240000",
+    "q_serde_vat_roundtrip" ->
+      s"""WITH ttx AS (${Tables.txnsTsCte}),
+         |txns AS (SELECT symbol, buy, amount, number_shares FROM ttx),
+         |agg AS (${StockAggregation.aggregateSelect}),
+         |mts AS (SELECT symbol, max(epoch_ms(ts)) AS max_ts_ms FROM ttx GROUP BY symbol)
+         |SELECT a.symbol, a.buys, a.sells, a.number_shares, m.max_ts_ms
+         |FROM agg a JOIN mts m USING (symbol)""".stripMargin,
     "q_changelog_per_record" ->
       s"""WITH itxns AS (${Tables.txnsIdCte})
          |SELECT symbol, event_id,

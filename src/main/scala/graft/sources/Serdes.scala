@@ -93,6 +93,22 @@ object Serdes {
         col("a.sells").as("sells"), col("a.numberShares").as("number_shares")
       )
 
+  /** The reference's `ValueAndTimestamp` binary serde (`SerdeUtil.java:53-95`,
+    * built and unit-tested there but unused by the topology): an 8-byte
+    * big-endian timestamp followed by the value's JSON bytes. Reproduced with
+    * native binary expressions: hex/unhex give the big-endian long encoding,
+    * binary concat/substring do the framing — all codegen'd, no UDF.
+    */
+  def encodeValueAndTimestamp(tsMillis: Column, valueJson: Column): Column =
+    concat(
+      unhex(lpad(hex(tsMillis), 16, "0")),
+      valueJson.cast("binary"))
+
+  /** Inverse of [[encodeValueAndTimestamp]]: (ts_millis, value-JSON string). */
+  def decodeValueAndTimestamp(bin: Column): (Column, Column) = (
+    conv(hex(substring(bin, 1, 8)), 16, 10).cast("long"),
+    bin.substr(lit(9), length(bin) - 8).cast("string"))
+
   /** Round-trip: encode each txn row to wire JSON and decode it back. Used by
     * the serde-parity query — the result must be byte-identical to the input.
     */
