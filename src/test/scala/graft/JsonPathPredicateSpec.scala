@@ -36,6 +36,34 @@ class JsonPathPredicateSpec extends AnyFunSuite {
   test("@.buys > 299 selects all") {
     assert(symbolsFor("@.buys > 299") === Set("BWB", "ALB", "EAB"))
   }
+  test("mixed-type comparison rejects loudly (ANSI cast), not silently-false like jayway") {
+    // `@.symbol > 5` compares a string field to a number. jayway's
+    // type-strict ValueCompare silently yields false; under Spark's ANSI
+    // mode (default in 4.x) the implicit string→number cast THROWS on
+    // non-numeric tickers. That matches this repo's grammar policy —
+    // outside the exercised subset, fail loudly rather than return a
+    // quietly different answer (SURVEY §7.3).
+    val e = intercept[Exception] { symbolsFor("@.symbol > 5") }
+    assert(e.getMessage.contains("CAST_INVALID_INPUT"), s"unexpected error: ${e.getMessage}")
+  }
+
+  test("supplementary characters: compiled ordering matches code-point eval") {
+    import org.apache.spark.sql.functions.col
+    // U+E000 (private use, BMP) sorts AFTER U+10000 (supplementary) in
+    // UTF-16 code-unit order, but BEFORE it in code-point/UTF-8 order —
+    // Catalyst uses the latter; eval must agree (ADVICE r2).
+    val bmp = "\uE000"
+    val supp = new String(Character.toChars(0x10000))
+    val df = Seq((bmp, 1.0), (supp, 2.0)).toDF("symbol", "buys")
+    val pred = s"@.symbol < '$supp'"
+    val compiled = df.filter(JsonPathPredicate.compile(pred))
+      .select("symbol").collect().map(_.getString(0)).toSet
+    assert(compiled === Set(bmp)) // code-point order: U+E000 < U+10000
+    val p = JsonPathPredicate.parse(pred)
+    assert(JsonPathPredicate.eval(p, Map("symbol" -> bmp)).contains(true))
+    assert(JsonPathPredicate.eval(p, Map("symbol" -> supp)).contains(false))
+  }
+
   test("@.buys > 500 selects none") {
     assert(symbolsFor("@.buys > 500") === Set.empty[String])
   }
