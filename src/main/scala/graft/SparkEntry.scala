@@ -140,6 +140,8 @@ object SparkEntry {
     "q_streaming_filtered_range" -> ((s, dir) =>
       InteractiveQueries.filteredRangeQuery(
         StreamingState.snapshot(s, dir), Some("U000000"), Some("U000099"), "@.buys > @.sells")),
+    // ---- Streaming exact dedup: first-seen-per-key state over the replay
+    "q_streaming_dedup_keys" -> ((s, dir) => StreamingState.streamingDedupKeys(s, dir)),
     // ---- Beyond-reference (north star): dedup over `documents` -----------
     // exact dedup: hash-groupBy on content hash, deterministic survivor
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -256,6 +258,7 @@ object SparkEntry {
     // (micro-batches) containing that key.
     "q_streaming_snapshot" -> s"$W SELECT * FROM agg",
     "q_statestore_query" -> s"$W SELECT * FROM agg",
+    "q_streaming_dedup_keys" -> s"$W SELECT DISTINCT symbol FROM txns",
     "q_streaming_key_query" -> s"$W SELECT * FROM agg WHERE symbol = 'U000007'",
     "q_streaming_filtered_range" ->
       s"$W SELECT * FROM agg WHERE symbol >= 'U000000' AND symbol <= 'U000099' AND buys > sells",

@@ -68,6 +68,7 @@ object StreamingState {
   // queries serve from the materialized changelog, as the reference's IQ
   // functions serve from the store rather than re-consuming the topic).
   private val completedRuns = new ConcurrentHashMap[String, String]()
+  private val dedupRuns = new ConcurrentHashMap[String, String]()
 
   private def workDir(sfDir: String): Path =
     Paths.get("target", "streamstate", sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
@@ -176,6 +177,39 @@ object StreamingState {
     changelog(spark, sfDir)
       .groupBy(col("key").as("symbol"))
       .agg(count(lit(1)).as("n_updates"))
+
+  /** Streaming exact dedup: `dropDuplicates` over the replayed stream with
+    * keyed first-seen state — each key is emitted exactly once, in the first
+    * micro-batch containing it (SURVEY §7.2 step 7's "watermarked streaming
+    * dedup"; this unwindowed form keeps state forever like the reference's
+    * aggregation — with an event-time column,
+    * `withWatermark + dropDuplicatesWithinWatermark` bounds it). Only the key
+    * column is exposed: WHICH duplicate row survives depends on intra-batch
+    * scheduling, but the key set is deterministic (oracle: SELECT DISTINCT).
+    */
+  def streamingDedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureRun(spark, sfDir) // stages the replay chunks
+    val out = dedupRuns.computeIfAbsent(sfDir, _ => {
+      val root = workDir(sfDir)
+      val outDir = root.resolve("dedup_out")
+      val query = spark.readStream
+        .schema(txnSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.resolve("staging").toString)
+        .dropDuplicates("symbol")
+        .select(col("symbol"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("dedup_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -65,6 +65,13 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(st.except(batchAgg).isEmpty && batchAgg.except(st).isEmpty)
   }
 
+  test("streaming dedup emits each key exactly once across all micro-batches") {
+    val keys = StreamingState.streamingDedupKeys(spark, sfDir)
+    val n = keys.count()
+    assert(n == keys.distinct().count(), "no key may be emitted twice")
+    assert(n == batchAgg.count(), "every key must be emitted once")
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
