@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * scheduler/GC noise, and a single sample made round-over-round numbers
   * incomparable (VERDICT r2). A failing query is recorded as an error and
   * fails the run (exit 1) — never silently counted as fast.
+  *
+  * Each pass forces FULL materialization of every output column via the noop
+  * sink — `count()` would let Catalyst prune the expensive projections out of
+  * the timed plan (a fingerprinting query timed with count() measures a row
+  * count, not fingerprinting).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,16 +32,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // warm-up: run everything once, untimed; remember failures
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
+      try force(fn(spark, sfDir))
       catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
     }
 
     val results = queries.collect { case (name, fn) if !errors.contains(name) =>
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { force(fn(spark, sfDir)) }
         catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
         (System.nanoTime() - t0) / 1e9
       }

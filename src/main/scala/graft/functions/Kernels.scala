@@ -1,0 +1,252 @@
+package graft.functions
+
+import java.util.{HashSet => JHashSet}
+
+import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass per-row kernels backing the native expressions in
+  * [[NativeExpressions]]. Spark's higher-order functions (`transform` /
+  * `aggregate` / `zip_with`) evaluate their lambda per element on the
+  * interpreted path — fine for cold columns, but 10–100× slower than a fused
+  * loop on hot kernels that run per candidate pair or per shingle. Each method
+  * here is called once per row from generated code (whole-stage codegen emits
+  * a single static-forwarder call), so the per-element work is a tight JIT'd
+  * loop with no per-element boxing or array allocation.
+  *
+  * Hash compatibility: everything hashes through [[XXH64]] with seed 42 —
+  * Spark's own `xxhash64` kernel — folding multi-argument hashes in argument
+  * order exactly as the `XxHash64` expression does. The fused forms are
+  * bit-identical to their Column-combinator equivalents (asserted by
+  * differential specs), so either path yields the same buckets, signatures,
+  * and scores.
+  */
+object Kernels {
+
+  private final val Seed = 42L
+
+  /** Distinct xxhash64 values of all word n-gram shingles of `text`, where
+    * tokens are the `split(text, " ")` slices. Consecutive tokens re-joined
+    * with single spaces are exactly the original byte range from the first
+    * token's start to the last token's end (empty tokens from repeated spaces
+    * included), so each shingle hash is computed directly over that byte
+    * slice of the input — no substring or join is ever materialized.
+    * Equals `transform(shingles(text, n), xxhash64)` up to 64-bit hash
+    * collisions (first-occurrence order, distinct values).
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    // token boundaries: starts[i], ends[i) over byte offsets
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (text.getByte(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = len
+
+    val nShingles = nTokens - n + 1
+    val seen = new JHashSet[java.lang.Long](nShingles * 2)
+    val out = new Array[Long](nShingles)
+    var k = 0
+    var s = 0
+    while (s < nShingles) {
+      val from = starts(s)
+      val until = ends(s + n - 1)
+      val h = XXH64.hashUnsafeBytes(base, off + from, until - from, Seed)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(if (k == nShingles) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  /** k-permutation MinHash signature over a shingle-hash array: entry j is
+    * `min over h of xxhash64(h, j)` (long then int folded, matching
+    * `xxhash64(col, lit(j))` on a long column and an int literal). Null-array
+    * semantics are handled by the expression; empty input yields an empty
+    * signature (callers filter empties first).
+    */
+  def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
+    val m = hashes.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val base = XXH64.hashLong(hashes.getLong(i), Seed)
+      var j = 0
+      while (j < k) {
+        val v = XXH64.hashInt(j, base)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** 64-bit SimHash over a shingle-hash array: bit b of the result is set iff
+    * strictly more elements have bit b set than clear. Bit-identical to the
+    * 64 per-bit `aggregate` votes in the Column form.
+    */
+  def simhash64(hashes: ArrayData): Long = {
+    val m = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** Dot product of two float arrays: element-wise double widening,
+    * accumulated left-to-right — bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) => x.cast(double)*y.cast(double)), 0.0, _+_)`.
+    */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val m = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < m) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Dot product of two double arrays, accumulated left-to-right. */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val m = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < m) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** All `tables` random-hyperplane LSH bucket keys of a float vector in one
+    * pass: bucket t packs `bits` sign bits, bit j = sign of
+    * sum_i v[i] * (+1 if xxhash64(t, j, i) even else -1) — the int-fold chain
+    * matching `xxhash64(lit(t), lit(j), i)` over int arguments.
+    */
+  def lshBuckets(v: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val m = v.numElements()
+    val vd = new Array[Double](m)
+    var i = 0
+    while (i < m) { vd(i) = v.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      val ht = XXH64.hashInt(t, Seed)
+      var key = 0
+      var j = 0
+      while (j < bits) {
+        val hj = XXH64.hashInt(j, ht)
+        var proj = 0.0
+        i = 0
+        while (i < m) {
+          val h = XXH64.hashInt(i, hj)
+          // pmod(h, 2) == 0  <=>  lowest bit clear (pmod result is 0 or 1)
+          proj += (if ((h & 1L) == 0L) vd(i) else -vd(i))
+          i += 1
+        }
+        if (proj >= 0) key |= (1 << j)
+        j += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Byte offset of each code-point start, plus a trailing `numBytes` entry —
+    * computed in one scan so n-gram extraction is O(len·n), not the O(len²)
+    * of per-gram `substringSQL` (which rescans from the string start).
+    */
+  private def codePointOffsets(text: UTF8String): Array[Int] = {
+    val len = text.numBytes()
+    var cp = 0
+    var i = 0
+    while (i < len) { if ((text.getByte(i) & 0xC0) != 0x80) cp += 1; i += 1 }
+    val offs = new Array[Int](cp + 1)
+    var j = 0
+    i = 0
+    while (i < len) {
+      if ((text.getByte(i) & 0xC0) != 0x80) { offs(j) = i; j += 1 }
+      i += 1
+    }
+    offs(cp) = len
+    offs
+  }
+
+  /** Distinct character n-grams (by code point) of `text`, first-occurrence
+    * order — equals `array_distinct(transform(sequence(1, len-(n-1)),
+    * i => substr(text, i, n)))` for texts of at least n code points, else
+    * empty.
+    */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val offs = codePointOffsets(text)
+    val cp = offs.length - 1
+    if (cp < n) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes // one copy; grams are zero-copy views into it
+    val count = cp - n + 1
+    val seen = new JHashSet[UTF8String](count * 2)
+    val out = new Array[Any](count)
+    var k = 0
+    var i = 0
+    while (i < count) {
+      val g = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      if (seen.add(g)) { out(k) = g; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (k == count) out else out.take(k))
+  }
+
+  /** Winnowing fingerprints (MOSS): distinct sliding-window (`w`) minima of
+    * the rolling k-gram xxhash64 sequence, first-occurrence order. Character
+    * k-grams are code-point substrings hashed over their UTF-8 bytes —
+    * bit-identical to `xxhash64(substr(text, i, k))`. Texts shorter than
+    * k + w - 1 code points yield an empty set.
+    */
+  def winnowingFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val offs = codePointOffsets(text)
+    val cp = offs.length - 1
+    if (cp < k + w - 1) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nGrams = cp - k + 1
+    val gh = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      gh(i) = XXH64.hashUnsafeBytes(base, off + offs(i), offs(i + k) - offs(i), Seed)
+      i += 1
+    }
+    val nWin = nGrams - w + 1
+    val seen = new JHashSet[java.lang.Long](nWin * 2)
+    val out = new Array[Long](nWin)
+    var m = 0
+    var j = 0
+    while (j < nWin) {
+      var mn = gh(j)
+      var x = j + 1
+      while (x < j + w) { if (gh(x) < mn) mn = gh(x); x += 1 }
+      if (seen.add(mn)) { out(m) = mn; m += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(if (m == nWin) out else java.util.Arrays.copyOf(out, m))
+  }
+}

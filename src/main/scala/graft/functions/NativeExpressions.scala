@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row kernels (backed by
+  * [[Kernels]]), with codegen — each compiles to a single static call inside
+  * whole-stage codegen instead of an interpreted higher-order-function lambda
+  * per element. Preference order per the Spark-first design: built-in
+  * functions where they're fast; a native `Expression` with `doGenCode` where
+  * the built-in path is interpreted (higher-order functions); UDFs never.
+  *
+  * Each expression is bit-compatible with a Column-combinator twin in
+  * `Dedup` / `Similarity` / `TextAnalysis` (differential-tested in
+  * `NativeKernelsSpec`), so the combinator form documents the semantics and
+  * the native form carries the hot path.
+  */
+object NativeExpressions {
+
+  private def kernels = "graft.functions.Kernels"
+
+  /** `array<bigint>` of distinct xxhash64 word-n-gram shingle hashes. */
+  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.shingleHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `array<bigint>` k-permutation MinHash signature of a hash array. */
+  case class MinHashSignatureExpr(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"signature length must be >= 1, got $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got ${t.sql}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhashSignature(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.minhashSignature($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `bigint` SimHash fingerprint of a hash array. */
+  case class SimHash64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got ${t.sql}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.simhash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `double` dot product of two float or two double arrays (element-wise
+    * double widening, left-to-right accumulation).
+    */
+  case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def elemType: Option[DataType] = (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) if a == b && (a == FloatType || a == DoubleType) =>
+        Some(a)
+      case _ => None
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elemType.isDefined) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected two array<float> or two array<double>, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    private def method: String =
+      if (elemType.contains(FloatType)) "dotFloat" else "dotDouble"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      if (elemType.contains(FloatType)) Kernels.dotFloat(x, y) else Kernels.dotDouble(x, y)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$kernels.$method($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `array<int>` of all random-hyperplane LSH bucket keys of a float vector. */
+  case class LshBucketsExpr(child: Expression, tables: Int, bits: Int) extends UnaryExpression {
+    require(tables >= 1 && bits >= 1 && bits <= 30, s"bad LSH shape ($tables tables, $bits bits)")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected array<float>, got ${t.sql}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.lshBuckets(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], tables, bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.lshBuckets($c, $tables, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `array<string>` of distinct character n-grams. */
+  case class CharNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.charNgrams(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.charNgrams($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `array<bigint>` of distinct winnowing fingerprints (k-gram size, window w). */
+  case class WinnowingExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    require(k >= 1 && w >= 1, s"bad winnowing shape (k=$k, w=$w)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.winnowingFingerprints(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.winnowingFingerprints($c, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------------ Column API
+
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(expr(text), n))
+
+  def minhashSignature(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignatureExpr(expr(hashes), k))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64Expr(expr(hashes)))
+
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotExpr(expr(a), expr(b)))
+
+  def lshBuckets(v: Column, tables: Int, bits: Int): Column =
+    ColumnBridge.column(LshBucketsExpr(expr(v), tables, bits))
+
+  def charNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramsExpr(expr(text), n))
+
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowingExpr(expr(text), k, w))
+}

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NativeExpressions
+
 /** Deduplication operators for a training-data pipeline — beyond-reference
   * extensions (SURVEY §2.5 north star) over the `documents` table.
   *
@@ -14,8 +16,12 @@ import org.apache.spark.sql.functions._
   *     sharing a bucket, and the exact similarity re-check runs on that
   *     candidate set alone.
   *
-  * All expressions are built-in codegen'd functions (split / transform /
-  * xxhash64 / aggregate) — no UDFs, so whole-stage codegen spans the hot path.
+  * The per-row kernels (shingle-hashing, minhash signatures, simhash votes)
+  * are native Catalyst expressions with codegen
+  * ([[graft.functions.NativeExpressions]]) — Spark's higher-order functions
+  * evaluate their lambdas interpreted per element, which dominated the profile
+  * at corpus scale. The Column-combinator twins remain here as the executable
+  * semantics (differential-tested against the native forms); no UDFs anywhere.
   */
 object Dedup {
 
@@ -46,19 +52,18 @@ object Dedup {
       .select(col("content_hash"), col("kept.*"))
   }
 
-  /** MinHash signature: for each of k hash permutations, the minimum
-    * `xxhash64(shingle, seed=j)` over the document's shingle set. Null for
-    * documents with no shingles.
+  /** MinHash signature, Column-combinator form: for each of k hash
+    * permutations, the minimum `xxhash64(h, j)` over a shingle-hash array.
+    * Null for documents with no shingles. This is the executable definition
+    * of the native `MinHashSignatureExpr` (bit-identical, differential-tested)
+    * — the hot path uses the native kernel.
     *
     * A note on expression structure, which dominates cost at scale: a Column
     * built from a reused Scala `val` DUPLICATES its expression tree at every
     * use site — there is no Catalyst-level sharing. Expensive derived arrays
     * must therefore be materialized as their own projection alias and
     * referenced as an attribute (CollapseProject deliberately refuses to
-    * inline non-cheap aliases referenced more than once). The k permutation
-    * minima here scan the shingle-hash attribute `hs`, built once per row by
-    * [[nearDuplicatePairs]]; permutations re-hash the 8-byte long, not the
-    * shingle string.
+    * inline non-cheap aliases referenced more than once).
     */
   def minhashSignatureFromHashes(hs: Column, k: Int): Column =
     when(size(hs) > 0,
@@ -101,13 +106,20 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(k % bandSize == 0, s"k=$k must be a multiple of bandSize=$bandSize")
     val nBands = k / bandSize
+    // Native one-pass kernels (graft.functions.Kernels) for the per-row hot
+    // path: shingle hashes straight off the text bytes, all k permutation
+    // minima in one scan. The exact-Jaccard re-check also runs on the hashed
+    // shingle SETS (array_intersect/array_union over longs — codegen'd,
+    // an order of magnitude cheaper than string-set operations); |A∩B|/|A∪B|
+    // over 64-bit hashes equals the string-shingle Jaccard unless two distinct
+    // shingles of the same pair collide (P < |A∪B|² / 2^64 ≈ 1e-14 per pair).
     val withShingles = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"),
+        NativeExpressions.shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
     val sigs = withShingles
-      .select(col("id"), col("sh"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-      .select(col("id"), col("sh"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+      .select(col("id"), NativeExpressions.minhashSignature(col("sh"), k).as("sig"))
 
     // one bucket key per band: hash of the band's r-minhash slice (+ band id
     // so equal slices in different bands stay distinct buckets)
@@ -148,10 +160,13 @@ object Dedup {
     * [[minhashSignatureFromHashes]]).
     */
   def simhash64(text: Column, n: Int = 3): Column =
-    fingerprintBits(transform(shingles(text, n), t => xxhash64(t)))
+    simhashFromHashes(transform(shingles(text, n), t => xxhash64(t)))
 
-  /** The 64 per-bit majority votes over a materialized hash-array column. */
-  private def fingerprintBits(hs: Column): Column = {
+  /** The 64 per-bit majority votes over a materialized hash-array column —
+    * the Column-combinator twin of the native `SimHash64Expr` kernel
+    * (differential-tested in NativeKernelsSpec).
+    */
+  def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 64).map { b =>
       val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -160,16 +175,16 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** (id, fp) simhash fingerprints with the shingle-hash array built once per
-    * row in its own projection, so the 64 vote aggregates scan a concrete
-    * long array instead of re-running tokenize→shingle→hash per bit.
+  /** (id, fp) simhash fingerprints via the native kernels: shingle hashes
+    * straight off the text bytes, then all 64 vote counters in one pass over
+    * the hash array.
     */
   def fingerprintDF(docs: DataFrame, n: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-      .select(col("id"), fingerprintBits(col("hs")).as("fp"))
+      .select(col(idCol).as("id"),
+        NativeExpressions.shingleHashes(col(textCol), n).as("hs"))
+      .select(col("id"), NativeExpressions.simhash64(col("hs")).as("fp"))
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming, with
     * band-join candidate generation: the 64-bit fingerprint splits into

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NativeExpressions
+
 /** Similarity search over an embedding column (`Array[Float]`) — beyond-
   * reference extension (SURVEY §2.5 north star) over the `embeddings` table.
   *
@@ -28,13 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated left-to-right in
-    * double.
+  /** Dot product of two float- or double-array columns, accumulated
+    * left-to-right in double — the native `VecDotExpr` kernel (the
+    * higher-order `aggregate(zip_with(...))` twin it is differential-tested
+    * against evaluates interpreted per element and dominated the all-pairs
+    * profile).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = NativeExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -77,38 +79,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Unit-normalized double vectors, norm computed ONCE per row in its own
-    * projection (a Column `val` reused across expressions would duplicate the
-    * norm subtree and re-evaluate it per use — Catalyst has no cross-use
-    * sharing for inline expressions, only for projection aliases).
-    */
-  def normalized(embeddings: DataFrame, idName: String, vName: String): DataFrame =
-    embeddings
-      .select(col("vec_id").as(idName), col("embedding").as("v"),
-        sqrt(aggregate(col("embedding"),
-          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
-      .select(col(idName), transform(col("v"), x => x.cast("double") / col("nrm")).as(vName))
-
   /** All pairs with cosine >= threshold — the exact ε-neighbor listing.
     * Inherently quadratic (no bucketing can be exact for arbitrary vectors);
-    * kept as the exactness baseline. Vectors are pre-normalized once per row,
-    * so each pair costs a single dot product instead of dot + two norms.
+    * kept as the exactness baseline. Norms are precomputed ONCE per row as a
+    * scalar, so each pair costs one native float dot + a division — and the
+    * cross join carries the original float arrays, not widened double copies
+    * (the join materializes both sides per pair; halving the array bytes
+    * halves that memcpy, which dominated after the dot went native).
     * Returns (vec_a, vec_b, score), a < b.
     */
   def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = normalized(embeddings, "vec_a", "na")
-    val b = normalized(embeddings, "vec_b", "nb")
-    a.crossJoin(b)
+    def side(idName: String, vName: String, nName: String) =
+      embeddings.select(col("vec_id").as(idName), col("embedding").as(vName),
+        sqrt(NativeExpressions.vecDot(col("embedding"), col("embedding"))).as(nName))
+    side("vec_a", "va", "na").crossJoin(side("vec_b", "vb", "nb"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(aggregate(zip_with(col("na"), col("nb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x), 6).as("score"))
+        round(NativeExpressions.vecDot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6).as("score"))
       .filter(col("score") >= threshold)
   }
 
-  /** LSH bucket key for one hash table: `bits` random-hyperplane sign bits.
-    * Hyperplane (table, j)'s i-th component is ±1 derived from
-    * xxhash64(table, j, i) — deterministic, no stored model.
+  /** LSH bucket key for one hash table, Column-combinator form: `bits`
+    * random-hyperplane sign bits; hyperplane (table, j)'s i-th component is
+    * ±1 derived from xxhash64(table, j, i) — deterministic, no stored model.
+    * Executable twin of the native `LshBucketsExpr` (which computes every
+    * table's key in one pass); differential-tested in NativeKernelsSpec.
     */
   def lshBucket(v: Column, table: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { j =>
@@ -135,8 +131,8 @@ object Similarity {
       bits: Int = 6): DataFrame = {
     def bucketed(df: DataFrame, idName: String, vName: String): DataFrame =
       df.select(col(idName), col(vName),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col(vName), t, bits)): _*)).as(Seq("tbl", "bkt")))
+        posexplode(NativeExpressions.lshBuckets(col(vName), tables, bits))
+          .as(Seq("tbl", "bkt")))
 
     val corpus = bucketed(
       embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NativeExpressions
+
 /** Text-analysis operators for a training-data pipeline — beyond-reference
   * extensions (SURVEY §2.5 north star) over the `documents` table: per-doc
   * quality stats, corpus term frequencies, regex (BPE-ish) token counting,
@@ -53,7 +55,10 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
-  /** Character n-grams of a text column (default trigrams). */
+  /** Character n-grams of a text column (default trigrams) —
+    * Column-combinator twin of the native `CharNgramsExpr` kernel
+    * (differential-tested); the scoring paths use the native form.
+    */
   def charNgrams(text: Column, n: Int = 3): Column =
     when(length(text) >= n,
       array_distinct(transform(
@@ -61,42 +66,74 @@ object TextAnalysis {
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** N-gram-profile language identification.
+  /** N-gram-profile language identification — classic Cavnar–Trenkle, split
+    * into its natural train/score phases.
     *
-    * Profiles: the `profileSize` most frequent character trigrams per
-    * language, trained from a labeled corpus (here: the documents table's own
-    * `lang` column) — a classic Cavnar–Trenkle-style profile, built with one
-    * explode + hash-aggregate + per-language top-k.
+    * Train ([[trainLanguageProfiles]]): the `profileSize` most frequent
+    * character trigrams per language from a labeled corpus — one explode +
+    * hash-aggregate + per-language top-k, collected to the driver. The
+    * profile is a bounded model artifact (languages × profileSize strings),
+    * trained once and reused — like any model, not recomputed per scoring
+    * query.
     *
-    * Scoring: each document's distinct trigrams equi-join the (broadcast)
-    * profile table; the predicted language is the one sharing the most
-    * trigrams, ties broken deterministically by greatest language code.
+    * Score ([[languageId]]): per document, matched(lang) = |distinct doc
+    * trigrams ∩ profile(lang)| via `array_intersect` against the literal
+    * profile arrays; predicted language = argmax, ties broken
+    * deterministically by greatest language code; documents matching no
+    * profile trigram are dropped (the join form never emitted them). A pure
+    * map-side projection — no explode, no join, no shuffle — so scoring
+    * scales embarrassingly at 100 TB, where the previous explode +
+    * broadcast-join shape pushed docs × trigrams rows through two extra
+    * aggregations to compute the same counts.
+    *
     * Returns (doc_id, predicted_lang, matched_ngrams).
-    *
-    * The profile table is tiny (languages × profileSize) — broadcast — so
-    * scoring is one map-side join + one hash-aggregate keyed by doc.
     */
-  def languageId(docs: DataFrame, labeled: DataFrame, profileSize: Int = 50): DataFrame = {
+  def languageId(docs: DataFrame, profiles: Seq[(String, Seq[String])]): DataFrame = {
+    require(profiles.nonEmpty, "empty language profile set")
+    val scored = array(profiles.map { case (lang, tgs) =>
+      struct(
+        size(array_intersect(col("grams"), lit(tgs.toArray))).as("matched"),
+        lit(lang).as("cand_lang"))
+    }: _*)
+    docs
+      // grams in their own projection: a reused Column val would duplicate
+      // the kernel per language (no cross-use sharing for inline expressions)
+      .select(col("doc_id"), NativeExpressions.charNgrams(col("text"), 3).as("grams"))
+      .select(col("doc_id"), array_max(scored).as("best"))
+      .select(col("doc_id"), col("best.cand_lang").as("predicted_lang"),
+        col("best.matched").cast("long").as("matched_ngrams"))
+      .filter(col("matched_ngrams") > 0)
+  }
+
+  /** Convenience overload: train on `labeled`, then score `docs`. */
+  def languageId(docs: DataFrame, labeled: DataFrame, profileSize: Int): DataFrame =
+    languageId(docs, trainLanguageProfiles(labeled, profileSize))
+
+  def languageId(docs: DataFrame, labeled: DataFrame): DataFrame =
+    languageId(docs, labeled, 50)
+
+  /** Train per-language trigram profiles (see [[languageId]]): the
+    * `profileSize` most frequent trigrams per language, ties broken by
+    * trigram; languages sorted for determinism (profile-set order does not
+    * affect scoring).
+    */
+  def trainLanguageProfiles(
+      labeled: DataFrame, profileSize: Int = 50): Seq[(String, Seq[String])] = {
     import org.apache.spark.sql.expressions.Window
     val grams = labeled
-      .select(col("lang"), explode(charNgrams(col("text"))).as("tg"))
+      .select(col("lang"), explode(NativeExpressions.charNgrams(col("text"), 3)).as("tg"))
       .groupBy("lang", "tg").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tg").asc)
-    val profiles = grams
+    grams
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= profileSize)
-      .select(col("lang").as("cand_lang"), col("tg"))
-
-    val docGrams = docs.select(col("doc_id"), explode(charNgrams(col("text"))).as("tg"))
-    docGrams
-      .join(broadcast(profiles), "tg")
-      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("matched"))
-      .groupBy("doc_id")
-      .agg(max_by(struct(col("cand_lang"), col("matched")),
-        struct(col("matched"), col("cand_lang"))).as("best"))
-      .select(col("doc_id"), col("best.cand_lang").as("predicted_lang"),
-        col("best.matched").as("matched_ngrams"))
+      .groupBy("lang").agg(sort_array(collect_list(col("tg"))).as("tgs"))
+      .orderBy("lang")
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .toSeq
   }
+
 
   /** Winnowing document fingerprints (rolling-hash k-grams + sliding-window
     * minima — the MOSS scheme): every window of `w` consecutive k-gram hashes
@@ -108,14 +145,17 @@ object TextAnalysis {
     * work only, no shuffle.
     */
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val fps = fingerprintSet(col("text"), k, w)
+    val fps = NativeExpressions.winnowingFingerprints(col("text"), k, w)
     docs.select(
       col("doc_id"),
       size(fps).as("n_fingerprints"),
       array_min(fps).as("min_fingerprint"))
   }
 
-  /** The distinct winnowing fingerprint set of a text column. */
+  /** The distinct winnowing fingerprint set of a text column —
+    * Column-combinator twin of the native `WinnowingExpr` kernel
+    * (differential-tested in NativeKernelsSpec).
+    */
   def fingerprintSet(text: Column, k: Int = 8, w: Int = 4): Column = {
     val kgramHashes = transform(
       sequence(lit(1), length(text) - (k - 1)),
