@@ -2,11 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. One untimed warm-up pass over every query (absorbs JVM /
-  * codegen / parquet-footer warm-up), then THREE timed passes per query with
-  * the median reported — sub-second workloads on local[N] are dominated by
-  * scheduler/GC noise, and a single sample made round-over-round numbers
-  * incomparable (VERDICT r2). A failing query is recorded as an error and
-  * fails the run (exit 1) — never silently counted as fast.
+  * codegen / parquet-footer warm-up), then FIVE timed passes per query with
+  * the median reported, a System.gc() before each query's block so one
+  * query's garbage isn't billed to the next — sub-second workloads on
+  * local[N] are dominated by scheduler/GC/JIT noise, and a single sample made
+  * round-over-round numbers incomparable (VERDICT r2). A failing query is
+  * recorded as an error and fails the run (exit 1) — never silently counted
+  * as fast.
   *
   * Each pass forces FULL materialization of every output column via the noop
   * sink — `count()` would let Catalyst prune the expensive projections out of
@@ -42,13 +44,14 @@ object Bench {
     }
 
     val results = queries.collect { case (name, fn) if !errors.contains(name) =>
-      val samples = (1 to 3).map { _ =>
+      System.gc()
+      val samples = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) }
         catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> samples.sorted.apply(1) // median of 3
+      name -> samples.sorted.apply(2) // median of 5
     }.filter { case (name, _) => !errors.contains(name) }
 
     def q(s: String): String =

@@ -34,6 +34,10 @@ object SparkEntry {
   private val langProfiles =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Seq[String])]]()
 
+  /** IVF centroids — a trained model artifact, built once per corpus. */
+  private val ivfCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
   private def windowedAgg(s: SparkSession, dir: String): DataFrame = {
     val w = StockAggregation.aggregateWindowed(txnsTs(s, dir), "1 hour")
     w.select(
@@ -148,6 +152,10 @@ object SparkEntry {
         StreamingState.snapshot(s, dir), Some("U000000"), Some("U000099"), "@.buys > @.sells")),
     // ---- Streaming exact dedup: first-seen-per-key state over the replay
     "q_streaming_dedup_keys" -> ((s, dir) => StreamingState.streamingDedupKeys(s, dir)),
+    // ---- Watermarked event-time windowed streaming agg: bounded state via
+    //      withWatermark; time-ordered replay makes it lossless, so the final
+    //      snapshot equals the batch windowed aggregate exactly.
+    "q_streaming_window_agg" -> ((s, dir) => StreamingState.windowedSnapshot(s, dir)),
     // ---- Beyond-reference (north star): dedup over `documents` -----------
     // exact dedup: hash-groupBy on content hash, deterministic survivor
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -171,6 +179,15 @@ object SparkEntry {
     // so rows-only here; recall vs brute force is pinned in SimilaritySpec
     "q_similarity_ann" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+    // IVF ANN: k-means cells (trained once per corpus, cached like the lang
+    // profiles) + nprobe cell probing + exact re-rank — the data-adaptive
+    // scale path next to the data-oblivious LSH; rows-only, recall pinned in
+    // SimilaritySpec
+    "q_similarity_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb)))
+    }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
     "q_text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), k = 20)),
@@ -242,6 +259,7 @@ object SparkEntry {
          |  SELECT concat('U', lpad(CAST(generate_series AS VARCHAR), 6, '0'))
          |  FROM generate_series(0, 998, 2))""".stripMargin,
     "q_window_agg" -> s"$WW SELECT * FROM wagg",
+    "q_streaming_window_agg" -> s"$WW SELECT * FROM wagg",
     "q_window_range" ->
       s"$WW SELECT * FROM wagg WHERE buys > sells AND window_start_s >= 1704153600 AND window_start_s < 1704240000",
     "q_serde_vat_roundtrip" ->

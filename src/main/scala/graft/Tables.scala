@@ -96,6 +96,15 @@ object Tables {
   def transactionsChunked(spark: SparkSession, dir: String, nChunks: Int): DataFrame =
     events(spark, dir).select(txnCols :+ (col("event_id") % nChunks).cast("int").as("chunk"): _*)
 
+  /** [[transactionsChunked]] with the event timestamp retained — the
+    * OUT-OF-ORDER (round-robin) replay for event-time queries: every chunk
+    * spans the full time range, so most rows in batches 2+ arrive behind the
+    * watermark. Used to prove late-data dropping.
+    */
+  def transactionsChunkedTs(spark: SparkSession, dir: String, nChunks: Int): DataFrame =
+    events(spark, dir).select(
+      col("ts") +: txnCols :+ (col("event_id") % nChunks).cast("int").as("chunk"): _*)
+
   /** DuckDB-SQL twin of [[transactionsChunked]], as a CTE body. */
   def txnsChunkCte(nChunks: Int): String =
     s"""SELECT concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
@@ -104,6 +113,21 @@ object Tables {
        |       CAST(event_id % 1000 + 1 AS INT) AS number_shares,
        |       CAST(event_id % $nChunks AS INT) AS chunk
        |FROM events""".stripMargin
+
+  /** Txn stream with ts retained and a TIME-ORDERED chunk id (`ntile` over
+    * event time, ties broken by event_id): chunk i+1's minimum ts is >= chunk
+    * i's maximum, so a replay staged from these chunks is watermark-lossless
+    * — late data within a micro-batch never crosses a batch boundary
+    * backwards. Used by the watermarked streaming windowed aggregation.
+    * The global sort happens once at staging time, not on the query path.
+    */
+  def transactionsTimeChunked(spark: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events(spark, dir).select(
+      col("ts") +: txnCols :+
+        (ntile(nChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+          .cast("int").as("chunk"): _*)
+  }
 
   /** The DuckDB-SQL twin of [[transactionsWithTs]], as a CTE body. */
   val txnsTsCte: String =

@@ -100,6 +100,89 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** Train IVF (inverted-file) centroids: Lloyd's k-means over the corpus,
+    * deterministic end-to-end — seeds are the k lowest-vec_id vectors, and
+    * per-dimension means accumulate in DECIMAL so the result is independent
+    * of partition/add order (double summation would drift in the last ulp
+    * between runs and partitionings, making trained cells run-dependent).
+    *
+    * The centroid set is a bounded model artifact (k × dim), trained once per
+    * corpus and reused — at 100 TB one trains on a sample; each Lloyd
+    * iteration is one broadcast-assign map + one hash-aggregate (no joins).
+    */
+  def trainIvfCentroids(
+      embeddings: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    var centroids: Array[Array[Float]] = embeddings
+      .orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = embeddings.select(
+        col("embedding"),
+        nearestCell(col("embedding"), centroids).as("cell"))
+      val means = assigned
+        .groupBy("cell")
+        .agg(array((0 until dim).map { i =>
+          (sum(col("embedding")(i).cast("decimal(27,10)")) / count(lit(1)))
+            .cast("float")
+        }: _*).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      // empty cells keep their previous centroid
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+    centroids
+  }
+
+  /** Cell id of the nearest centroid by squared L2 distance —
+    * argmin_c (|c|² − 2·v·c), ties to the lowest cell id. One native dot per
+    * centroid; the |v|² term is constant per row and omitted.
+    */
+  private def nearestCell(v: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = typedlit(c)
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(c2) - lit(2.0) * NativeExpressions.vecDot(v, cLit)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    array_min(scored).getField("cell")
+  }
+
+  /** IVF approximate top-k: corpus vectors are assigned to their nearest
+    * trained centroid's cell (broadcast literal centroids, map-side);
+    * each query probes its `nprobe` nearest cells; candidates = corpus
+    * vectors in probed cells (equi-join on cell id — never all-pairs),
+    * re-ranked with exact cosine, bounded top-k. The data-adaptive
+    * counterpart of the data-oblivious hyperplane LSH in [[annTopK]].
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      centroids: Array[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      nearestCell(col("embedding"), centroids).as("cell"))
+    val probed = slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(c2) - lit(2.0) * NativeExpressions.vecDot(col("qv"), typedlit(c))).as("d"),
+        lit(i).as("cell"))
+    }: _*)), 1, nprobe)
+    val queries = broadcast(
+      embeddings.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .select(col("query_id"), col("qv"),
+          explode(probed).as("probe"))
+        .select(col("query_id"), col("qv"), col("probe.cell").as("cell")))
+    val scored = corpus.join(queries, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("nv"), col("qv")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH bucket key for one hash table, Column-combinator form: `bits`
     * random-hyperplane sign bits; hyperplane (table, j)'s i-th component is
     * ±1 derived from xxhash64(table, j, i) — deterministic, no stored model.

@@ -69,6 +69,7 @@ object StreamingState {
   // functions serve from the store rather than re-consuming the topic).
   private val completedRuns = new ConcurrentHashMap[String, String]()
   private val dedupRuns = new ConcurrentHashMap[String, String]()
+  private val windowedRuns = new ConcurrentHashMap[String, String]()
 
   private def workDir(sfDir: String): Path =
     Paths.get("target", "streamstate", sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
@@ -90,17 +91,7 @@ object StreamingState {
 
     // Stage: one parquet file per chunk, so maxFilesPerTrigger=1 replays the
     // events as NumChunks deterministic micro-batches.
-    val txns = Tables.transactionsChunked(spark, sfDir, NumChunks)
-    (0 until NumChunks).foreach { i =>
-      val tmp = root.resolve(s"_stage_$i")
-      txns.filter(col("chunk") === i).drop("chunk")
-        .coalesce(1).write.parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
-      Files.move(part, staging.resolve(f"chunk_$i%02d.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(tmp)
-    }
+    stageChunks(Tables.transactionsChunked(spark, sfDir, NumChunks), root, staging)
 
     // RocksDB state store — the reference's store engine. Scoped to this
     // session's streaming queries; harmless for batch plans.
@@ -210,6 +201,94 @@ object StreamingState {
     })
     spark.read.parquet(out)
   }
+
+  /** Watermarked event-time windowed streaming aggregation — the Structured
+    * Streaming capability the unwindowed twin doesn't exercise: `withWatermark`
+    * bounds the window state (windows older than the watermark are evicted,
+    * and later-arriving rows for them are dropped), which is what keeps a
+    * windowed aggregation viable over an unbounded stream at 100 TB — the
+    * unwindowed aggregate keeps one row per key forever (like the reference),
+    * but per-(window, key) state without eviction grows with time.
+    *
+    * The replay is staged in TIME-ORDERED chunks
+    * ([[Tables.transactionsTimeChunked]]), so no event ever arrives in a
+    * later micro-batch than a newer event — the watermark drops nothing and
+    * the final snapshot equals the batch windowed aggregate EXACTLY
+    * (oracle-checked). `StreamingStateSpec` pins the complementary semantics:
+    * the same watermark over the OUT-OF-ORDER (round-robin) replay does drop
+    * late rows.
+    *
+    * @param watermarkDelay watermark delay for the `ts` column
+    */
+  def windowedSnapshot(
+      spark: SparkSession, sfDir: String,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val out = windowedRuns.computeIfAbsent(sfDir, _ => {
+      val root = workDir(sfDir).resolve("windowed")
+      deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val txns = Tables.transactionsTimeChunked(spark, sfDir, NumChunks)
+      stageChunks(txns, root, staging)
+      runWindowed(spark, root, staging, windowDuration, watermarkDelay)
+    })
+    spark.read.parquet(out)
+      .groupBy(col("window_start_s"), col("symbol"))
+      .agg(
+        max_by(col("buys"), col("batch_id")).as("buys"),
+        max_by(col("sells"), col("batch_id")).as("sells"),
+        max_by(col("number_shares"), col("batch_id")).as("number_shares"))
+  }
+
+  /** Run the watermarked windowed aggregation over an already-staged replay
+    * directory and return the changelog path. Exposed (package-tested) so the
+    * spec can drive it over the OUT-OF-ORDER staging to prove late-data
+    * dropping; [[windowedSnapshot]] drives it over the time-ordered staging.
+    */
+  private[graft] def runWindowed(
+      spark: SparkSession, root: Path, staging: Path,
+      windowDuration: String, watermarkDelay: String): String = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val source = spark.readStream
+      .schema(StructType(StructField("ts", TimestampType) +: txnSchema.fields))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging.toString)
+    val agg = StockAggregation
+      .aggregateWindowed(source.withWatermark("ts", watermarkDelay), windowDuration)
+      .select(
+        unix_timestamp(col("window_start")).as("window_start_s"),
+        col("symbol"), col("buys"), col("sells"), col("number_shares"))
+    val changelog = root.resolve("changelog").toString
+    val query = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", root.resolve("checkpoint").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(changelog)
+      }
+      .start()
+    query.awaitTermination()
+    changelog
+  }
+
+  /** Stage one parquet file per chunk value of `txns` (chunk column dropped)
+    * into `staging`, so `maxFilesPerTrigger=1` replays them as deterministic
+    * micro-batches in chunk order.
+    */
+  private[graft] def stageChunks(txns: DataFrame, root: Path, staging: Path): Unit =
+    (0 until NumChunks).foreach { i =>
+      val tmp = root.resolve(s"_stage_$i")
+      txns.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      Files.move(part, staging.resolve(f"chunk_$i%02d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(tmp)
+    }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

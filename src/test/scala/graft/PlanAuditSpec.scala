@@ -35,7 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // rows-only entries are the hash-based/approximate ops, by design
     val rowsOnly = q -- o
     val expectedRowsOnly = Set(
-      "q_dedup_simhash", "q_similarity_ann", "q_text_langid",
+      "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf", "q_text_langid",
       "q_text_fingerprint", "q_multimodal_frames", "q_multimodal_decode")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries (add an oracle or whitelist deliberately): ${rowsOnly -- expectedRowsOnly}")

@@ -71,6 +71,62 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall $recall should beat random-candidate baseline $candidateFraction")
   }
 
+  test("ivf: clustered corpus -> perfect recall within probed cells, no cartesian") {
+    // Construct a corpus with REAL cluster structure (IVF's home turf): 4
+    // well-separated directions, 12 points each with small deterministic
+    // jitter on the remaining axes.
+    val dirs = Seq(
+      Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f), Seq(0f, 0f, 0f, 10f))
+    val rows = for {
+      (d, c) <- dirs.zipWithIndex
+      j <- 0 until 12
+    } yield ((c * 12 + j).toLong,
+      d.zipWithIndex.map { case (x, i) => x + 0.1f * ((j + i) % 3) })
+    val df = vecs(rows: _*)
+    val centroids = Similarity.trainIvfCentroids(df, k = 4, iters = 5)
+
+    val ivf = Similarity.ivfTopK(df, Seq(0L, 12L, 24L, 36L), k = 5, centroids, nprobe = 1)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs join in IVF plan:\n$plan")
+
+    val brute = Similarity.bruteForceTopK(df, Seq(0L, 12L, 24L, 36L), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // top-5 neighbors of a cluster member are inside its own cluster, and
+    // nprobe=1 probes exactly that cell -> recall 1.0
+    assert(approx == brute, s"clustered IVF must find the exact top-k")
+  }
+
+  test("ivf on the real corpus: candidates are cell-bounded, recall beats candidate fraction") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val centroids = Similarity.trainIvfCentroids(emb, k = 16, iters = 3)
+    val ivf = Similarity.ivfTopK(emb, queryIds, k = 10, centroids, nprobe = 4)
+
+    val brute = Similarity.bruteForceTopK(emb, queryIds, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+
+    val n = emb.count()
+    val candidates = Similarity.ivfTopK(emb, queryIds, k = n.toInt, centroids, nprobe = 4).count()
+    assert(candidates < queryIds.size * (n - 1),
+      s"IVF candidates ($candidates) must be smaller than all pairs")
+    val candidateFraction = candidates.toDouble / (queryIds.size * (n - 1))
+    assert(recall > candidateFraction + 0.1,
+      s"recall $recall should beat random-candidate baseline $candidateFraction")
+  }
+
+  test("ivf centroid training is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.trainIvfCentroids(emb.repartition(7), k = 8, iters = 2)
+    val b = Similarity.trainIvfCentroids(emb.repartition(3), k = 8, iters = 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "decimal accumulation must make centroids partitioning-independent")
+  }
+
   test("cosine pairs at threshold lists exactly the brute-force pairs") {
     val df = vecs(
       (0L, Seq(1f, 0f, 0f)), (1L, Seq(1f, 0.1f, 0f)),

@@ -72,6 +72,38 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(n == batchAgg.count(), "every key must be emitted once")
   }
 
+  test("watermarked windowed streaming agg over time-ordered replay equals batch windowed agg") {
+    val streamed = StreamingState.windowedSnapshot(spark, sfDir)
+    val batch = StockAggregation
+      .aggregateWindowed(Tables.transactionsWithTs(spark, sfDir), "1 hour")
+      .select(unix_timestamp(col("window_start")).as("window_start_s"),
+        col("symbol"), col("buys"), col("sells"), col("number_shares"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("the watermark is real: out-of-order replay with a tight watermark drops late rows") {
+    // Reuse the round-robin (event_id % N) staging: every chunk spans the full
+    // time range, so from micro-batch 2 on, almost every row is older than
+    // (max ts seen - 0s) and must be dropped by the watermark.
+    val root = java.nio.file.Paths.get("target", "streamstate", "spec_ooo").toAbsolutePath
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    val staging = root.resolve("staging")
+    java.nio.file.Files.createDirectories(staging)
+    StreamingState.stageChunks(
+      Tables.transactionsChunkedTs(spark, sfDir, StreamingState.NumChunks), root, staging)
+    val out = StreamingState.runWindowed(spark, root, staging, "1 hour", "0 seconds")
+    val finalShares = spark.read.parquet(out)
+      .groupBy("window_start_s", "symbol")
+      .agg(max_by(col("number_shares"), col("batch_id")).as("number_shares"))
+      .agg(sum("number_shares")).head().getLong(0)
+    val batchShares = StockAggregation
+      .aggregateWindowed(Tables.transactionsWithTs(spark, sfDir), "1 hour")
+      .agg(sum("number_shares")).head().getLong(0)
+    assert(finalShares < batchShares,
+      s"tight watermark over out-of-order replay must drop rows ($finalShares vs $batchShares)")
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
