@@ -60,6 +60,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1/A2: the maintained aggregation (KafkaStreamsService.java:62-90)
     "q_aggregate" -> ((s, dir) => agg(s, dir)),
+    // ---- A2 skew path: salted two-stage aggregate — exactly equal by
+    //      decimal associativity, shuffle-safe under a dominant hot key
+    "q_aggregate_salted" -> ((s, dir) => StockAggregation.aggregateSalted(txns(s, dir))),
     // ---- Q1: KeyQuery point lookup (StockController.java:186-206)
     "q_key_query" -> ((s, dir) => InteractiveQueries.keyQuery(state(s, dir), "U000007")),
     // ---- Q2: MultiKeyQuery (query/MultiKeyQuery.java:9-51)
@@ -163,6 +166,12 @@ object SparkEntry {
     // output is exactly the pairs with jaccard >= 0.7 (oracle: brute force)
     "q_dedup_near" -> ((s, dir) =>
       Dedup.nearDuplicatePairs(Tables.documents(s, dir), n = 3, threshold = 0.7)),
+    // near-dup survivor selection: connected components of the pair graph by
+    // min-label propagation; canonical_id == doc_id picks the kept row
+    "q_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDedupLabels(docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7))
+    }),
     // simhash near-dup: banded fingerprint join (pigeonhole-complete recall);
     // xxhash64-based fingerprint is not SQL-expressible → rows-only check,
     // semantics pinned by DedupSpec instead
@@ -240,8 +249,25 @@ object SparkEntry {
       | * sqrt(list_sum(list_transform(range(1, len(qv)+1),
       |                                i -> qv[i]::DOUBLE * qv[i]::DOUBLE))))""".stripMargin
 
+  /** Near-dup oracle pieces, shared by q_dedup_near and q_dedup_survivors. */
+  private val dedupShCte: String =
+    """SELECT doc_id,
+      |  list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+      |                 for i in range(1, len(string_split(text,' ')) - 1)]) AS ss
+      |FROM documents
+      |WHERE len(string_split(text,' ')) >= 3""".stripMargin
+
+  private val dedupNearBody: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       len(list_intersect(a.ss, b.ss))::DOUBLE
+      |         / len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+      |        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_aggregate" -> s"$W SELECT * FROM agg",
+    "q_aggregate_salted" -> s"$W SELECT * FROM agg",
     "q_key_query" -> s"$W SELECT * FROM agg WHERE symbol = 'U000007'",
     "q_multi_key" -> s"$W SELECT * FROM agg WHERE symbol IN ('U000003','U000007','U000011')",
     "q_range_both" -> s"$W SELECT * FROM agg WHERE symbol >= 'U000004' AND symbol <= 'U000009'",
@@ -298,19 +324,22 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |      FROM documents)
         |WHERE rn = 1""".stripMargin,
-    "q_dedup_near" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
-        |                   for i in range(1, len(string_split(text,' ')) - 1)]) AS ss
-        |  FROM documents
-        |  WHERE len(string_split(text,' ')) >= 3)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       len(list_intersect(a.ss, b.ss))::DOUBLE
-        |         / len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
-        |        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7""".stripMargin,
+    "q_dedup_near" -> s"WITH sh AS ($dedupShCte) $dedupNearBody",
+    // survivors: transitive closure of the near-dup graph (fine at oracle
+    // scale; the engine's label propagation never materializes it)
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE sh AS ($dedupShCte),
+         |pairs AS ($dedupNearBody),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         |canon AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |       least(d.doc_id, coalesce(c.mn, d.doc_id)) AS canonical_id
+         |FROM documents d LEFT JOIN canon c USING (doc_id)""".stripMargin,
     // Similarity: explicit element-wise double dot products so the float→
     // double widening and accumulation match the engine's zip_with/aggregate;
     // scores rounded to 6 dp on both sides before ranking/thresholding.

@@ -145,6 +145,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Canonical-id labeling of the near-duplicate graph: every document gets
+    * the MINIMUM doc id reachable through near-duplicate pairs (connected
+    * components via min-label propagation), so "keep one per near-dup
+    * cluster" = keep rows where doc_id == canonical_id. This is the actual
+    * dedup operation a training pipeline runs on the pair list — pairs alone
+    * under-delete when A~B and B~C but A!~C.
+    *
+    * Distributed shape: iterative label propagation — per round, each node
+    * takes the min of its own label and its neighbors' labels (one join +
+    * one hash-aggregate), converging in graph-diameter rounds; near-dup
+    * components are shallow in practice (duplicates of a common source).
+    * Convergence is detected by the (monotonically decreasing) label sum;
+    * lineage is cut per round with localCheckpoint, the standard Spark
+    * pattern for iterative graph algorithms. Never materializes the
+    * transitive closure — the DuckDB oracle does, which is fine at oracle
+    * scale and would be wrong at 100 TB.
+    *
+    * Returns (doc_id, canonical_id) for EVERY document (singletons map to
+    * themselves).
+    */
+  def nearDedupLabels(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIterations: Int = 50,
+      idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val msgs = edges.join(labels, edges("u") === labels("id"))
+        .select(col("v").as("id"), col("lbl"))
+      labels = labels.union(msgs)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = labels.agg(sum(col("lbl"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIterations rounds")
+    labels.select(col("id").as(idCol), col("lbl").as("canonical_id"))
+  }
+
   /** 64-bit SimHash over the document's word-3-gram shingles: bit b of the
     * fingerprint is the sign of sum over shingles of (+1 if bit b of
     * xxhash64(shingle) else -1). Shingles, not unigram tokens: on corpora

@@ -69,6 +69,35 @@ object StockAggregation {
       sum(col("number_shares")).over(w).as("number_shares"))
   }
 
+  /** Skew-safe two-stage variant of [[aggregate]]: pre-aggregate on
+    * (symbol, salt) with a deterministic per-row salt, then combine per
+    * symbol. When one key dominates the input (a hot ticker at 100 TB), the
+    * single-stage plan sends that key's entire partial-row set to one
+    * reducer; salting fans the heavy key across `saltBuckets` reducers and
+    * the second (tiny) aggregate combines the bucket partials. Decimal
+    * accumulation is associative/commutative, so the result is EXACTLY
+    * [[aggregate]] — oracle-verified against the same SQL twin.
+    *
+    * The salt is `crc32(concat(amount, number_shares)) % saltBuckets` —
+    * deterministic per row (no rand(): identical results on retry/replay),
+    * spread by the value columns.
+    */
+  def aggregateSalted(txns: DataFrame, saltBuckets: Int = 16): DataFrame =
+    txns
+      .withColumn("salt",
+        pmod(crc32(concat(col("amount").cast("string"),
+          col("number_shares").cast("string"))), lit(saltBuckets)))
+      .groupBy(col("symbol"), col("salt"))
+      .agg(
+        sum(when(col("buy"), col("amount")).otherwise(lit(0)).cast("decimal(18,2)")).as("b"),
+        sum(when(!col("buy"), col("amount")).otherwise(lit(0)).cast("decimal(18,2)")).as("s"),
+        sum(col("number_shares")).as("n"))
+      .groupBy(col("symbol"))
+      .agg(
+        sum(col("b")).cast("double").as("buys"),
+        sum(col("s")).cast("double").as("sells"),
+        sum(col("n")).as("number_shares"))
+
   /** Event-time tumbling-window variant — realizes the reference's declared
     * but never-executed `FilteredWindowRangeQuery` intent (Q5,
     * `query/FilteredWindowRangeQuery.java:11-74`; dispatch gap

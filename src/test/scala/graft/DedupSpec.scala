@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, StockAggregation}
 
 /** Dedup semantics on constructed corpora (the synthetic documents table has
   * no exact duplicates, so exact-dup behavior needs fixtures) plus the LSH
@@ -62,6 +62,39 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"all-pairs join in plan:\n$plan")
     assert(pairs.count() <= n * 4, "near-dup output should be sparse")
+  }
+
+  test("near-dedup labels: transitive chains collapse to one canonical id") {
+    // A~B and B~C but A!~C must still land in one cluster (the under-delete
+    // case pair-listing alone misses); D is a singleton.
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.95))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    val labels = Dedup.nearDedupLabels(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("near-dedup labels: long chain converges (diameter > 2)") {
+    val chain = (1L until 9L).map(i => (i, i + 1, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    val docs = (1L to 9L).toDF("doc_id")
+    val labels = Dedup.nearDedupLabels(docs, chain).as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L), "whole chain must collapse to doc 1")
+  }
+
+  test("near-dedup labels: empty pair set maps every doc to itself") {
+    val docs = Seq(5L, 6L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    val labels = Dedup.nearDedupLabels(docs, empty).as[(Long, Long)].collect().toMap
+    assert(labels == Map(5L -> 5L, 6L -> 6L))
+  }
+
+  test("salted aggregate equals the plain aggregate exactly") {
+    val txns = Tables.transactions(spark, sfDir)
+    val plain = StockAggregation.aggregate(txns)
+    val salted = StockAggregation.aggregateSalted(txns, saltBuckets = 16)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
   test("simhash: identical docs collide, near docs within hamming 3, far docs beyond") {
