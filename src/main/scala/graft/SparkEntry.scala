@@ -130,6 +130,10 @@ object SparkEntry {
       StockAggregation.aggregate(decoded.drop("ts_ms"))
         .join(decoded.groupBy("symbol").agg(max(col("ts_ms")).as("max_ts_ms")), "symbol")
     }),
+    // ---- S5 serving-layer co-location: aggregate snapshot ⋈ per-symbol
+    //      latest-ts, both bucketed by symbol — the join plans with NO
+    //      exchange on either side (asserted in MaterializedStateSpec)
+    "q_join_bucketed" -> ((s, dir) => MaterializedState.bucketedJoin(s, dir)),
     // ---- S4/A2 per-record semantics: the changelog as the reference's
     //      cache=0 config emits it — one cumulative update per input record
     //      (KafkaStreamsAppConfiguration.java:92) — as a running window agg.
@@ -184,6 +188,16 @@ object SparkEntry {
     // exact ε-neighbor pair listing (embedding-cosine near-dup)
     "q_similarity_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), threshold = 0.45)),
+    // embedding-space dedup survivors: connected components over the exact
+    // cosine ε-pair graph — same label propagation as q_dedup_survivors
+    "q_similarity_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.nearDedupLabels(
+        emb.select(col("vec_id")),
+        Similarity.cosinePairs(emb, threshold = 0.45)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+        idCol = "vec_id")
+    }),
     // ANN: LSH-bucketed candidates + exact re-rank — approximate by design,
     // so rows-only here; recall vs brute force is pinned in SimilaritySpec
     "q_similarity_ann" -> ((s, dir) =>
@@ -264,6 +278,24 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
       |        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7""".stripMargin
+
+  /** Cosine ε-pair oracle pieces, shared by q_similarity_pairs and
+    * q_similarity_dedup.
+    */
+  private val simNormCte: String =
+    """SELECT vec_id, embedding AS v,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |                j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
+      |FROM embeddings""".stripMargin
+
+  private val simPairsBody: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_sum(list_transform(range(1, len(a.v)+1),
+      |                 i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS score
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id""".stripMargin
+
+  private val simPairsSelect: String =
+    "SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45"
 
   def oracleSql: Map[String, String] = Map(
     "q_aggregate" -> s"$W SELECT * FROM agg",
@@ -359,17 +391,31 @@ object SparkEntry {
     // cosine = dot(a,b) / (||a||*||b||) with norms computed once per vector —
     // the same scalar-norm formula as the engine's cosinePairs
     "q_similarity_pairs" ->
-      """WITH n AS (
-        |  SELECT vec_id, embedding AS v,
-        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-        |                  j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(list_sum(list_transform(range(1, len(a.v)+1),
-        |                   i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS score
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45""".stripMargin,
+      s"WITH n AS ($simNormCte), s AS ($simPairsBody) $simPairsSelect",
+    // embedding-space survivors: transitive closure of the cosine ε-pair graph
+    "q_similarity_dedup" ->
+      s"""WITH RECURSIVE n AS ($simNormCte),
+         |s AS ($simPairsBody),
+         |pairs AS ($simPairsSelect),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         |canon AS (SELECT u AS vec_id, min(v) AS mn FROM reach GROUP BY u)
+         |SELECT e.vec_id,
+         |       least(e.vec_id, coalesce(c.mn, e.vec_id)) AS canonical_id
+         |FROM embeddings e LEFT JOIN canon c USING (vec_id)""".stripMargin,
+    // bucketed co-located join: same relational content as the vat join —
+    // the engine path differs only in storage layout (no exchange)
+    "q_join_bucketed" ->
+      s"""WITH ttx AS (${Tables.txnsTsCte}),
+         |txns AS (SELECT symbol, buy, amount, number_shares FROM ttx),
+         |agg AS (${StockAggregation.aggregateSelect}),
+         |mts AS (SELECT symbol, max(epoch_ms(ts)) AS max_ts_ms FROM ttx GROUP BY symbol)
+         |SELECT a.symbol, a.buys, a.sells, a.number_shares, m.max_ts_ms
+         |FROM agg a JOIN mts m USING (symbol)""".stripMargin,
     // Text analysis
     "q_text_stats" ->
       """SELECT doc_id,

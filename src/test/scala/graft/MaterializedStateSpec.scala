@@ -54,6 +54,31 @@ class MaterializedStateSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed serving tables join with no shuffle on either side") {
+    // At test SF the planner rightly broadcasts the small side (also
+    // shuffle-free); the bucketing exists for the large-large case, so
+    // disable broadcast to expose it: the sort-merge join must read both
+    // bucketed layouts directly, with NO hash-partitioning exchange.
+    val joined = MaterializedState.bucketedJoin(spark, sfDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined.queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+      s"expected a bucketed sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed co-located join must not shuffle:\n$plan")
+    // and it is the vat-join relational content
+    val viaRecompute = raw.join(
+      Tables.transactionsWithTs(spark, sfDir)
+        .groupBy("symbol").agg(max(unix_millis(col("ts"))).as("max_ts_ms")),
+      "symbol")
+    assert(joined.count() == viaRecompute.count())
+    assert(joined.except(viaRecompute).isEmpty && viaRecompute.except(joined).isEmpty)
+  }
+
   test("filtered range collapses key bounds and compiled predicate into one scan") {
     val df = InteractiveQueries.filteredRangeQuery(
       state, Some("U000000"), Some("U000099"), "@.buys > @.sells")

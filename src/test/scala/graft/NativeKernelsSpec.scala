@@ -111,6 +111,40 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random unicode texts — native == combinator for all text kernels") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check, Parameters}
+    // Texts over a hostile alphabet: ASCII words, multi-byte chars,
+    // supplementary-plane chars, runs of separators, empty tokens.
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("é", "ß", "日本", "😀", "x", ""),
+      Gen.const(" ")) // doubles a separator when joined
+    val textGen = for {
+      n <- Gen.choose(0, 25)
+      ts <- Gen.listOfN(n, token)
+    } yield ts.mkString(" ")
+
+    val prop = forAll(Gen.listOfN(40, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bad = df.select(
+        transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("s1"),
+        NativeExpressions.shingleHashes(col("text"), 3).as("f1"),
+        TextAnalysis.charNgrams(col("text"), 3).as("s2"),
+        NativeExpressions.charNgrams(col("text"), 3).as("f2"),
+        TextAnalysis.fingerprintSet(col("text"), 4, 3).as("s3"),
+        NativeExpressions.winnowingFingerprints(col("text"), 4, 3).as("f3"))
+        .filter(not(col("s1") === col("f1")) or
+          not(col("s2") === col("f2")) or
+          not(col("s3") === col("f3")))
+        .count()
+      bad == 0L
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("null text yields null, not a crash") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("doc_id", "text")
     val out = df.select(

@@ -12,8 +12,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  // inherently all-pairs by specification (exactness baselines)
-  private val quadraticByDesign = Set("q_similarity_pairs", "q_similarity_topk")
+  // inherently all-pairs by specification (exactness baselines, and the
+  // survivor labeling built on the exact ε-pair graph)
+  private val quadraticByDesign =
+    Set("q_similarity_pairs", "q_similarity_topk", "q_similarity_dedup")
 
   test("no registered query plans a cartesian or nested-loop join (unless quadratic by design)") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
