@@ -18,4 +18,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function into an EXISTING session's registry.
+    * `SparkSessionExtensions` only applies at session construction
+    * (`spark.sql.extensions` / `builder.withExtensions`); a library handed a
+    * running session reaches the same registry through this bridge.
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -156,6 +156,42 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(!out(1).isNullAt(0))
   }
 
+  test("native functions are SQL-callable after registration") {
+    graft.functions.NativeFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |  size(shingle_hashes('a b c d', 3)) AS nsh,
+        |  size(char_ngrams('abcd', 2)) AS ncg,
+        |  simhash64(shingle_hashes('a b c d', 3)) AS fp,
+        |  size(minhash_signature(shingle_hashes('a b c d', 3), 8)) AS nsig,
+        |  size(winnowing_fingerprints('abcdefghij', 3, 2)) AS nfp
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2) // "a b c", "b c d"
+    assert(r.getInt(2) == 3) // ab bc cd
+    assert(r.getInt(4) == 8)
+    assert(r.getInt(5) >= 1)
+    // SQL results equal the Column-API forms
+    val viaColumns = spark.range(1).select(
+      NativeExpressions.simhash64(
+        NativeExpressions.shingleHashes(lit("a b c d"), 3)).as("fp")).head().getLong(0)
+    assert(r.getLong(3) == viaColumns)
+  }
+
+  test("SQL registration rejects non-literal static parameters loudly") {
+    graft.functions.NativeFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', CAST(id AS INT)) FROM range(1)").head()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
+  test("GraftExtensions injects the same function set at session build") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+
   test("interpreted eval matches codegen (eval path exercised via filter on driver)") {
     // Expression.eval is exercised when Catalyst constant-folds literals
     val lit1 = NativeExpressions.shingleHashes(lit("a b c d"), 3)
