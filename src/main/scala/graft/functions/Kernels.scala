@@ -117,21 +117,33 @@ object Kernels {
     fp
   }
 
+  private def checkSameLength(a: ArrayData, b: ArrayData): Int = {
+    val m = a.numElements()
+    if (m != b.numElements()) throw new IllegalArgumentException(
+      s"vec_dot: length mismatch ($m vs ${b.numElements()}) — mixed-dimension " +
+        "vectors are data corruption, rejected loudly (the zip_with twin " +
+        "yields null here; a silent prefix dot would hide the corruption)")
+    m
+  }
+
   /** Dot product of two float arrays: element-wise double widening,
     * accumulated left-to-right — bit-identical to
-    * `aggregate(zip_with(a, b, (x,y) => x.cast(double)*y.cast(double)), 0.0, _+_)`.
+    * `aggregate(zip_with(a, b, (x,y) => x.cast(double)*y.cast(double)), 0.0, _+_)`
+    * for equal-length inputs; length mismatch throws.
     */
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val m = math.min(a.numElements(), b.numElements())
+    val m = checkSameLength(a, b)
     var acc = 0.0
     var i = 0
     while (i < m) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
   }
 
-  /** Dot product of two double arrays, accumulated left-to-right. */
+  /** Dot product of two double arrays, accumulated left-to-right (see
+    * [[dotFloat]] for the length-mismatch policy).
+    */
   def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val m = math.min(a.numElements(), b.numElements())
+    val m = checkSameLength(a, b)
     var acc = 0.0
     var i = 0
     while (i < m) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

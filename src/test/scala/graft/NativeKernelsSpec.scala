@@ -145,6 +145,15 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("vecDot rejects mixed-dimension vectors loudly") {
+    val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(NativeExpressions.vecDot(col("a"), col("b"))).head()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
+  }
+
   test("null text yields null, not a crash") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("doc_id", "text")
     val out = df.select(
