@@ -30,6 +30,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
   }
 
+  test("hot-path plans run inside whole-stage codegen") {
+    // The kernels were made native precisely to stay codegen'd; regression
+    // here (e.g. an expression losing doGenCode, or a CodegenFallback
+    // slipping into the projection) would silently cost 10x at scale.
+    val spark0 = spark
+    val checks = Seq(
+      "q_aggregate", "q_dedup_near", "q_dedup_simhash", "q_similarity_topk",
+      "q_text_fingerprint", "q_text_langid")
+    checks.foreach { name =>
+      val qe = SparkEntry.queries(name)(spark0, sfDir).queryExecution
+      qe.toRdd.count() // AQE only inserts codegen spans into the FINAL plan
+      val plan = qe.executedPlan.toString
+      // codegen'd stages print as "*(n) Operator" in the final plan
+      assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+        s"$name plan has no whole-stage-codegen span:\n$plan")
+    }
+  }
+
   test("every query with an oracle entry is registered, and vice versa where required") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
