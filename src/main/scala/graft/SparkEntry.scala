@@ -241,7 +241,13 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, dir) => Multimodal.frameFeatures(Tables.documents(s, dir))),
     // the mapPartitions decode seam with the stub codec (rows-only)
     "q_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeWithStub(Tables.documents(s, dir)).toDF())
+      Multimodal.decodeWithStub(Tables.documents(s, dir)).toDF()),
+    // resize through the decoder seam: size accounting is oracle-checked
+    // (the stub honors ceil(len/factor)); content pinned in MultimodalSpec
+    "q_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeWithStub(Tables.documents(s, dir), factor = 4).toDF()
+        .select(col("docId").as("doc_id"), col("mime"),
+          col("byteLen").as("byte_len"), col("byteLenResized").as("byte_len_resized")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -443,6 +449,14 @@ object SparkEntry {
         |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin,
     // Multimodal metadata: UTF-8 byte length and fixed-size frame count over
     // the payload bytes; mime assignment mirrors the engine's derivation.
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
+        |  END AS mime,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(ceil(octet_length(encode(text))::DOUBLE / 4) AS INT) AS byte_len_resized
+        |FROM documents""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT)

@@ -83,16 +83,24 @@ object Multimodal {
   final case class DecodedFrames(docId: Long, mime: String, nFrames: Int, features: Array[Long])
 
   /** The decoder seam a real codec plugs into: payload bytes → per-frame
-    * feature values.
+    * feature values, and payload bytes → re-encoded smaller payload
+    * (image resize / audio downsample / video transcode — whatever "smaller
+    * representation" means for the mime type).
     */
   trait MediaDecoder extends Serializable {
     def decode(mime: String, payload: Array[Byte]): Array[Long]
+
+    /** Re-encode the payload at 1/factor resolution. */
+    def resize(mime: String, payload: Array[Byte], factor: Int): Array[Byte]
   }
 
-  /** STUB — deterministic fake decode. A real implementation would hand the
-    * bytes to an image/audio/video library; none exists in this environment,
-    * so frames are fixed-size byte slices and the "feature" is a 64-bit hash
-    * of each slice. Deterministic, so tests and parity checks are stable.
+  /** STUB — deterministic fake decode/resize. A real implementation would
+    * hand the bytes to an image/audio/video library; none exists in this
+    * environment, so frames are fixed-size byte slices, the "feature" is a
+    * 64-bit hash of each slice, and "resize" keeps every factor-th byte
+    * (yielding ceil(len/factor) bytes — the size contract a real resizer's
+    * stand-in must honor so the pipeline arithmetic stays checkable).
+    * Deterministic, so tests and parity checks are stable.
     */
   object StubDecoder extends MediaDecoder {
     def decode(mime: String, payload: Array[Byte]): Array[Long] =
@@ -103,6 +111,14 @@ object Multimodal {
         while (i < frame.length) { h ^= (frame(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
         h
       }.toArray
+
+    def resize(mime: String, payload: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, s"resize factor must be >= 1, got $factor")
+      val out = new Array[Byte]((payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+      out
+    }
   }
 
   /** Partition-batched decode: one decoder per partition (where a real codec
@@ -120,6 +136,31 @@ object Multimodal {
         rows.map { case (id, mime, payload) =>
           val feats = decoder.decode(mime, payload)
           DecodedFrames(id, mime, feats.length, feats)
+        }
+      }
+  }
+
+  /** A resized asset row: the re-encoded payload plus the size accounting
+    * the oracle checks.
+    */
+  final case class ResizedAsset(docId: Long, mime: String, byteLen: Int,
+      byteLenResized: Int, resized: Array[Byte])
+
+  /** Resize every asset through the decoder seam (same `mapPartitions`
+    * shape as [[decodeWithStub]]). The stub's output length contract
+    * (ceil(len/factor)) is SQL-expressible, so the size accounting is
+    * oracle-checked; the resized CONTENT is pinned by `MultimodalSpec`.
+    */
+  def resizeWithStub(
+      docs: DataFrame, factor: Int = 4,
+      decoder: MediaDecoder = StubDecoder): Dataset[ResizedAsset] = {
+    val a = assets(docs).select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+    implicit val enc = Encoders.product[ResizedAsset]
+    a.as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, payload) =>
+          val r = decoder.resize(mime, payload, factor)
+          ResizedAsset(id, mime, payload.length, r.length, r)
         }
       }
   }

@@ -55,6 +55,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.forall { case (id, d) => d.nFrames == native(id) })
   }
 
+  test("resize through the decoder seam: content decimated, lengths honor the contract") {
+    val docs = Seq((0L, "abcdefghij")).toDF("doc_id", "text")
+    val r = Multimodal.resizeWithStub(docs, factor = 4).collect().head
+    assert(r.byteLen == 10 && r.byteLenResized == 3)
+    assert(r.resized.sameElements("aei".getBytes)) // every 4th byte
+    // whole corpus: ceil contract holds for every mime
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bad = Multimodal.resizeWithStub(corpus, factor = 4)
+      .filter(a => a.byteLenResized != (a.byteLen + 3) / 4).count()
+    assert(bad == 0)
+  }
+
   test("real corpus: every doc decodes, features align with metadata") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val joined = Multimodal.metadata(docs).as("m")
