@@ -214,7 +214,11 @@ object Kernels {
     val offs = codePointOffsets(text)
     val cp = offs.length - 1
     if (cp < n) return new GenericArrayData(Array.empty[Any])
-    val bytes = text.getBytes // one copy; grams are zero-copy views into it
+    // getBytes copies unless the string owns its exact backing array (in
+    // which case that array is stable for the row); grams are zero-copy
+    // views into it either way, and consumers copy them into output rows
+    // before the next row is read
+    val bytes = text.getBytes
     val count = cp - n + 1
     val seen = new JHashSet[UTF8String](count * 2)
     val out = new Array[Any](count)
