@@ -71,6 +71,9 @@ object SparkEntry {
     // ---- A2 skew path: salted two-stage aggregate — exactly equal by
     //      decimal associativity, shuffle-safe under a dominant hot key
     "q_aggregate_salted" -> ((s, dir) => StockAggregation.aggregateSalted(txns(s, dir))),
+    // ---- A2 typed twin: Dataset[StockTransaction] + Aggregator[IN,BUF,OUT]
+    //      (SURVEY §7.2 step 6) — exact-decimal buffer, bit-identical result
+    "q_aggregate_typed" -> ((s, dir) => StockAggregation.aggregateTyped(txns(s, dir))),
     // ---- Q1: KeyQuery point lookup (StockController.java:186-206)
     "q_key_query" -> ((s, dir) => InteractiveQueries.keyQuery(state(s, dir), "U000007")),
     // ---- Q2: MultiKeyQuery (query/MultiKeyQuery.java:9-51)
@@ -316,6 +319,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_aggregate" -> s"$W SELECT * FROM agg",
     "q_aggregate_salted" -> s"$W SELECT * FROM agg",
+    "q_aggregate_typed" -> s"$W SELECT * FROM agg",
     "q_key_query" -> s"$W SELECT * FROM agg WHERE symbol = 'U000007'",
     "q_multi_key" -> s"$W SELECT * FROM agg WHERE symbol IN ('U000003','U000007','U000011')",
     "q_range_both" -> s"$W SELECT * FROM agg WHERE symbol >= 'U000004' AND symbol <= 'U000009'",

@@ -69,6 +69,58 @@ object StockAggregation {
       sum(col("number_shares")).over(w).as("number_shares"))
   }
 
+  /** Typed-API twin of [[aggregate]] (SURVEY §7.2 step 6's optional
+    * `Aggregator[IN,BUF,OUT]`): `Dataset[StockTransaction]` →
+    * `groupByKey(_.symbol)` → a typed [[StockAggregator]] whose buffer holds
+    * exact `BigDecimal` sums — the same 2-dp HALF_UP quantization as the
+    * untyped plan's `cast(amount as decimal(18,2))`, so the results are
+    * bit-identical (spec-asserted). Catalyst plans the same partial+final
+    * hash aggregate; the typed path costs object (de)serialization at the
+    * aggregation boundary, which is why the untyped form is the registered
+    * hot path — this one is the type-safe surface for callers that want
+    * compile-time checked inputs.
+    */
+  def aggregateTyped(txns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val spark = txns.sparkSession
+    import spark.implicits._
+    val ds = txns.select(
+      col("symbol"), col("buy"), col("amount"),
+      col("number_shares").as("numberShares")).as[graft.model.StockTransaction]
+    ds.groupByKey(_.symbol)
+      .agg(StockAggregator.toColumn.name("agg"))
+      .map { case (sym, (buys, sells, shares)) =>
+        graft.model.StockTransactionAggregation(sym, buys, sells, shares)
+      }
+      .toDF("symbol", "buys", "sells", "number_shares")
+  }
+
+  /** Exact-decimal running-total buffer for [[StockAggregator]]. */
+  final case class AggBuffer(buys: BigDecimal, sells: BigDecimal, shares: Long)
+
+  /** The typed Aggregator mirroring the reference's
+    * `streams/KafkaStreamsService.java:62-74` Aggregator semantics with
+    * order-independent exact accumulation.
+    */
+  object StockAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        graft.model.StockTransaction, AggBuffer, (Double, Double, Long)] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    private def dec2(d: Double): BigDecimal =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    override def zero: AggBuffer = AggBuffer(BigDecimal(0), BigDecimal(0), 0L)
+    override def reduce(b: AggBuffer, t: graft.model.StockTransaction): AggBuffer =
+      if (t.buy) b.copy(buys = b.buys + dec2(t.amount), shares = b.shares + t.numberShares)
+      else b.copy(sells = b.sells + dec2(t.amount), shares = b.shares + t.numberShares)
+    override def merge(a: AggBuffer, b: AggBuffer): AggBuffer =
+      AggBuffer(a.buys + b.buys, a.sells + b.sells, a.shares + b.shares)
+    override def finish(b: AggBuffer): (Double, Double, Long) =
+      (b.buys.toDouble, b.sells.toDouble, b.shares)
+    override def bufferEncoder: Encoder[AggBuffer] = Encoders.product[AggBuffer]
+    override def outputEncoder: Encoder[(Double, Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaLong)
+  }
+
   /** Skew-safe two-stage variant of [[aggregate]]: pre-aggregate on
     * (symbol, salt) with a deterministic per-row salt, then combine per
     * symbol. When one key dominates the input (a hot ticker at 100 TB), the

@@ -97,6 +97,14 @@ class DedupSpec extends AnyFunSuite {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("typed Aggregator equals the untyped aggregate exactly") {
+    val txns = Tables.transactions(spark, sfDir)
+    val plain = StockAggregation.aggregate(txns)
+    val typed = StockAggregation.aggregateTyped(txns)
+    assert(typed.count() == plain.count())
+    assert(typed.except(plain).isEmpty && plain.except(typed).isEmpty)
+  }
+
   test("simhash: identical docs collide, near docs within hamming 3, far docs beyond") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 60).map(i => if (i == 30) "ALTERED" else s"tok$i").mkString(" ")
