@@ -41,7 +41,10 @@ object SparkEntry {
   /** Survivor labelings — like the materialized state, a derived artifact
     * computed once per corpus (the label-propagation output is already
     * materialized via localCheckpoint; re-running the whole iteration per
-    * query would re-derive an unchanged artifact).
+    * query would re-derive an unchanged artifact). Keyed by SESSION identity
+    * as well as corpus: unlike the plain-data caches above, these hold
+    * DataFrames whose checkpointed RDDs belong to the session that built
+    * them — serving one to a different session would fail on collect.
     */
   private val dedupLabels =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -184,7 +187,7 @@ object SparkEntry {
     // near-dup survivor selection: connected components of the pair graph by
     // min-label propagation; canonical_id == doc_id picks the kept row
     "q_dedup_survivors" -> ((s, dir) =>
-      dedupLabels.computeIfAbsent(s"text:$dir", _ => {
+      dedupLabels.computeIfAbsent(s"${System.identityHashCode(s)}:text:$dir", _ => {
         val docs = Tables.documents(s, dir)
         Dedup.nearDedupLabels(docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7))
       })),
@@ -203,7 +206,7 @@ object SparkEntry {
     // embedding-space dedup survivors: connected components over the exact
     // cosine ε-pair graph — same label propagation as q_dedup_survivors
     "q_similarity_dedup" -> ((s, dir) =>
-      dedupLabels.computeIfAbsent(s"emb:$dir", _ => {
+      dedupLabels.computeIfAbsent(s"${System.identityHashCode(s)}:emb:$dir", _ => {
         val emb = Tables.embeddings(s, dir)
         Dedup.nearDedupLabels(
           emb.select(col("vec_id")),

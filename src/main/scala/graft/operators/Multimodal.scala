@@ -68,15 +68,19 @@ object Multimodal {
     */
   def frameFeatures(docs: DataFrame, stride: Int = 2): DataFrame = {
     val a = assets(docs)
-    val frames = transform(
-      sequence(lit(0), col("meta.n_frames") - 1),
-      i => xxhash64(col("payload").substr(i * FrameBytes + 1, lit(FrameBytes))))
+    // guard the empty payload: sequence(0, -1) yields [0, -1] (descending
+    // step default), which would fabricate two phantom frames
+    val frames = when(col("meta.n_frames") >= 1,
+      transform(
+        sequence(lit(0), col("meta.n_frames") - 1),
+        i => xxhash64(col("payload").substr(i * FrameBytes + 1, lit(FrameBytes)))))
+      .otherwise(array().cast("array<bigint>"))
     val sampled = filter(frames, (_, i) => i % stride === 0)
     a.select(
       col("doc_id"),
       col("meta.n_frames").as("n_frames"),
       size(sampled).as("n_sampled"),
-      element_at(frames, 1).as("first_frame_feature"))
+      try_element_at(frames, lit(1)).as("first_frame_feature"))
   }
 
   /** A decoded media frame batch row. */

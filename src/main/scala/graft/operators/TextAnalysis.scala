@@ -38,7 +38,9 @@ object TextAnalysis {
         n.cast("double")).as("avg_token_len"),
       (size(filter(t, x => array_contains(stopArr, x))).cast("double") /
         n.cast("double")).as("stopword_ratio"),
-      size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).as("n_bpe_tokens"))
+      // pattern as a literal Column — string-interpolating it into SQL would
+      // let the SQL parser eat backslashes and break on embedded quotes
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("n_bpe_tokens"))
   }
 
   /** Corpus top-k terms by frequency: explode → hash-aggregate (partial

@@ -104,10 +104,21 @@ object Serdes {
       unhex(lpad(hex(tsMillis), 16, "0")),
       valueJson.cast("binary"))
 
-  /** Inverse of [[encodeValueAndTimestamp]]: (ts_millis, value-JSON string). */
-  def decodeValueAndTimestamp(bin: Column): (Column, Column) = (
-    conv(hex(substring(bin, 1, 8)), 16, 10).cast("long"),
-    bin.substr(lit(9), length(bin) - 8).cast("string"))
+  /** Inverse of [[encodeValueAndTimestamp]]: (ts_millis, value-JSON string).
+    * The 8-byte frame is SIGNED big-endian (the reference uses
+    * `ByteBuffer.putLong`), but `conv(hex, 16, 10)` yields the UNSIGNED 2^64
+    * representation — so reinterpret through DECIMAL(20,0): values above
+    * Long.MaxValue are the two's-complement image of negative timestamps and
+    * shift down by 2^64. Exact at every step (decimal holds 2^64; the final
+    * cast is in-range), so pre-1970 timestamps round-trip correctly.
+    */
+  def decodeValueAndTimestamp(bin: Column): (Column, Column) = {
+    val unsigned = conv(hex(substring(bin, 1, 8)), 16, 10).cast("decimal(20,0)")
+    val signed = when(unsigned > lit(Long.MaxValue),
+      unsigned - lit(BigDecimal("18446744073709551616"))).otherwise(unsigned)
+    (signed.cast("long"),
+      bin.substr(lit(9), length(bin) - 8).cast("string"))
+  }
 
   /** Round-trip: encode each txn row to wire JSON and decode it back. Used by
     * the serde-parity query — the result must be byte-identical to the input.

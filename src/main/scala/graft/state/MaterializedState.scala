@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.StockAggregation
+import graft.util.Fs
 
 /** The serving-side materialized state table (S5's read half): the aggregate
   * snapshot written ONCE, which the interactive-query functions then read —
@@ -45,7 +46,7 @@ object MaterializedState {
   def ensure(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, _ => {
       val dir = stateDir(sfDir)
-      deleteRecursively(dir)
+      Fs.deleteRecursively(dir)
       StockAggregation.aggregate(Tables.transactions(spark, sfDir))
         .repartitionByRange(8, col("symbol"))
         .sortWithinPartitions("symbol")
@@ -97,9 +98,4 @@ object MaterializedState {
     spark.table(aggT).join(spark.table(mtsT), "symbol")
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
 }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.operators.StockAggregation
 import graft.sources.Serdes
+import graft.util.Fs
 
 /** The streaming twin of the batch aggregation — the reference's core write
   * path (S1→A1/A2→S4/S5): Kafka source → groupByKey → continuously maintained
@@ -83,10 +84,14 @@ object StreamingState {
 
   private def runToCompletion(spark: SparkSession, sfDir: String): String = {
     val root = workDir(sfDir)
-    deleteRecursively(root)
     val staging = root.resolve("staging")
     val checkpoint = root.resolve("checkpoint")
     val changelog = root.resolve("changelog")
+    // delete only THIS pipeline's subpaths — the windowed twin and the dedup
+    // run share the same root and may already have materialized state
+    Seq(staging, checkpoint, changelog,
+      root.resolve("dedup_ckpt"), root.resolve("dedup_out"))
+      .foreach(Fs.deleteRecursively)
     Files.createDirectories(staging)
 
     // Stage: one parquet file per chunk, so maxFilesPerTrigger=1 replays the
@@ -224,9 +229,12 @@ object StreamingState {
       spark: SparkSession, sfDir: String,
       windowDuration: String = "1 hour",
       watermarkDelay: String = "1 hour"): DataFrame = {
-    val out = windowedRuns.computeIfAbsent(sfDir, _ => {
-      val root = workDir(sfDir).resolve("windowed")
-      deleteRecursively(root)
+    val out = windowedRuns.computeIfAbsent(s"$sfDir|$windowDuration|$watermarkDelay", _ => {
+      // parameters are part of the directory so differently-parameterized
+      // runs never collide on disk either
+      val root = workDir(sfDir).resolve(
+        "windowed_" + s"${windowDuration}_$watermarkDelay".replaceAll("[^A-Za-z0-9.]+", "_"))
+      Fs.deleteRecursively(root)
       val staging = root.resolve("staging")
       Files.createDirectories(staging)
       val txns = Tables.transactionsTimeChunked(spark, sfDir, NumChunks)
@@ -283,16 +291,11 @@ object StreamingState {
       val tmp = root.resolve(s"_stage_$i")
       txns.filter(col("chunk") === i).drop("chunk")
         .coalesce(1).write.parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      val part = Fs.firstWithSuffix(tmp, ".parquet")
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
       Files.move(part, staging.resolve(f"chunk_$i%02d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(tmp)
+      Fs.deleteRecursively(tmp)
     }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
 }

@@ -24,7 +24,11 @@ class BinarySerdeSpec extends AnyFunSuite {
   test("round trip preserves timestamp and value for arbitrary millis") {
     val fixtures = Seq(
       (0L, "{}"), (1234567890123L, """{"symbol":"CFLT","buys":5000.0}"""),
-      (253402300799999L, """{"x":"y"}""")) // year 9999
+      (253402300799999L, """{"x":"y"}"""), // year 9999
+      // signed 8-byte BE framing (reference uses ByteBuffer.putLong):
+      // pre-1970 timestamps must survive the unsigned hex decode
+      (-1L, """{"neg":"ms"}"""), (-62135596800000L, """{"year":"0001"}"""),
+      (Long.MinValue, """{"edge":"min"}"""), (Long.MaxValue, """{"edge":"max"}"""))
     val df = fixtures.toDF("ts", "json")
       .select(col("ts"), col("json"),
         Serdes.encodeValueAndTimestamp(col("ts"), col("json")).as("bin"))

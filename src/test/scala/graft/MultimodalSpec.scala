@@ -55,6 +55,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.forall { case (id, d) => d.nFrames == native(id) })
   }
 
+  test("empty payload yields zero frames, not phantom ones") {
+    // sequence(0, -1) defaults to a descending step and yields [0, -1]; the
+    // guard must keep n_frames == n_sampled == 0 with a null first feature
+    val docs = Seq((0L, ""), (1L, "x")).toDF("doc_id", "text")
+    val rows = Multimodal.frameFeatures(docs).orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) == 0 && rows(0).getInt(2) == 0 && rows(0).isNullAt(3))
+    assert(rows(1).getInt(1) == 1 && rows(1).getInt(2) == 1 && !rows(1).isNullAt(3))
+  }
+
   test("resize through the decoder seam: content decimated, lengths honor the contract") {
     val docs = Seq((0L, "abcdefghij")).toDF("doc_id", "text")
     val r = Multimodal.resizeWithStub(docs, factor = 4).collect().head
