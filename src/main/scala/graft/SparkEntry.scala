@@ -312,12 +312,14 @@ object SparkEntry {
 
   private val simPairsBody: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_sum(list_transform(range(1, len(a.v)+1),
-      |                 i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS score
+      |  list_sum(list_transform(range(1, len(a.v)+1),
+      |           i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm) AS raw
       |FROM n a JOIN n b ON a.vec_id < b.vec_id""".stripMargin
 
+  // threshold on the UNROUNDED cosine, rounded only for output — matching
+  // the engine's cosinePairs
   private val simPairsSelect: String =
-    "SELECT vec_a, vec_b, score FROM s WHERE score >= 0.45"
+    "SELECT vec_a, vec_b, round(raw, 6) AS score FROM s WHERE raw >= 0.45"
 
   def oracleSql: Map[String, String] = Map(
     "q_aggregate" -> s"$W SELECT * FROM agg",

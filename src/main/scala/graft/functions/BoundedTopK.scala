@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate (SURVEY §7.2's "TypedImperativeAggregate top-k"):
+  * keeps the k lexicographically-smallest (neg_score, id) pairs — i.e. the
+  * top k by (score desc, id asc) — in a size-capped buffer at EVERY stage,
+  * so map-side partial aggregation holds at most k entries per open group
+  * and the shuffle carries at most k rows per (group, partition). This is
+  * the property the two-phase `collect_list` + `slice` formulation only
+  * claimed: there the slice ran after the aggregate, so partial buffers held
+  * every scored row of the partition and the exchange shipped them all.
+  *
+  * Output: array<struct<neg:double, id:bigint>> sorted ascending — identical
+  * to `slice(array_sort(collect_list(struct(neg, id))), 1, k)`.
+  */
+case class BoundedTopKAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedTopKAgg.Buffer] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(BoundedTopKAgg.itemType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if s.length == 2 &&
+      s(0).dataType == DoubleType && s(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"expected struct<neg:double,id:bigint>, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): BoundedTopKAgg.Buffer =
+    new BoundedTopKAgg.Buffer(k)
+
+  override def update(b: BoundedTopKAgg.Buffer, input: InternalRow): BoundedTopKAgg.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      b.add(row.getDouble(0), row.getLong(1))
+    }
+    b
+  }
+
+  override def merge(b: BoundedTopKAgg.Buffer, o: BoundedTopKAgg.Buffer): BoundedTopKAgg.Buffer = {
+    o.foreach((n, i) => b.add(n, i))
+    b
+  }
+
+  override def eval(b: BoundedTopKAgg.Buffer): Any = {
+    val sorted = b.sortedItems
+    new GenericArrayData(sorted.map { case (n, i) =>
+      InternalRow(n, i)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(b: BoundedTopKAgg.Buffer): Array[Byte] = {
+    val items = b.sortedItems
+    val bb = ByteBuffer.allocate(4 + items.length * 16)
+    bb.putInt(items.length)
+    items.foreach { case (n, i) => bb.putDouble(n); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedTopKAgg.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new BoundedTopKAgg.Buffer(k)
+    (0 until n).foreach(_ => b.add(bb.getDouble, bb.getLong))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedTopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedTopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BoundedTopKAgg =
+    copy(child = c.head)
+  override def prettyName: String = "bounded_top_k"
+}
+
+object BoundedTopKAgg {
+
+  val itemType: StructType = StructType(Seq(
+    StructField("neg", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+
+  /** Size-capped max-heap on (neg, id) lexicographic order: the heap head is
+    * the LARGEST kept pair, evicted whenever a smaller candidate arrives with
+    * the buffer full — so the buffer always holds the k smallest pairs seen.
+    */
+  final class Buffer(k: Int) {
+    private val ord: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+
+    def add(neg: Double, id: Long): Unit = {
+      if (heap.size < k) heap.enqueue((neg, id))
+      else if (ord.lt((neg, id), heap.head)) { heap.dequeue(); heap.enqueue((neg, id)) }
+    }
+
+    def foreach(f: (Double, Long) => Unit): Unit = heap.foreach(t => f(t._1, t._2))
+
+    /** Items ascending by (neg, id) — the output order. */
+    def sortedItems: Array[(Double, Long)] = heap.toArray.sorted(ord)
+  }
+
+  /** `Column` form over a (neg_score, id) struct column. */
+  def boundedTopK(item: Column, k: Int): Column =
+    ColumnBridge.column(
+      BoundedTopKAgg(ColumnBridge.expression(item), k).toAggregateExpression())
+}

@@ -8,18 +8,20 @@ import graft.functions.NativeExpressions
 /** Similarity search over an embedding column (`Array[Float]`) — beyond-
   * reference extension (SURVEY §2.5 north star) over the `embeddings` table.
   *
-  * All scoring is built-in higher-order functions (`zip_with` / `aggregate`)
-  * on the array column — codegen'd, no UDFs. Floats are widened to double
-  * element-wise and accumulated in array order, so the scores are
-  * reproducible bit-for-bit across engines that do the same (the DuckDB
-  * oracles are written to).
+  * Scoring runs on the native `vec_dot` kernel (floats widened to double
+  * element-wise, accumulated in array order), with norms precomputed ONCE
+  * per row as scalars — so every scored pair costs one dot + one division,
+  * and the scores are reproducible bit-for-bit against the DuckDB oracles,
+  * which are written to the same arithmetic.
   *
   * Scale design:
   *   - brute-force top-k broadcasts the (small) query set and scores the
-  *     corpus map-side; the top-k itself is a TWO-PHASE bounded aggregation
-  *     (per-partition k, then merge-of-k-lists) so the shuffle carries
-  *     queries × partitions × k rows — not queries × corpus. A window
-  *     row_number would shuffle every scored row.
+  *     corpus map-side; the top-k itself is [[graft.functions.BoundedTopKAgg]]
+  *     — a size-capped TypedImperativeAggregate whose partial buffers hold at
+  *     most k entries per open group, so the shuffle carries at most
+  *     queries × partitions × k rows, not queries × corpus. (A window
+  *     row_number — or a collect_list sliced AFTER the aggregate — would
+  *     shuffle every scored row.)
   *   - the ANN path generates candidates by multi-table random-hyperplane
   *     LSH — an equi-join on (table, bucket) keys — then re-ranks candidates
   *     exactly. Hyperplanes are deterministic pseudo-vectors derived from
@@ -42,40 +44,41 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Bounded two-phase top-k per query over (query_id, neighbor_id, score)
-    * rows: local per-partition top-k (state bounded by k per open group),
-    * then a merge of the per-partition lists. Ordering is (score desc,
-    * neighbor_id asc) — fully deterministic under ties.
+  /** Bounded top-k per query over (query_id, neighbor_id, score) rows via
+    * [[graft.functions.BoundedTopKAgg]]: the aggregation buffer is capped at
+    * k entries at every stage (map-side partial included). Ordering is
+    * (score desc, neighbor_id asc) — fully deterministic under ties.
     * Returns (query_id, rank, neighbor_id, score).
     */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val item = struct(negate(col("score")).as("neg"), col("neighbor_id"))
-    val local = scored
-      .groupBy(col("query_id"), spark_partition_id().as("p"))
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("top"))
-    local
-      .groupBy("query_id")
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+    val item = struct(negate(col("score")).as("neg"), col("neighbor_id").as("id"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopKAgg.boundedTopK(item, k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
       .select(
         col("query_id"), (col("i") + 1).cast("int").as("rank"),
-        col("t.neighbor_id").as("neighbor_id"), negate(col("t.neg")).as("score"))
+        col("t.id").as("neighbor_id"), negate(col("t.neg")).as("score"))
   }
 
   /** Exact cosine top-k: score every (query, corpus) pair via a broadcast of
-    * the query set, then bounded top-k. Scores are rounded to 6 dp before
-    * ranking so that rank order (with the id tie-break) is engine-portable.
+    * the query set, then bounded top-k. Norms are precomputed once per row on
+    * each side (same arithmetic as recomputing per pair — sqrt(dot(v,v)) —
+    * just not repeated per pair). Scores are rounded to 6 dp before ranking
+    * so that rank order (with the id tie-break) is engine-portable.
     */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = broadcast(
       embeddings.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          norm(col("embedding")).as("qn")))
     val scored = embeddings
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        norm(col("embedding")).as("nn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("nv"), col("qv")), 6).as("score"))
+        round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
     topKPerQuery(scored, k)
   }
 
@@ -95,9 +98,12 @@ object Similarity {
     side("vec_a", "va", "na").crossJoin(side("vec_b", "vb", "nb"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(NativeExpressions.vecDot(col("va"), col("vb")) /
-          (col("na") * col("nb")), 6).as("score"))
-      .filter(col("score") >= threshold)
+        (NativeExpressions.vecDot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("raw"))
+      // threshold on the UNROUNDED cosine — rounding first would admit pairs
+      // whose true similarity is below threshold (round-up at the boundary)
+      .filter(col("raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("score"))
   }
 
   /** Train IVF (inverted-file) centroids: Lloyd's k-means over the corpus,
@@ -164,6 +170,7 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     val corpus = embeddings.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      norm(col("embedding")).as("nn"),
       nearestCell(col("embedding"), centroids).as("cell"))
     val probed = slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x.toDouble * x.toDouble).sum
@@ -172,14 +179,15 @@ object Similarity {
     }: _*)), 1, nprobe)
     val queries = broadcast(
       embeddings.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        .select(col("query_id"), col("qv"),
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          norm(col("embedding")).as("qn"))
+        .select(col("query_id"), col("qv"), col("qn"),
           explode(probed).as("probe"))
-        .select(col("query_id"), col("qv"), col("probe.cell").as("cell")))
+        .select(col("query_id"), col("qv"), col("qn"), col("probe.cell").as("cell")))
     val scored = corpus.join(queries, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("nv"), col("qv")), 6).as("score"))
+        round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
     topKPerQuery(scored, k)
   }
 
@@ -212,24 +220,29 @@ object Similarity {
       k: Int,
       tables: Int = 8,
       bits: Int = 6): DataFrame = {
-    def bucketed(df: DataFrame, idName: String, vName: String): DataFrame =
-      df.select(col(idName), col(vName),
+    def bucketed(df: DataFrame, idName: String, vName: String, nName: String): DataFrame =
+      df.select(col(idName), col(vName), col(nName),
         posexplode(NativeExpressions.lshBuckets(col(vName), tables, bits))
           .as(Seq("tbl", "bkt")))
 
     val corpus = bucketed(
-      embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
-      "neighbor_id", "nv")
+      embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        norm(col("embedding")).as("nn")),
+      "neighbor_id", "nv", "nn")
     val queries = broadcast(bucketed(
       embeddings.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      "query_id", "qv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          norm(col("embedding")).as("qn")),
+      "query_id", "qv", "qn"))
 
+    // score BEFORE dedup: a duplicated candidate (shared buckets in several
+    // tables) costs at most `tables` extra dots, while deduping first would
+    // shuffle both full float vectors per candidate instead of one scalar
     val scored = corpus.join(queries, Seq("tbl", "bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("nv"), col("qv")), 6).as("score"))
+        round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
+      .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
   }
 }

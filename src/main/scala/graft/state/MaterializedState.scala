@@ -46,7 +46,6 @@ object MaterializedState {
   def ensure(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, _ => {
       val dir = stateDir(sfDir)
-      Fs.deleteRecursively(dir)
       StockAggregation.aggregate(Tables.transactions(spark, sfDir))
         .repartitionByRange(8, col("symbol"))
         .sortWithinPartitions("symbol")
@@ -74,7 +73,11 @@ object MaterializedState {
     */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val (aggT, mtsT) = bucketedBuilt.computeIfAbsent(sfDir, _ => {
-      val suffix = sfDir.replaceAll("[^A-Za-z0-9]+", "_").toLowerCase
+      // sanitized name + exact-dir hash: sanitization alone (and the
+      // catalog's case folding) would collide distinct dirs onto one table
+      // name, and the tableExists guard would then serve the wrong data
+      val suffix = sfDir.replaceAll("[^A-Za-z0-9]+", "_").toLowerCase +
+        "_" + java.lang.Integer.toHexString(sfDir.hashCode)
       val aggT = s"graft_agg$suffix"
       val mtsT = s"graft_maxts$suffix"
       val base = stateDir(sfDir).resolveSibling(

@@ -116,20 +116,36 @@ object StreamingState {
       .option("checkpointLocation", checkpoint.toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Serdes.encodeAggregation(batch)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(changelogStr)
+        writeBatchIdempotent(
+          Serdes.encodeAggregation(batch).withColumn("batch_id", lit(batchId)),
+          batchId, changelogStr)
       }
       .start()
     query.awaitTermination()
     changelogStr
   }
 
+  /** foreachBatch is AT-LEAST-ONCE: a batch whose sink write committed but
+    * whose streaming commit log didn't records again on restart, and a blind
+    * append would duplicate its rows (breaking the one-update-per-key-per-
+    * batch invariant and the COUNT(DISTINCT chunk) oracle). Dynamic partition
+    * overwrite on a per-batch partition directory makes the retry replace its
+    * own output instead — the standard idempotent-foreachBatch pattern.
+    * `batch_id` stays a regular long column; the partition key is a separate
+    * string column so partition-type inference can't change reader schemas.
+    */
+  private def writeBatchIdempotent(df: DataFrame, batchId: Long, dir: String): Unit =
+    df.withColumn("p_batch", lit(batchId.toString))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_batch")
+      .parquet(dir)
+
   /** The raw changelog: (key, value proto-JSON, batch_id) — the engine's
     * equivalent of the records on the reference's `output` topic.
     */
   def changelog(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(ensureRun(spark, sfDir))
+    spark.read.parquet(ensureRun(spark, sfDir)).drop("p_batch")
 
   /** The queryable snapshot (S5): latest changelog value per key, decoded to
     * the typed aggregate columns — byte-for-byte the state store contents at
@@ -274,8 +290,8 @@ object StreamingState {
       .option("checkpointLocation", root.resolve("checkpoint").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(changelog)
+        writeBatchIdempotent(
+          batch.withColumn("batch_id", lit(batchId)), batchId, changelog)
       }
       .start()
     query.awaitTermination()

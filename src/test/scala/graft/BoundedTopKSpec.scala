@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.BoundedTopKAgg
+
+/** The size-capped top-k aggregate: bit-identical to the unbounded
+  * collect_list + array_sort + slice formulation, across partitionings
+  * (partial/merge paths) and under ties.
+  */
+class BoundedTopKSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def slow(k: Int) = {
+    val item = struct(col("neg"), col("id"))
+    slice(array_sort(collect_list(item)), 1, k)
+  }
+  private def fast(k: Int) =
+    BoundedTopKAgg.boundedTopK(struct(col("neg"), col("id")), k)
+
+  test("equals the collect_list+slice form on random data, all partitionings") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (i % 7L, -math.floor(rnd.nextDouble() * 100) / 10, rnd.nextInt(40).toLong))
+    for (parts <- Seq(1, 3, 8); k <- Seq(1, 5, 64)) {
+      val df = rows.toDF("query_id", "neg", "id").repartition(parts)
+      val both = df.groupBy("query_id")
+        .agg(slow(k).as("s"), fast(k).as("f"))
+        .filter(not(col("s") === col("f")))
+      assert(both.count() == 0, s"parts=$parts k=$k mismatch")
+    }
+  }
+
+  test("ties keep deterministic (neg, id) order") {
+    val df = Seq((1L, -1.0, 9L), (1L, -1.0, 3L), (1L, -1.0, 5L), (1L, -2.0, 7L))
+      .toDF("query_id", "neg", "id")
+    val top = df.groupBy("query_id").agg(fast(2).as("t"))
+      .select(explode(col("t")).as("x")).select("x.id").as[Long].collect()
+    assert(top.sameElements(Array(7L, 3L))) // (-2,7) then (-1,3)
+  }
+
+  test("groups smaller than k emit all their rows") {
+    val df = Seq((1L, -1.0, 1L), (1L, -2.0, 2L)).toDF("query_id", "neg", "id")
+    val n = df.groupBy("query_id").agg(fast(10).as("t"))
+      .select(size(col("t"))).head().getInt(0)
+    assert(n == 2)
+  }
+
+  test("serialize/deserialize round-trips the buffer") {
+    val agg = BoundedTopKAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), 3)
+    val b = agg.createAggregationBuffer()
+    b.add(-5.0, 1L); b.add(-1.0, 2L); b.add(-3.0, 3L); b.add(-9.0, 4L)
+    val back = agg.deserialize(agg.serialize(b))
+    assert(back.sortedItems.toSeq == Seq((-9.0, 4L), (-5.0, 1L), (-3.0, 3L)))
+  }
+}
