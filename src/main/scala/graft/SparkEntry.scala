@@ -374,10 +374,10 @@ object SparkEntry {
       s"""WITH ctxns AS (${Tables.txnsChunkCte(StreamingState.NumChunks)})
          |SELECT symbol, CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_updates
          |FROM ctxns GROUP BY symbol""".stripMargin,
-    // Dedup: survivors = lowest doc_id per distinct text (plus the md5 the
+    // Dedup: survivors = lowest doc_id per distinct text (plus the sha-256 the
     // engine groups by); near-dup oracle = brute-force 3-gram Jaccard.
     "q_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, doc_id, text, lang, source, n_chars
+      """SELECT sha256(text) AS content_hash, doc_id, text, lang, source, n_chars
         |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |      FROM documents)
         |WHERE rn = 1""".stripMargin,

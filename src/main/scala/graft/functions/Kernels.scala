@@ -26,6 +26,20 @@ object Kernels {
 
   private final val Seed = 42L
 
+  /** Null elements in a kernel input are data corruption — reject loudly
+    * (the Column twins would null-propagate or skip; a kernel silently
+    * reading the zeroed slot would produce a wrong signature/score).
+    */
+  private def checkNoNull(a: ArrayData, what: String): Unit = {
+    var i = 0
+    val m = a.numElements()
+    while (i < m) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$what: null element at index $i — null array elements are rejected loudly")
+      i += 1
+    }
+  }
+
   /** Distinct xxhash64 values of all word n-gram shingles of `text`, where
     * tokens are the `split(text, " ")` slices. Consecutive tokens re-joined
     * with single spaces are exactly the original byte range from the first
@@ -72,12 +86,15 @@ object Kernels {
 
   /** k-permutation MinHash signature over a shingle-hash array: entry j is
     * `min over h of xxhash64(h, j)` (long then int folded, matching
-    * `xxhash64(col, lit(j))` on a long column and an int literal). Null-array
-    * semantics are handled by the expression; empty input yields an empty
-    * signature (callers filter empties first).
+    * `xxhash64(col, lit(j))` on a long column and an int literal). A null
+    * ARRAY yields null (expression-level); an EMPTY array yields an empty
+    * signature (no shingles → no banding keys — never a sentinel value that
+    * would make all empty docs collide); null ELEMENTS are rejected loudly.
     */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
+    checkNoNull(hashes, "minhash_signature")
     val m = hashes.numElements()
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
@@ -99,6 +116,7 @@ object Kernels {
     * 64 per-bit `aggregate` votes in the Column form.
     */
   def simhash64(hashes: ArrayData): Long = {
+    checkNoNull(hashes, "simhash64")
     val m = hashes.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -132,6 +150,7 @@ object Kernels {
     * for equal-length inputs; length mismatch throws.
     */
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    checkNoNull(a, "vec_dot"); checkNoNull(b, "vec_dot")
     val m = checkSameLength(a, b)
     var acc = 0.0
     var i = 0
@@ -143,6 +162,7 @@ object Kernels {
     * [[dotFloat]] for the length-mismatch policy).
     */
   def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    checkNoNull(a, "vec_dot"); checkNoNull(b, "vec_dot")
     val m = checkSameLength(a, b)
     var acc = 0.0
     var i = 0
@@ -156,6 +176,7 @@ object Kernels {
     * matching `xxhash64(lit(t), lit(j), i)` over int arguments.
     */
   def lshBuckets(v: ArrayData, tables: Int, bits: Int): ArrayData = {
+    checkNoNull(v, "lsh_buckets")
     val m = v.numElements()
     val vd = new Array[Double](m)
     var i = 0
@@ -176,7 +197,9 @@ object Kernels {
           proj += (if ((h & 1L) == 0L) vd(i) else -vd(i))
           i += 1
         }
-        if (proj >= 0) key |= (1 << j)
+        // Spark SQL orders NaN above every double, so the Column twin's
+        // `proj >= 0` is TRUE for NaN — match it (Java's NaN compare is false)
+        if (proj >= 0 || java.lang.Double.isNaN(proj)) key |= (1 << j)
         j += 1
       }
       out(t) = key

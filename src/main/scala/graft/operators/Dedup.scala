@@ -40,14 +40,16 @@ object Dedup {
   }
 
   /** Exact dedup by full content: keep the lowest-id row per distinct text.
-    * Hash-groupBy on a 128-bit content hash (single shuffle, compact key);
+    * Hash-groupBy on a 256-bit content hash (single shuffle, compact key);
     * `min_by` picks the deterministic survivor — no window sort, no second
-    * pass over the corpus.
+    * pass over the corpus. SHA-256, not md5: this runs over untrusted
+    * web-scale corpora where md5 collisions are trivially constructible, and
+    * a collision here silently DELETES a document.
     */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val allCols = struct(docs.columns.map(col): _*)
     docs
-      .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
       .agg(min_by(allCols, col(idCol)).as("kept"))
       .select(col("content_hash"), col("kept.*"))
   }
@@ -175,7 +177,9 @@ object Dedup {
       .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // coalesce: sum over ZERO rows is SQL NULL — an empty corpus must yield
+    // the empty labeling, not an unboxing NPE
+    var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -184,7 +188,7 @@ object Dedup {
       labels = labels.union(msgs)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      val s = labels.agg(sum(col("lbl"))).head().getLong(0)
+      val s = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       it += 1
@@ -232,6 +236,10 @@ object Dedup {
     docs
       .select(col(idCol).as("id"),
         NativeExpressions.shingleHashes(col(textCol), n).as("hs"))
+      // docs with no shingles have no content signal: without this filter
+      // they would all fingerprint to 0 and emit each other as hamming-0
+      // "near-duplicates"
+      .filter(size(col("hs")) > 0)
       .select(col("id"), NativeExpressions.simhash64(col("hs")).as("fp"))
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming, with
@@ -247,6 +255,9 @@ object Dedup {
       maxHamming: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming " +
+        "(>= 64 would zero the band keys and degrade the join to all-pairs)")
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
     val fps = fingerprintDF(docs, textCol = textCol, idCol = idCol)

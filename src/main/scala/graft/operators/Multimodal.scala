@@ -37,9 +37,11 @@ object Multimodal {
     */
   def assets(docs: DataFrame): DataFrame = {
     val payload = col("text").cast("binary")
+    // pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    // doc_id would hit element_at index 0 (error) or -1 (silent wrap)
     val mime = element_at(
       array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-      (col("doc_id") % 3 + 1).cast("int"))
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
     docs.select(
       col("doc_id"),
       payload.as("payload"),
@@ -67,6 +69,7 @@ object Multimodal {
     * Returns (doc_id, n_frames, n_sampled, first_frame_feature).
     */
   def frameFeatures(docs: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val a = assets(docs)
     // guard the empty payload: sequence(0, -1) yields [0, -1] (descending
     // step default), which would fabricate two phantom frames

@@ -146,13 +146,16 @@ object TextAnalysis {
     * Returns (doc_id, n_fingerprints, min_fingerprint) — per-row expression
     * work only, no shuffle.
     */
-  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val fps = NativeExpressions.winnowingFingerprints(col("text"), k, w)
-    docs.select(
-      col("doc_id"),
-      size(fps).as("n_fingerprints"),
-      array_min(fps).as("min_fingerprint"))
-  }
+  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    // fingerprint set in its own projection: referencing a Column val twice
+    // would embed the kernel twice (no cross-use sharing for inline exprs)
+    docs
+      .select(col("doc_id"),
+        NativeExpressions.winnowingFingerprints(col("text"), k, w).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fingerprint"))
 
   /** The distinct winnowing fingerprint set of a text column —
     * Column-combinator twin of the native `WinnowingExpr` kernel

@@ -28,9 +28,9 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(1L, 2L, 4L)))
   }
 
-  test("exact dedup emits the md5 content hash it groups by") {
+  test("exact dedup emits the sha-256 content hash it groups by") {
     val kept = Dedup.exact(corpus((1L, "abc"))).select("content_hash").head().getString(0)
-    assert(kept == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(kept == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad") // sha256("abc")
   }
 
   test("near-dup pairs: identical and near-identical docs found, distinct docs not") {
