@@ -145,6 +145,23 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("null array elements are rejected loudly (both array representations)") {
+    // literal/generic path
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT array(1.0F, CAST(NULL AS FLOAT)) AS v")
+        .select(NativeExpressions.vecDot(col("v"), col("v"))).head()
+    }
+    assert(e1.getMessage.contains("null element") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("null element"))
+    // unsafe path: arrays that crossed an exchange are UnsafeArrayData
+    val df = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("hs").repartition(2)
+    val e2 = intercept[Exception] {
+      df.select(NativeExpressions.simhash64(col("hs"))).head()
+    }
+    assert(e2.getMessage.contains("null element") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("null element"))
+  }
+
   test("vecDot rejects mixed-dimension vectors loudly") {
     val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
     val e = intercept[Exception] {
