@@ -49,6 +49,13 @@ case class BoundedTopKAgg(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
+      // a null field inside a non-null struct (e.g. a zero-norm embedding's
+      // NULL cosine from Divide) would read as 0.0/0L and silently occupy
+      // top-k slots — reject loudly, per the repo's edge policy
+      if (row.isNullAt(0) || row.isNullAt(1))
+        throw new IllegalArgumentException(
+          "bounded_top_k: null " + (if (row.isNullAt(0)) "neg_score" else "id") +
+            " in input struct — score the row or filter it out before ranking")
       b.add(row.getDouble(0), row.getLong(1))
     }
     b

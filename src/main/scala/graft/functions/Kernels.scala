@@ -39,13 +39,18 @@ object Kernels {
     */
   private def checkNoNull(a: ArrayData, what: String): Unit = a match {
     case u: UnsafeArrayData =>
-      val words = (u.numElements() + 63) / 64
+      val n = u.numElements()
+      val words = (n + 63) / 64
       val base = u.getBaseObject
       val off = u.getBaseOffset + 8
       var w = 0
       while (w < words) {
-        if (org.apache.spark.unsafe.Platform.getLong(base, off + w * 8L) != 0L)
-          failNull(u, what)
+        var bits = org.apache.spark.unsafe.Platform.getLong(base, off + w * 8L)
+        // final word: mask off padding bits past numElements — Spark's writers
+        // zero them, but a pointTo()'d buffer with dirty padding is still a
+        // valid null-free array and must not fail as corrupt
+        if (w == words - 1 && (n & 63) != 0) bits &= (1L << (n & 63)) - 1
+        if (bits != 0L) failNull(u, what)
         w += 1
       }
     case other =>

@@ -118,11 +118,21 @@ object Similarity {
     */
   def trainIvfCentroids(
       embeddings: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    var centroids: Array[Array[Float]] = embeddings
+    val probe = embeddings
+      .select(size(col("embedding")).as("dim")).limit(1).collect()
+    require(probe.nonEmpty,
+      "trainIvfCentroids: empty embeddings corpus — nothing to train on")
+    require(!probe(0).isNullAt(0),
+      "trainIvfCentroids: null embedding in corpus — null vectors are rejected loudly")
+    val dim = probe(0).getInt(0)
+    val seeds = embeddings
+      .filter(col("embedding").isNotNull)
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
+    require(seeds.length == k,
+      s"trainIvfCentroids: corpus has only ${seeds.length} non-null vectors, need k=$k seeds")
+    var centroids: Array[Array[Float]] = seeds
     (1 to iters).foreach { _ =>
       val assigned = embeddings.select(
         col("embedding"),

@@ -59,7 +59,9 @@ object MaterializedState {
   def read(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(ensure(spark, sfDir))
 
-  private val bucketedBuilt = new ConcurrentHashMap[String, (String, String)]()
+  // private[graft] so the fresh-JVM rerun spec can clear the memo and
+  // re-enter the build path against a pre-existing on-disk layout
+  private[graft] val bucketedBuilt = new ConcurrentHashMap[String, (String, String)]()
 
   /** Co-located serving tables: the aggregate snapshot AND a per-symbol
     * latest-event-time table, both written once as parquet tables BUCKETED by
@@ -83,12 +85,17 @@ object MaterializedState {
       val base = stateDir(sfDir).resolveSibling(
         stateDir(sfDir).getFileName.toString + "_bucketed")
       if (!spark.catalog.tableExists(aggT)) {
+        // catalog is per-JVM but the external path persists: a fresh JVM with
+        // a stale directory would fail the CTAS (non-empty location) — clear
+        // it first, mirroring how ensure() tolerates leftover state
+        Fs.deleteRecursively(base.resolve("agg"))
         StockAggregation.aggregate(Tables.transactions(spark, sfDir))
           .write.bucketBy(8, "symbol").sortBy("symbol")
           .option("path", base.resolve("agg").toString)
           .mode("overwrite").format("parquet").saveAsTable(aggT)
       }
       if (!spark.catalog.tableExists(mtsT)) {
+        Fs.deleteRecursively(base.resolve("mts"))
         Tables.transactionsWithTs(spark, sfDir)
           .groupBy("symbol")
           .agg(max(unix_millis(col("ts"))).as("max_ts_ms"))

@@ -131,8 +131,13 @@ object StreamingState {
     * batch invariant and the COUNT(DISTINCT chunk) oracle). Dynamic partition
     * overwrite on a per-batch partition directory makes the retry replace its
     * own output instead — the standard idempotent-foreachBatch pattern.
-    * `batch_id` stays a regular long column; the partition key is a separate
-    * string column so partition-type inference can't change reader schemas.
+    * `batch_id` stays a regular long column; the partition key `p_batch` is a
+    * separate throwaway column. Note the written value's type does NOT pin the
+    * reader-side type — partition-column type inference works off the
+    * directory names at read time (`p_batch=0` infers as int regardless), and
+    * is harmless here only because every reader drops `p_batch`; a reader
+    * that keeps it must read with an explicit schema (or disable
+    * `spark.sql.sources.partitionColumnTypeInference.enabled`).
     */
   private def writeBatchIdempotent(df: DataFrame, batchId: Long, dir: String): Unit =
     df.withColumn("p_batch", lit(batchId.toString))

@@ -48,6 +48,19 @@ class BoundedTopKSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("null struct fields are rejected loudly, not ranked as 0.0") {
+    // a zero-norm embedding's cosine is NULL (Divide by zero) — inside a
+    // non-null struct it must not silently read as score 0.0
+    val df = Seq((1L, Some(-1.0), 1L), (1L, None, 2L))
+      .toDF("query_id", "neg", "id")
+    val e = intercept[Exception] {
+      df.groupBy("query_id").agg(fast(2).as("t")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bounded_top_k: null")), msgs(e).mkString(" | "))
+  }
+
   test("serialize/deserialize round-trips the buffer") {
     val agg = BoundedTopKAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1), 3)

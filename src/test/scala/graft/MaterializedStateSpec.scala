@@ -79,6 +79,25 @@ class MaterializedStateSpec extends AnyFunSuite {
     assert(joined.except(viaRecompute).isEmpty && viaRecompute.except(joined).isEmpty)
   }
 
+  test("bucketed tables rebuild cleanly in a fresh catalog over a stale directory") {
+    // Simulate a new JVM run against leftover state: the in-memory catalog
+    // forgets the tables but the bucketed directories persist. The build path
+    // must clear the stale location before its CTAS (a blind saveAsTable
+    // fails on a non-empty location since Spark 3.2).
+    // materialize first's rows up front: the rebuild rewrites the underlying
+    // files, invalidating the old DataFrame's resolved file listing
+    val firstRows = MaterializedState.bucketedJoin(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val tables = spark.catalog.listTables()
+      .collect().map(_.name).filter(_.startsWith("graft_"))
+    assert(tables.nonEmpty, "expected bucketed graft_* tables in catalog")
+    tables.foreach(t => spark.sql(s"DROP TABLE $t"))
+    MaterializedState.bucketedBuilt.clear()
+    val againRows = MaterializedState.bucketedJoin(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(againRows == firstRows)
+  }
+
   test("filtered range collapses key bounds and compiled predicate into one scan") {
     val df = InteractiveQueries.filteredRangeQuery(
       state, Some("U000000"), Some("U000099"), "@.buys > @.sells")

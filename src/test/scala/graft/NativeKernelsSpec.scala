@@ -162,6 +162,39 @@ class NativeKernelsSpec extends AnyFunSuite {
       e2.getCause != null && e2.getCause.getMessage.contains("null element"))
   }
 
+  test("null scan tolerates dirty padding bits in the final bitmap word") {
+    // Spark's writers zero the null-bitmap padding, but a producer that
+    // pointTo()'s an un-zeroed buffer is still handing over a VALID null-free
+    // array — the word-scan must mask the final word to its live bits.
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.unsafe.Platform
+    val clean = UnsafeArrayData.fromPrimitiveArray(Array(11L, 22L, 33L))
+    val expected = graft.functions.Kernels.simhash64(clean)
+    val nBytes = clean.getSizeInBytes
+    val buf = new Array[Byte](nBytes)
+    Platform.copyMemory(clean.getBaseObject, clean.getBaseOffset,
+      buf, Platform.BYTE_ARRAY_OFFSET, nBytes)
+    // dirty every padding bit of the (single) bitmap word at offset 8
+    var word = Platform.getLong(buf, Platform.BYTE_ARRAY_OFFSET + 8)
+    word |= ~((1L << 3) - 1)
+    Platform.putLong(buf, Platform.BYTE_ARRAY_OFFSET + 8, word)
+    val dirty = new UnsafeArrayData()
+    dirty.pointTo(buf, Platform.BYTE_ARRAY_OFFSET, nBytes)
+    assert(dirty.numElements() == 3)
+    assert(graft.functions.Kernels.simhash64(dirty) == expected)
+    // and a REAL null in the live bits still fails loudly
+    val withNull = new Array[Byte](nBytes)
+    Platform.copyMemory(clean.getBaseObject, clean.getBaseOffset,
+      withNull, Platform.BYTE_ARRAY_OFFSET, nBytes)
+    Platform.putLong(withNull, Platform.BYTE_ARRAY_OFFSET + 8, word | 2L)
+    val nulled = new UnsafeArrayData()
+    nulled.pointTo(withNull, Platform.BYTE_ARRAY_OFFSET, nBytes)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Kernels.simhash64(nulled)
+    }
+    assert(e.getMessage.contains("null element"))
+  }
+
   test("vecDot rejects mixed-dimension vectors loudly") {
     val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
     val e = intercept[Exception] {

@@ -135,4 +135,24 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
+
+  test("ivf training rejects empty, null, and undersized corpora loudly") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(empty, k = 4)
+    }
+    assert(e1.getMessage.contains("empty"), e1.getMessage)
+
+    val withNull = Seq((0L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(withNull, k = 1)
+    }
+    assert(e2.getMessage.contains("null embedding"), e2.getMessage)
+
+    val small = vecs((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(small, k = 4)
+    }
+    assert(e3.getMessage.contains("need k=4"), e3.getMessage)
+  }
 }
