@@ -141,8 +141,9 @@ object SparkEntry {
         .select(tsMs.as("ts_ms"), Serdes.decodeTransaction(json).as("t"))
         .select(col("ts_ms"), col("t.symbol").as("symbol"), col("t.buy").as("buy"),
           col("t.amount").as("amount"), col("t.numberShares").as("number_shares"))
-      StockAggregation.aggregate(decoded.drop("ts_ms"))
-        .join(decoded.groupBy("symbol").agg(max(col("ts_ms")).as("max_ts_ms")), "symbol")
+      // fused: agg + per-key max(ts) in ONE hash aggregate — the unfused
+      // aggregate ⋈ groupBy-max form decoded the whole stream twice
+      StockAggregation.aggregateWithMaxTs(decoded)
     }),
     // ---- S5 serving-layer co-location: aggregate snapshot ⋈ per-symbol
     //      latest-ts, both bucketed by symbol — the join plans with NO
@@ -230,9 +231,14 @@ object SparkEntry {
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
     "q_text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), k = 20)),
-    // language-ID and winnowing fingerprints hash with xxhash64 / train
-    // corpus-derived profiles — not SQL-expressible → rows-only; semantics
-    // pinned in TextAnalysisSpec
+    // per-source token-count distribution (corpus-quality profile): exact
+    // interpolated quantiles so the whole thing is oracle-checkable
+    "q_text_token_dist" -> ((s, dir) => TextAnalysis.tokenDistribution(Tables.documents(s, dir))),
+    // language-ID: the trained profiles are plain trigram STRINGS, so the
+    // whole train+score pipeline has a DuckDB twin (the oracle retrains the
+    // profiles in SQL and must pick the same languages). Winnowing
+    // fingerprints hash with xxhash64 — not SQL-expressible → rows-only,
+    // semantics pinned in TextAnalysisSpec.
     "q_text_langid" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextAnalysis.languageId(docs, langProfiles.computeIfAbsent(dir,
@@ -245,9 +251,16 @@ object SparkEntry {
     // native-expression frame slicing + per-frame features (xxhash64-based →
     // rows-only; semantics pinned in MultimodalSpec)
     "q_multimodal_frames" -> ((s, dir) => Multimodal.frameFeatures(Tables.documents(s, dir))),
-    // the mapPartitions decode seam with the stub codec (rows-only)
+    // the mapPartitions decode seam with the stub codec. Registered output is
+    // the scalar projection (the raw per-frame feature array is not a stable
+    // driver-comparable column); n_frames comes from the DECODER's actual
+    // output, the oracle recomputes it from text length — so the seam's
+    // row/metadata preservation is hash-verified while the feature values
+    // stay pinned by MultimodalSpec.
     "q_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeWithStub(Tables.documents(s, dir)).toDF()),
+      Multimodal.decodeWithStub(Tables.documents(s, dir)).toDF()
+        .select(col("docId").as("doc_id"), col("mime"),
+          col("nFrames").as("n_frames"))),
     // resize through the decoder seam: size accounting is oracle-checked
     // (the stub honors ceil(len/factor)); content pinned in MultimodalSpec
     "q_multimodal_resize" -> ((s, dir) =>
@@ -456,6 +469,47 @@ object SparkEntry {
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin,
+    // per-source token-count distribution: quantile_cont IS Spark's exact
+    // `percentile` (linear interpolation); both sides round to 6 dp
+    "q_text_token_dist" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(SUM(len(string_split(text, ' ')))::DOUBLE / COUNT(*), 6) AS avg_tokens,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.25), 6) AS p25,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.75), 6) AS p75,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90
+        |FROM documents GROUP BY source""".stripMargin,
+    // Cavnar–Trenkle langid, retrained end-to-end in SQL: distinct character
+    // trigrams per doc, top-50 per language (ties by trigram asc), score =
+    // |doc grams ∩ profile|, argmax with ties to the greatest language code —
+    // mirroring TextAnalysis.trainLanguageProfiles + languageId exactly.
+    "q_text_langid" ->
+      """WITH dg AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN len(text) >= 3
+        |              THEN list_distinct([text[i:i+2] FOR i IN range(1, len(text) - 1)])
+        |              ELSE [] END AS grams
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, g AS tg, count(*) AS cnt
+        |  FROM (SELECT lang, unnest(grams) AS g FROM dg)
+        |  GROUP BY lang, g),
+        |prof AS (
+        |  SELECT lang, list(tg) AS tgs FROM (
+        |    SELECT lang, tg,
+        |           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tg ASC) AS rn
+        |    FROM cnt) WHERE rn <= 50 GROUP BY lang),
+        |scored AS (
+        |  SELECT d.doc_id, p.lang AS cand_lang,
+        |         len(list_intersect(d.grams, p.tgs)) AS matched
+        |  FROM dg d CROSS JOIN prof p)
+        |SELECT doc_id, cand_lang AS predicted_lang,
+        |       CAST(matched AS BIGINT) AS matched_ngrams
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY matched DESC, cand_lang DESC) AS rn
+        |      FROM scored)
+        |WHERE rn = 1 AND matched > 0""".stripMargin,
     // Multimodal metadata: UTF-8 byte length and fixed-size frame count over
     // the payload bytes; mime assignment mirrors the engine's derivation.
     "q_multimodal_resize" ->
@@ -472,6 +526,15 @@ object SparkEntry {
         |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
         |  END AS mime,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    // decode seam: the engine's n_frames is what the decoder actually
+    // produced; the oracle recomputes it from the payload length
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
+        |  END AS mime,
         |  CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS INT) AS n_frames
         |FROM documents""".stripMargin
   )

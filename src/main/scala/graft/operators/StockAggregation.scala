@@ -42,6 +42,22 @@ object StockAggregation {
       |FROM txns
       |GROUP BY symbol""".stripMargin
 
+  /** [[aggregate]] fused with a per-key `max(ts_ms)` in the SAME hash
+    * aggregate — for callers that need the aggregate plus the latest-seen
+    * timestamp per key (the `ValueAndTimestamp` parity query). One pass over
+    * the input and one shuffle; the unfused form (aggregate ⋈ groupBy-max)
+    * would evaluate the upstream pipeline twice and add a join exchange.
+    */
+  def aggregateWithMaxTs(txnsWithTsMs: DataFrame): DataFrame =
+    txnsWithTsMs
+      .groupBy(col("symbol"))
+      .agg(
+        decSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
+        decSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
+        sum(col("number_shares")).as("number_shares"),
+        max(col("ts_ms")).as("max_ts_ms")
+      )
+
   /** Per-record changelog (A2 with cache disabled): for EVERY input record,
     * the aggregate value immediately after applying it — exactly the records
     * the reference's `output` topic carries (`max.cache.config=0`,

@@ -43,6 +43,31 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("n_bpe_tokens"))
   }
 
+  /** Per-source token-count distribution: doc count, mean, and interpolated
+    * quantiles of `n_tokens` — the corpus-quality profile a training-data
+    * pipeline tracks per source/shard to catch drift and truncation. One hash
+    * aggregate keyed by source (partial+final, one shuffle of a handful of
+    * rows per source).
+    *
+    * Uses EXACT `percentile` (linear interpolation — the ANSI `quantile_cont`
+    * definition, so the result has a DuckDB oracle twin); the mean divides an
+    * exact long token sum. Quantiles are rounded to 6 dp: both engines
+    * interpolate in double and may differ in the last ulp on the formula's
+    * association. At 100 TB swap `percentile` for `approx_percentile` at the
+    * same call shape once per-group sort cost outweighs exactness.
+    */
+  def tokenDistribution(docs: DataFrame): DataFrame = {
+    def q(p: Double, name: String): Column =
+      round(percentile(col("n_tokens"), lit(p)), 6).as(name)
+    docs
+      .select(col("source"), size(toks(col("text"))).as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+        q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.9, "p90"))
+  }
+
   /** Corpus top-k terms by frequency: explode → hash-aggregate (partial
     * map-side combine, one shuffle keyed by term) → global top-k via
     * orderBy+limit (planned as TakeOrderedAndProject: per-partition top-k,

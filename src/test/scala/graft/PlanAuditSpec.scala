@@ -52,11 +52,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle entries without a query: ${o -- q}")
-    // rows-only entries are the hash-based/approximate ops, by design
+    // rows-only entries are the xxhash64-based/approximate ops, by design
+    // (langid + the decode seam graduated to oracle-checked in round 4)
     val rowsOnly = q -- o
     val expectedRowsOnly = Set(
-      "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf", "q_text_langid",
-      "q_text_fingerprint", "q_multimodal_frames", "q_multimodal_decode")
+      "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf",
+      "q_text_fingerprint", "q_multimodal_frames")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries (add an oracle or whitelist deliberately): ${rowsOnly -- expectedRowsOnly}")
   }
