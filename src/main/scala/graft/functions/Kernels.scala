@@ -318,3 +318,78 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(if (m == nWin) out else java.util.Arrays.copyOf(out, m))
   }
 }
+
+/** One-pass multi-profile n-gram scorer backing `ProfileBestMatchExpr`: the
+  * per-language profiles are inverted ONCE into a trigram → language-indices
+  * map (a bounded model artifact, languages × profileSize entries), so
+  * scoring a document is a single pass over its grams — O(|grams|) — instead
+  * of the per-language `array_intersect` form's O(langs × (|grams| +
+  * profile)) with a per-row, per-language hash-set rebuild of the same
+  * literal profile.
+  *
+  * Bit-compatible with `array_max(array(struct(size(array_intersect(grams,
+  * profile_l)), lang_l), ...))`: max matched count, ties to the greatest
+  * language code under Spark's binary string order (UTF8String.compareTo) —
+  * differential-tested in NativeKernelsSpec.
+  *
+  * Serializable (shipped inside the codegen references array); the inverted
+  * index rebuilds lazily on each executor JVM.
+  */
+final class ProfileMatcher(langs: Array[String], profiles: Array[Array[String]])
+    extends Serializable {
+  require(langs.nonEmpty, "profile_best_match: empty profile set")
+  require(langs.length == profiles.length,
+    s"profile_best_match: ${langs.length} languages but ${profiles.length} profiles")
+
+  @transient private lazy val langU: Array[UTF8String] =
+    langs.map(UTF8String.fromString)
+
+  @transient private lazy val index: java.util.HashMap[UTF8String, Array[Int]] = {
+    val acc = new java.util.HashMap[UTF8String, java.util.ArrayList[Integer]]()
+    var l = 0
+    while (l < profiles.length) {
+      profiles(l).foreach { g =>
+        acc.computeIfAbsent(UTF8String.fromString(g), _ => new java.util.ArrayList[Integer]())
+          .add(l)
+      }
+      l += 1
+    }
+    val m = new java.util.HashMap[UTF8String, Array[Int]](acc.size() * 2)
+    acc.forEach { (g, ls) =>
+      val a = new Array[Int](ls.size())
+      var i = 0
+      while (i < a.length) { a(i) = ls.get(i); i += 1 }
+      m.put(g, a)
+    }
+    m
+  }
+
+  /** struct(matched, cand_lang) of the best-scoring language for this gram
+    * set. Called once per row from generated code.
+    */
+  def bestMatch(grams: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new Array[Int](langs.length)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      if (grams.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"profile_best_match: null element at index $i — null array elements are rejected loudly")
+      val ls = index.get(grams.getUTF8String(i))
+      if (ls != null) {
+        var j = 0
+        while (j < ls.length) { counts(ls(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < counts.length) {
+      if (counts(l) > counts(best) ||
+        (counts(l) == counts(best) && langU(l).compareTo(langU(best)) > 0)) best = l
+      l += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](counts(best), langU(best)))
+  }
+}

@@ -146,6 +146,40 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** `struct<matched:int, cand_lang:string>` — best-scoring language of a
+    * distinct-gram array against a fixed profile set (see [[ProfileMatcher]]).
+    * The profile set rides along as a reference object (it is a model
+    * artifact, not a literal), so the row path is still a single static call
+    * inside whole-stage codegen.
+    */
+  case class ProfileBestMatchExpr(
+      child: Expression, langs: Seq[String], profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+    require(langs.nonEmpty, "empty language profile set")
+    require(langs.length == profiles.length,
+      s"${langs.length} languages but ${profiles.length} profiles")
+
+    @transient private lazy val matcher =
+      new ProfileMatcher(langs.toArray, profiles.map(_.toArray).toArray)
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("matched", IntegerType, nullable = false),
+      StructField("cand_lang", StringType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got ${t.sql}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      matcher.bestMatch(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("profileMatcher", matcher,
+        classOf[ProfileMatcher].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.bestMatch($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------ Column API
 
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -170,4 +204,8 @@ object NativeExpressions {
 
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingExpr(expr(text), k, w))
+
+  def profileBestMatch(grams: Column, profiles: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(
+      ProfileBestMatchExpr(expr(grams), profiles.map(_._1), profiles.map(_._2)))
 }

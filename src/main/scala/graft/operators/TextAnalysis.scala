@@ -104,18 +104,40 @@ object TextAnalysis {
     * query.
     *
     * Score ([[languageId]]): per document, matched(lang) = |distinct doc
-    * trigrams ∩ profile(lang)| via `array_intersect` against the literal
-    * profile arrays; predicted language = argmax, ties broken
+    * trigrams ∩ profile(lang)|; predicted language = argmax, ties broken
     * deterministically by greatest language code; documents matching no
     * profile trigram are dropped (the join form never emitted them). A pure
     * map-side projection — no explode, no join, no shuffle — so scoring
     * scales embarrassingly at 100 TB, where the previous explode +
     * broadcast-join shape pushed docs × trigrams rows through two extra
-    * aggregations to compute the same counts.
+    * aggregations to compute the same counts. The hot path scores through
+    * the native one-pass [[graft.functions.ProfileMatcher]] (inverted
+    * trigram→language index built once); [[languageIdColumns]] is the
+    * `array_intersect` Column twin kept as executable documentation,
+    * differential-tested in NativeKernelsSpec.
     *
     * Returns (doc_id, predicted_lang, matched_ngrams).
     */
   def languageId(docs: DataFrame, profiles: Seq[(String, Seq[String])]): DataFrame = {
+    require(profiles.nonEmpty, "empty language profile set")
+    docs
+      // grams in their own projection: a reused Column val would duplicate
+      // the kernel per language (no cross-use sharing for inline expressions)
+      .select(col("doc_id"), NativeExpressions.charNgrams(col("text"), 3).as("grams"))
+      .select(col("doc_id"),
+        NativeExpressions.profileBestMatch(col("grams"), profiles).as("best"))
+      .select(col("doc_id"), col("best.cand_lang").as("predicted_lang"),
+        col("best.matched").cast("long").as("matched_ngrams"))
+      .filter(col("matched_ngrams") > 0)
+  }
+
+  /** Column-combinator twin of [[languageId]]'s scoring: per-language
+    * `array_intersect` against the literal profiles, argmax via `array_max`
+    * over (matched, lang) structs. Semantically identical (the native path is
+    * differential-tested against this), ~langs× more per-row work — kept as
+    * executable documentation.
+    */
+  def languageIdColumns(docs: DataFrame, profiles: Seq[(String, Seq[String])]): DataFrame = {
     require(profiles.nonEmpty, "empty language profile set")
     val scored = array(profiles.map { case (lang, tgs) =>
       struct(
@@ -123,8 +145,6 @@ object TextAnalysis {
         lit(lang).as("cand_lang"))
     }: _*)
     docs
-      // grams in their own projection: a reused Column val would duplicate
-      // the kernel per language (no cross-use sharing for inline expressions)
       .select(col("doc_id"), NativeExpressions.charNgrams(col("text"), 3).as("grams"))
       .select(col("doc_id"), array_max(scored).as("best"))
       .select(col("doc_id"), col("best.cand_lang").as("predicted_lang"),

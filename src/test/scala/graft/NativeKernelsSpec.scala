@@ -162,6 +162,24 @@ class NativeKernelsSpec extends AnyFunSuite {
       e2.getCause != null && e2.getCause.getMessage.contains("null element"))
   }
 
+  test("profileBestMatch == per-language array_intersect + array_max form") {
+    val profiles = TextAnalysis.trainLanguageProfiles(docs)
+    assert(profiles.length > 1, "corpus should have several languages")
+    for (df <- Seq(docs, fixturesDF.withColumn("lang", lit("xx")))) {
+      val fast = TextAnalysis.languageId(df, profiles)
+      val slow = TextAnalysis.languageIdColumns(df, profiles)
+      assert(fast.count() == slow.count())
+      assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty,
+        "native profile scorer diverged from the array_intersect twin")
+    }
+    // tie-break: a doc matching two profiles equally must pick the GREATER
+    // language code (array_max struct ordering)
+    val tied = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val p = Seq("aa" -> Seq("abc"), "zz" -> Seq("bcd"))
+    val best = TextAnalysis.languageId(tied, p).select("predicted_lang").head().getString(0)
+    assert(best == "zz")
+  }
+
   test("null scan tolerates dirty padding bits in the final bitmap word") {
     // Spark's writers zero the null-bitmap padding, but a producer that
     // pointTo()'s an un-zeroed buffer is still handing over a VALID null-free
