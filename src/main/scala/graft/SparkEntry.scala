@@ -174,6 +174,10 @@ object SparkEntry {
         StreamingState.snapshot(s, dir), Some("U000000"), Some("U000099"), "@.buys > @.sells")),
     // ---- Streaming exact dedup: first-seen-per-key state over the replay
     "q_streaming_dedup_keys" -> ((s, dir) => StreamingState.streamingDedupKeys(s, dir)),
+    // ---- S4/A2 per-record semantics IN STREAMING: flatMapGroupsWithState
+    //      custom keyed state emits one cumulative update per input record —
+    //      the reference's cache=0 changelog, same oracle as the batch form.
+    "q_streaming_per_record" -> ((s, dir) => StreamingState.perRecordChangelog(s, dir)),
     // ---- Watermarked event-time windowed streaming agg: bounded state via
     //      withWatermark; time-ordered replay makes it lossless, so the final
     //      snapshot equals the batch windowed aggregate exactly.
@@ -365,6 +369,15 @@ object SparkEntry {
          |mts AS (SELECT symbol, max(epoch_ms(ts)) AS max_ts_ms FROM ttx GROUP BY symbol)
          |SELECT a.symbol, a.buys, a.sells, a.number_shares, m.max_ts_ms
          |FROM agg a JOIN mts m USING (symbol)""".stripMargin,
+    "q_streaming_per_record" ->
+      s"""WITH itxns AS (${Tables.txnsIdCte})
+         |SELECT symbol, event_id,
+         |  CAST(SUM(CASE WHEN buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS DOUBLE) AS buys,
+         |  CAST(SUM(CASE WHEN NOT buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS DOUBLE) AS sells,
+         |  CAST(SUM(number_shares) OVER w AS BIGINT) AS number_shares
+         |FROM itxns
+         |WINDOW w AS (PARTITION BY symbol ORDER BY event_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_changelog_per_record" ->
       s"""WITH itxns AS (${Tables.txnsIdCte})
          |SELECT symbol, event_id,

@@ -114,6 +114,22 @@ object Tables {
        |       CAST(event_id % $nChunks AS INT) AS chunk
        |FROM events""".stripMargin
 
+  /** Txns with `event_id` retained and an ID-ORDERED chunk (`ntile` over
+    * event_id): chunk i+1's smallest id is greater than chunk i's largest, so
+    * a replay staged from these chunks delivers every key's records across
+    * micro-batches in event_id order — the property the per-record streaming
+    * changelog needs to apply running totals in arrival order (within a
+    * batch it sorts the handful of per-key rows itself). The global sort
+    * happens once at staging time, not on the query path.
+    */
+  def transactionsIdChunked(spark: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events(spark, dir).select(
+      col("event_id") +: txnCols :+
+        (ntile(nChunks).over(Window.orderBy(col("event_id"))) - 1)
+          .cast("int").as("chunk"): _*)
+  }
+
   /** Txn stream with ts retained and a TIME-ORDERED chunk id (`ntile` over
     * event time, ties broken by event_id): chunk i+1's minimum ts is >= chunk
     * i's maximum, so a replay staged from these chunks is watermark-lossless

@@ -228,6 +228,107 @@ object StreamingState {
     spark.read.parquet(out)
   }
 
+  /** A decoded input record for the per-record changelog (field names match
+    * the staged parquet columns).
+    */
+  final case class TxnEvent(
+      event_id: Long, symbol: String, buy: Boolean, amount: Double, number_shares: Int)
+
+  /** Keyed running totals carried in the state store. Dollar amounts are
+    * CENTS in a long — the inputs are 2-dp decimals, so cent accumulation is
+    * exact and order-independent, and `cents / 100.0` is the same double as
+    * the batch plan's `CAST(SUM(DECIMAL(18,2)) AS DOUBLE)` (both are the
+    * nearest double of the same exact 2-dp value).
+    */
+  final case class RunningTotals(buysCents: Long, sellsCents: Long, shares: Long)
+
+  /** One emitted changelog record — the aggregate value immediately after
+    * applying one input record.
+    */
+  final case class PerRecordUpdate(
+      symbol: String, event_id: Long, buys: Double, sells: Double, number_shares: Long)
+
+  private val perRecordRuns = new ConcurrentHashMap[String, String]()
+
+  /** The reference's cache=0 per-record emission, realized IN STREAMING:
+    * `flatMapGroupsWithState` keeps per-symbol running totals in the state
+    * store and emits one cumulative update per INPUT record — exactly the
+    * records Kafka Streams puts on `output`
+    * (`KafkaStreamsService.java:89-93` with
+    * `KafkaStreamsAppConfiguration.java:92`'s cache=0). This closes the
+    * semantic gap the update-mode aggregation documents (one update per
+    * key per BATCH): where per-record granularity is required, custom keyed
+    * state is the Spark-idiomatic answer (SURVEY §7.3).
+    *
+    * Ordering: the replay is staged in event_id-ORDERED chunks
+    * ([[Tables.transactionsIdChunked]]), so no batch contains an id older
+    * than a previous batch's; within a batch each group sorts its own rows
+    * (bounded by per-key batch volume). Output is deterministic and equals
+    * the batch window-function form ([[StockAggregation.perRecordChangelog]])
+    * row-for-row — same DuckDB oracle.
+    *
+    * Scale: state is one small struct per key (like the aggregation); the
+    * emitted stream is 1:1 with input — the cost of per-record granularity
+    * is carried by the sink, not the state store.
+    */
+  def perRecordChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = perRecordRuns.computeIfAbsent(sfDir, _ => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val root = workDir(sfDir).resolve("perrecord")
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      stageChunks(Tables.transactionsIdChunked(spark, sfDir, NumChunks), root, staging)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val source = spark.readStream
+        .schema(StructType(StructField("event_id", LongType) +: txnSchema.fields))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .as[TxnEvent]
+
+      def toCents(amount: Double): Long =
+        java.math.BigDecimal.valueOf(amount)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+
+      val updates = source
+        .groupByKey(_.symbol)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (sym: String, rows: Iterator[TxnEvent], state: GroupState[RunningTotals]) =>
+            var st = state.getOption.getOrElse(RunningTotals(0L, 0L, 0L))
+            // materialize + sort BEFORE state.update: the output iterator is
+            // consumed lazily after this function returns
+            val emitted = rows.toArray.sortBy(_.event_id).map { t =>
+              st =
+                if (t.buy) st.copy(buysCents = st.buysCents + toCents(t.amount),
+                  shares = st.shares + t.number_shares)
+                else st.copy(sellsCents = st.sellsCents + toCents(t.amount),
+                  shares = st.shares + t.number_shares)
+              PerRecordUpdate(sym, t.event_id,
+                st.buysCents / 100.0, st.sellsCents / 100.0, st.shares)
+            }
+            state.update(st)
+            emitted.iterator
+        }
+
+      val outDir = root.resolve("out")
+      val query = updates.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .select("symbol", "event_id", "buys", "sells", "number_shares")
+  }
+
   /** Watermarked event-time windowed streaming aggregation — the Structured
     * Streaming capability the unwindowed twin doesn't exercise: `withWatermark`
     * bounds the window state (windows older than the watermark are evicted,

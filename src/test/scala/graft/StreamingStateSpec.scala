@@ -104,6 +104,17 @@ class StreamingStateSpec extends AnyFunSuite {
       s"tight watermark over out-of-order replay must drop rows ($finalShares vs $batchShares)")
   }
 
+  test("flatMapGroupsWithState per-record changelog equals the batch window-function form") {
+    val streaming = StreamingState.perRecordChangelog(spark, sfDir)
+    val batch = graft.operators.StockAggregation.perRecordChangelog(
+      Tables.transactionsWithId(spark, sfDir))
+      .select("symbol", "event_id", "buys", "sells", "number_shares")
+    assert(streaming.count() == batch.count(),
+      "per-record emission must produce exactly one update per input record")
+    assert(streaming.except(batch).isEmpty && batch.except(streaming).isEmpty,
+      "streaming custom-state totals diverged from the batch running totals")
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
