@@ -249,6 +249,19 @@ object SparkEntry {
         _ => TextAnalysis.trainLanguageProfiles(docs)))
     }),
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // ---- the composed curation pipeline: near-dup canonical filter (which
+    //      subsumes exact dedup) → language-ID → quality filter → per-language
+    //      accounting. Reuses the cached label/profile artifacts; the whole
+    //      composition is oracle-checked end-to-end.
+    "q_pipeline_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = dedupLabels.computeIfAbsent(s"${System.identityHashCode(s)}:text:$dir", _ => {
+        Dedup.nearDedupLabels(docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7))
+      })
+      val profiles = langProfiles.computeIfAbsent(dir,
+        _ => TextAnalysis.trainLanguageProfiles(docs))
+      Curation.curatedLanguageProfile(docs, labels, profiles)
+    }),
     // ---- Beyond-reference: multimodal binary columns ---------------------
     // typed metadata over opaque binary payloads (oracle-checkable)
     "q_multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
@@ -337,6 +350,44 @@ object SparkEntry {
   // the engine's cosinePairs
   private val simPairsSelect: String =
     "SELECT vec_a, vec_b, round(raw, 6) AS score FROM s WHERE raw >= 0.45"
+
+  /** Langid oracle pieces (shared by q_text_langid and q_pipeline_curation):
+    * distinct character trigrams per doc of `table`, as a CTE body.
+    */
+  private def langGramsCte(table: String): String =
+    s"""SELECT doc_id, lang,
+       |       CASE WHEN len(text) >= 3
+       |            THEN list_distinct([text[i:i+2] FOR i IN range(1, len(text) - 1)])
+       |            ELSE [] END AS grams
+       |FROM $table""".stripMargin
+
+  /** Profile training over a `dg` grams relation: top-50 trigrams per
+    * language (ties by trigram asc) — mirrors trainLanguageProfiles.
+    */
+  private val langProfCtes: String =
+    """cnt AS (
+      |  SELECT lang, g AS tg, count(*) AS cnt
+      |  FROM (SELECT lang, unnest(grams) AS g FROM dg)
+      |  GROUP BY lang, g),
+      |prof AS (
+      |  SELECT lang, list(tg) AS tgs FROM (
+      |    SELECT lang, tg,
+      |           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tg ASC) AS rn
+      |    FROM cnt) WHERE rn <= 50 GROUP BY lang)""".stripMargin
+
+  /** Best-language scoring of a grams relation against `prof`: argmax of
+    * |grams ∩ profile|, ties to the greatest language code — mirrors
+    * languageId (native ProfileMatcher path).
+    */
+  private def langBestSelect(gramsRel: String): String =
+    s"""SELECT doc_id, cand_lang AS predicted_lang,
+       |       CAST(matched AS BIGINT) AS matched_ngrams
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY matched DESC, cand_lang DESC) AS rn
+       |      FROM (SELECT d.doc_id, p.lang AS cand_lang,
+       |                   len(list_intersect(d.grams, p.tgs)) AS matched
+       |            FROM $gramsRel d CROSS JOIN prof p))
+       |WHERE rn = 1 AND matched > 0""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_aggregate" -> s"$W SELECT * FROM agg",

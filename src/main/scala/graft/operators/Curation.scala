@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed training-data pipeline this
+  * engine's beyond-reference operators exist for: near-dup canonicalization →
+  * language identification → quality filter → per-language corpus accounting.
+  * Every stage is an individually-verified operator; the composition itself is
+  * oracle-checked end-to-end (`q_pipeline_curation`).
+  *
+  * Note the near-dup canonical filter SUBSUMES exact dedup: identical texts
+  * have Jaccard 1.0, so every exact-duplicate set lies inside one near-dup
+  * component, and keeping `canonical_id == doc_id` (the component minimum)
+  * keeps exactly one representative of both.
+  *
+  * Plan shape at scale: the label join is keyed by doc_id (one shuffle,
+  * co-partitionable with the pair graph's output), language scoring and the
+  * token counting are map-only projections over the kept rows, and the final
+  * aggregate is a handful of rows per language — the same partial+final hash
+  * aggregate as everything else. No stage widens the data beyond the input.
+  */
+object Curation {
+
+  /** (predicted_lang, n_docs, total_tokens, stopword_ratio) over the curated
+    * corpus: one representative per near-dup component, language-identified
+    * against `profiles`, quality-filtered to documents with at least
+    * `minTokens` tokens. Token and stopword counts aggregate as EXACT longs;
+    * the only floating-point step is the single final ratio division —
+    * deterministic and engine-portable.
+    *
+    * @param labels (doc_id, canonical_id) from [[Dedup.nearDedupLabels]]
+    */
+  def curatedLanguageProfile(
+      docs: DataFrame,
+      labels: DataFrame,
+      profiles: Seq[(String, Seq[String])],
+      minTokens: Int = 30,
+      stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
+    val kept = docs.join(
+      labels.filter(col("canonical_id") === col("doc_id")).select("doc_id"),
+      "doc_id")
+    val t = split(col("text"), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    val counted = kept
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(filter(t, x => array_contains(stopArr, x))).as("n_stop"))
+      .filter(col("n_tokens") >= minTokens)
+    TextAnalysis.languageId(kept, profiles)
+      .join(counted, "doc_id")
+      .groupBy(col("predicted_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_tokens")), 6)
+          .as("stopword_ratio"))
+  }
+}
