@@ -283,7 +283,35 @@ object SparkEntry {
     "q_multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeWithStub(Tables.documents(s, dir), factor = 4).toDF()
         .select(col("docId").as("doc_id"), col("mime"),
-          col("byteLen").as("byte_len"), col("byteLenResized").as("byte_len_resized")))
+          col("byteLen").as("byte_len"), col("byteLenResized").as("byte_len_resized"))),
+    // ---- Beyond-reference: quality gate, sampling, packing, quantization --
+    // Gopher-style rule columns + keep decision — pure map-side projection
+    "q_text_quality" -> ((s, dir) => Quality.qualityRules(Tables.documents(s, dir))),
+    // deterministic Bernoulli sample (~10%) by md5 hex-prefix order — the
+    // sample is reproducible across runs, partitionings, and engines
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"), "doc_id", "1999")),
+    // stratified quota sample: the 20 hash-smallest docs per source
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id", 20)),
+    // greedy token-budget sequence packing (per-shard prefix scan)
+    "q_pack_greedy" -> ((s, dir) =>
+      Packing.packGreedy(Tables.documents(s, dir), budget = 1024).toDF()),
+    // per-bin fill accounting over the same packing
+    "q_pack_bins" -> ((s, dir) =>
+      Packing.binSummary(Packing.packGreedy(Tables.documents(s, dir), budget = 1024), 1024)),
+    // int8 max-abs quantization; registered output = portable scalar audit
+    // columns (the int8 array content itself is pinned by SimilaritySpec)
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))),
+    // stream-static enrichment join through the streaming twin — same
+    // relational content as q_join_bucketed, same oracle
+    "q_streaming_enriched" -> ((s, dir) => StreamingState.enrichedSnapshot(s, dir))
   )
 
   // ------------------------------------------------------------- oracles
@@ -388,6 +416,27 @@ object SparkEntry {
        |                   len(list_intersect(d.grams, p.tgs)) AS matched
        |            FROM $gramsRel d CROSS JOIN prof p))
        |WHERE rn = 1 AND matched > 0""".stripMargin
+
+  /** Greedy-packing oracle pieces (shared by q_pack_greedy and q_pack_bins):
+    * per-shard doc ordering + the recursive greedy fold, mirroring
+    * [[graft.operators.Packing.packGreedy]] row for row. Compose after
+    * `WITH RECURSIVE`.
+    */
+  private def packCtes(budget: Int): String =
+    s"""d AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+       |  FROM (SELECT doc_id,
+       |               substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       |               len(string_split(text, ' ')) AS n_tokens
+       |        FROM documents)),
+       |packed(shard, rn, doc_id, n_tokens, bin_id, cum) AS (
+       |  SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+       |         CASE WHEN p.cum + d.n_tokens > $budget THEN p.bin_id + 1 ELSE p.bin_id END,
+       |         CASE WHEN p.cum + d.n_tokens > $budget THEN d.n_tokens ELSE p.cum + d.n_tokens END
+       |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_aggregate" -> s"$W SELECT * FROM agg",
@@ -600,6 +649,106 @@ object SparkEntry {
         |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
         |  END AS mime,
         |  CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS INT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // The composed curation pipeline, end-to-end in SQL: transitive closure of
+    // the near-dup graph → keep component minima → language-ID the kept docs
+    // against profiles trained on the FULL corpus (mirroring the engine's
+    // trained-once artifact) → min-token quality filter → per-language
+    // accounting. Reuses the same CTE pieces as q_dedup_survivors/q_text_langid.
+    "q_pipeline_curation" ->
+      s"""WITH RECURSIVE sh AS ($dedupShCte),
+         |pairs AS ($dedupNearBody),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         |canon AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |kept AS (
+         |  SELECT d.* FROM documents d LEFT JOIN canon c USING (doc_id)
+         |  WHERE least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id),
+         |dg AS (${langGramsCte("documents")}),
+         |$langProfCtes,
+         |kg AS (${langGramsCte("kept")}),
+         |best AS (${langBestSelect("kg")}),
+         |counted AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) AS n_stop
+         |  FROM kept
+         |  WHERE len(string_split(text, ' ')) >= 30)
+         |SELECT predicted_lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       round(sum(n_stop)::DOUBLE / sum(n_tokens), 6) AS stopword_ratio
+         |FROM best JOIN counted USING (doc_id)
+         |GROUP BY predicted_lang""".stripMargin,
+    // Quality rules: mean token length via the separator identity
+    // sum(len(token)) == len(text) - (n_tokens - 1); DuckDB regexp_replace
+    // needs the 'g' flag to strip ALL symbol chars (Spark's replaces all).
+    "q_text_quality" ->
+      """SELECT doc_id, n_tokens,
+        |  round(mean_len, 6) AS mean_token_len,
+        |  round(sym_ratio, 6) AS symbol_ratio,
+        |  r_tokens, r_mean_len, r_symbol, r_stopword,
+        |  (r_tokens AND r_mean_len AND r_symbol AND r_stopword) AS keep
+        |FROM (
+        |  SELECT doc_id, n_tokens, mean_len, sym_ratio,
+        |    (n_tokens >= 30 AND n_tokens <= 50000) AS r_tokens,
+        |    (mean_len >= 2.0 AND mean_len <= 12.0) AS r_mean_len,
+        |    (sym_ratio <= 0.1) AS r_symbol,
+        |    (list_contains(toks, 'a') OR list_contains(toks, 'the')) AS r_stopword
+        |  FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS toks,
+        |      len(string_split(text, ' ')) AS n_tokens,
+        |      (len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |        / len(string_split(text, ' ')) AS mean_len,
+        |      len(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / len(text) AS sym_ratio
+        |    FROM documents))""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5('s5:' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('s5:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
+    // Greedy packing: the per-shard prefix scan, replayed row-by-row as a
+    // recursive CTE (fine at oracle scale; the engine streams it).
+    "q_pack_greedy" -> s"WITH RECURSIVE ${packCtes(1024)} SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id, CAST(n_tokens AS INT) AS n_tokens FROM packed",
+    "q_pack_bins" ->
+      s"""WITH RECURSIVE ${packCtes(1024)}
+         |SELECT shard, CAST(bin_id AS INT) AS bin_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |  round(sum(n_tokens)::DOUBLE / 1024, 6) AS fill_ratio
+         |FROM packed GROUP BY shard, bin_id""".stripMargin,
+    // int8 quantization audit columns: identical float→double widening,
+    // round-half-away-from-zero, zero-vector → zeros with scale 0
+    "q_embed_quantize" ->
+      """SELECT vec_id, m / 127.0 AS scale,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qs) AS INT) AS q_min,
+        |  CAST(list_max(qs) AS INT) AS q_max
+        |FROM (
+        |  SELECT vec_id, m,
+        |    CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(x::DOUBLE * 127 / m) AS INT)) END AS qs
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      greatest(CAST(list_max(embedding) AS DOUBLE),
+        |               -CAST(list_min(embedding) AS DOUBLE)) AS m
+        |    FROM embeddings))""".stripMargin,
+    // stream-static enrichment: same relational content as q_join_bucketed
+    "q_streaming_enriched" ->
+      s"""WITH ttx AS (${Tables.txnsTsCte}),
+         |txns AS (SELECT symbol, buy, amount, number_shares FROM ttx),
+         |agg AS (${StockAggregation.aggregateSelect}),
+         |mts AS (SELECT symbol, max(epoch_ms(ts)) AS max_ts_ms FROM ttx GROUP BY symbol)
+         |SELECT a.symbol, a.buys, a.sells, a.number_shares, m.max_ts_ms
+         |FROM agg a JOIN mts m USING (symbol)""".stripMargin
   )
 }

@@ -349,8 +349,13 @@ final class ProfileMatcher(langs: Array[String], profiles: Array[Array[String]])
     var l = 0
     while (l < profiles.length) {
       profiles(l).foreach { g =>
-        acc.computeIfAbsent(UTF8String.fromString(g), _ => new java.util.ArrayList[Integer]())
-          .add(l)
+        val ls = acc.computeIfAbsent(
+          UTF8String.fromString(g), _ => new java.util.ArrayList[Integer]())
+        // dedup: a gram repeated within profile l would double-count every
+        // match, diverging from array_intersect's set semantics. Language l's
+        // entries are all appended during this l-iteration, so a duplicate is
+        // always at the tail.
+        if (ls.isEmpty || ls.get(ls.size() - 1) != l) ls.add(l)
       }
       l += 1
     }
@@ -366,6 +371,10 @@ final class ProfileMatcher(langs: Array[String], profiles: Array[Array[String]])
 
   /** struct(matched, cand_lang) of the best-scoring language for this gram
     * set. Called once per row from generated code.
+    *
+    * Precondition: `grams` holds DISTINCT grams (as `charNgrams` produces) —
+    * a repeated input gram counts once per occurrence, matching
+    * `array_intersect`'s semantics only for distinct inputs.
     */
   def bestMatch(grams: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val counts = new Array[Int](langs.length)

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation (beyond-reference
+  * extension, SURVEY §2.5 north star): documents are greedily packed, in
+  * deterministic order, into bins of at most `budget` tokens — the step that
+  * turns a curated corpus into fixed-budget training sequences with minimal
+  * padding waste.
+  *
+  * Distribution model: documents are first sharded by a hash of their id
+  * (16 shards = first hex digit of md5, engine-portable), then packed
+  * GREEDILY within each shard in doc_id order: a document goes into the
+  * current bin unless it would overflow `budget`, in which case it opens the
+  * next bin. An oversized document (> budget tokens alone) still gets its own
+  * bin rather than being dropped — splitting is a tokenizer-level concern.
+  *
+  * Spark realization: greedy packing is a NON-ASSOCIATIVE prefix scan — no
+  * built-in aggregate or window expresses "running sum that resets at a
+  * threshold" (a window cumsum with `floor(cum/budget)` bins would SPLIT
+  * documents across bins). This is the genuine per-partition imperative case:
+  * `repartition(shard)` + `sortWithinPartitions(shard, doc_id)` +
+  * `mapPartitions` with a three-variable accumulator that resets on shard
+  * boundaries. One shuffle keyed by shard, streaming iterator (no per-group
+  * materialization), state = O(1) per partition — the shape holds at 100 TB
+  * with shard count scaled to the cluster.
+  */
+object Packing {
+
+  /** One document routed to a shard, pre-packing. */
+  final case class PackInput(shard: String, doc_id: Long, n_tokens: Int)
+
+  /** One packed document: `bin_id` is 0-based within (shard). */
+  final case class PackedDoc(doc_id: Long, shard: String, bin_id: Int, n_tokens: Int)
+
+  /** Pack `docs` (needs doc_id + text) into per-shard token bins.
+    * Returns (doc_id, shard, bin_id, n_tokens), one row per input document.
+    */
+  def packGreedy(docs: DataFrame, budget: Int, salt: String = "shard"): Dataset[PackedDoc] = {
+    require(budget > 0, s"packGreedy: budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        substring(md5(concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 1)
+          .as("shard"),
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .as[PackInput]
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it =>
+        // several shards may hash into one partition; the sort groups them,
+        // and the accumulator resets at each shard boundary
+        var curShard: String = null
+        var bin = 0
+        var cum = 0L
+        it.map { d =>
+          if (d.shard != curShard) { curShard = d.shard; bin = 0; cum = d.n_tokens }
+          else if (cum + d.n_tokens > budget) { bin += 1; cum = d.n_tokens }
+          else cum += d.n_tokens
+          PackedDoc(d.doc_id, d.shard, bin, d.n_tokens)
+        }
+      }
+  }
+
+  /** Per-bin summary of a [[packGreedy]] result: fill counts and token
+    * utilization per (shard, bin) — the padding-waste accounting a training
+    * pipeline tracks. One hash aggregate keyed by (shard, bin_id).
+    */
+  def binSummary(packed: Dataset[PackedDoc], budget: Int): DataFrame =
+    packed.toDF()
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        round(sum(col("n_tokens")).cast("double") / budget, 6).as("fill_ratio"))
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based document quality filtering — the Gopher-style heuristic gate a
+  * training-data pipeline runs before anything expensive (beyond-reference
+  * extension, SURVEY §2.5 north star). Each rule is a named boolean column so
+  * downstream consumers can audit WHY a document was dropped, not just that
+  * it was; `keep` is the conjunction.
+  *
+  * Every rule is a codegen'd built-in expression over one row — no UDFs, no
+  * higher-order functions, no shuffle — so the filter is a pure map-side
+  * projection that scales embarrassingly and pushes through Catalyst like any
+  * other predicate. Mean token length uses the separator identity
+  * `sum(len(token)) == len(text) - (n_tokens - 1)` (split on ' ' partitions
+  * the string), avoiding a per-token lambda entirely.
+  */
+object Quality {
+
+  /** Per-document rule columns + keep decision:
+    *
+    *   - `r_tokens`:   minTokens <= n_tokens <= maxTokens
+    *   - `r_mean_len`: minMeanLen <= mean token length <= maxMeanLen
+    *   - `r_symbol`:   share of characters outside [a-z0-9 ] <= maxSymbolRatio
+    *   - `r_stopword`: contains at least one stopword (a real-language signal)
+    *   - `keep`:       all of the above
+    *
+    * Returns (doc_id, n_tokens, mean_token_len, symbol_ratio, r_tokens,
+    * r_mean_len, r_symbol, r_stopword, keep); ratios rounded to 6 dp for
+    * engine portability, rules evaluated on the UNROUNDED values.
+    */
+  def qualityRules(
+      docs: DataFrame,
+      minTokens: Int = 30,
+      maxTokens: Int = 50000,
+      minMeanLen: Double = 2.0,
+      maxMeanLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1,
+      stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
+    val t = split(col("text"), " ")
+    val n = size(t)
+    // sum of token lengths = len(text) - (n-1) separators, exactly
+    val meanLen = (length(col("text")) - (n - lit(1))).cast("double") / n.cast("double")
+    val symbolRatio =
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        length(col("text")).cast("double")
+    val hasStop: Column = stopwords
+      .map(w => array_contains(t, w)).reduce(_ || _)
+    docs
+      .select(col("doc_id"), col("text"), n.as("n_tokens"),
+        meanLen.as("mean_len"), symbolRatio.as("sym_ratio"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("mean_len"), 6).as("mean_token_len"),
+        round(col("sym_ratio"), 6).as("symbol_ratio"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("r_tokens"),
+        (col("mean_len") >= minMeanLen && col("mean_len") <= maxMeanLen).as("r_mean_len"),
+        (col("sym_ratio") <= maxSymbolRatio).as("r_symbol"),
+        hasStop.as("r_stopword"))
+      .withColumn("keep",
+        col("r_tokens") && col("r_mean_len") && col("r_symbol") && col("r_stopword"))
+  }
+}

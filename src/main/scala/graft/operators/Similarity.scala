@@ -122,11 +122,12 @@ object Similarity {
       .select(size(col("embedding")).as("dim")).limit(1).collect()
     require(probe.nonEmpty,
       "trainIvfCentroids: empty embeddings corpus — nothing to train on")
-    require(!probe(0).isNullAt(0),
+    // corpus-wide: a null anywhere would flow into the Lloyd iterations
+    // (limit(1).count() short-circuits at the first hit)
+    require(embeddings.filter(col("embedding").isNull).limit(1).count() == 0L,
       "trainIvfCentroids: null embedding in corpus — null vectors are rejected loudly")
     val dim = probe(0).getInt(0)
     val seeds = embeddings
-      .filter(col("embedding").isNotNull)
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
@@ -199,6 +200,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
     topKPerQuery(scored, k)
+  }
+
+  /** Symmetric max-abs int8 quantization of the embedding column — the
+    * storage/bandwidth step a 100 TB vector corpus runs before indexing
+    * (4 bytes/dim → 1): per vector, scale = max|x| / 127 and
+    * q_i = round(x_i / scale) ∈ [-127, 127]. Everything is per-row expression
+    * work (no shuffle); max|x| comes from `array_max`/`array_min` (native
+    * collection ops), so only the element-wise requantization itself rides a
+    * higher-order `transform` — acceptable here because quantization runs
+    * ONCE per corpus (a materialization pass), not per query; if it ever
+    * becomes a hot per-query path, the established native-kernel pattern
+    * (Kernels + NativeExpressions + differential twin) applies directly.
+    *
+    * Returns (vec_id, scale, q) with q the int8 values as ints. The
+    * registered query projects portable SCALAR audit columns over q (sum,
+    * min, max) — see SparkEntry — while the array content itself is pinned by
+    * SimilaritySpec (round-trip error bound).
+    *
+    * Arithmetic is pinned for engine portability: floats widen to double,
+    * q_i = round(x·127/max|x|) (round half away from zero, both engines), a
+    * zero vector quantizes to zeros with scale 0.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val m = greatest(array_max(v).cast("double"), -array_min(v).cast("double"))
+    embeddings
+      .select(col("vec_id"), v, m.as("m"))
+      .select(
+        col("vec_id"),
+        (col("m") / 127.0).as("scale"),
+        when(col("m") === 0.0, transform(v, _ => lit(0)))
+          .otherwise(transform(v,
+            x => round(x.cast("double") * 127.0 / col("m")).cast("int")))
+          .as("q"))
   }
 
   /** LSH bucket key for one hash table, Column-combinator form: `bits`

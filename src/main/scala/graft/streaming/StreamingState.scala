@@ -329,6 +329,64 @@ object StreamingState {
       .select("symbol", "event_id", "buys", "sells", "number_shares")
   }
 
+  private val enrichedRuns = new ConcurrentHashMap[String, String]()
+
+  /** Stream-static enrichment join — the remaining Structured Streaming join
+    * shape the twin pipeline didn't exercise: the replayed transaction stream
+    * inner-joins a STATIC dimension table (per-symbol latest event timestamp,
+    * standing in for any slowly-changing reference data) before the stateful
+    * aggregation. Spark re-plans the static side per micro-batch with the
+    * stream side as a normal equi-join — at scale the static dim is the
+    * broadcast side and the join never shuffles the stream.
+    *
+    * The aggregate carries the enrichment column through (`max` of a per-key
+    * constant), so the final snapshot is the aggregate ⋈ dim content — the
+    * same relation as `q_join_bucketed`, computed through the streaming path
+    * and checked against the same oracle.
+    */
+  def enrichedSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureRun(spark, sfDir) // stages the replay chunks
+    val out = enrichedRuns.computeIfAbsent(sfDir, _ => {
+      val root = workDir(sfDir).resolve("enriched")
+      Fs.deleteRecursively(root)
+      val staticDim = Tables.transactionsWithTs(spark, sfDir)
+        .groupBy(col("symbol"))
+        .agg(max(unix_millis(col("ts"))).as("max_ts_ms"))
+      val source = spark.readStream
+        .schema(txnSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(workDir(sfDir).resolve("staging").toString)
+      def decSum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(18,2)")).cast("double")
+      val agg = source.join(staticDim, Seq("symbol"))
+        .groupBy(col("symbol"))
+        .agg(
+          decSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
+          decSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
+          sum(col("number_shares")).as("number_shares"),
+          max(col("max_ts_ms")).as("max_ts_ms"))
+      val changelog = root.resolve("changelog").toString
+      val query = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatchIdempotent(
+            batch.withColumn("batch_id", lit(batchId)), batchId, changelog)
+        }
+        .start()
+      query.awaitTermination()
+      changelog
+    })
+    spark.read.parquet(out)
+      .groupBy(col("symbol"))
+      .agg(
+        max_by(col("buys"), col("batch_id")).as("buys"),
+        max_by(col("sells"), col("batch_id")).as("sells"),
+        max_by(col("number_shares"), col("batch_id")).as("number_shares"),
+        max_by(col("max_ts_ms"), col("batch_id")).as("max_ts_ms"))
+  }
+
   /** Watermarked event-time windowed streaming aggregation — the Structured
     * Streaming capability the unwindowed twin doesn't exercise: `withWatermark`
     * bounds the window state (windows older than the watermark are evicted,

@@ -178,6 +178,14 @@ class NativeKernelsSpec extends AnyFunSuite {
     val p = Seq("aa" -> Seq("abc"), "zz" -> Seq("bcd"))
     val best = TextAnalysis.languageId(tied, p).select("predicted_lang").head().getString(0)
     assert(best == "zz")
+    // duplicate trigrams inside a profile must count once (array_intersect's
+    // set semantics) — the inverted index dedups them, so "aa" still ties
+    // with "zz" here and loses only on the tie-break
+    val pDup = Seq("aa" -> Seq("abc", "abc"), "zz" -> Seq("bcd"))
+    val r = TextAnalysis.languageId(tied, pDup)
+      .select("predicted_lang", "matched_ngrams").head()
+    assert(r.getString(0) == "zz" && r.getLong(1) == 1L,
+      s"duplicate profile entries must not inflate matched counts: $r")
   }
 
   test("null scan tolerates dirty padding bits in the final bitmap word") {

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling}
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("greedy packing matches a sequential reference implementation") {
+    val sizes = (0 until 120).map(i => i.toLong -> (i % 23 + 1)).toMap
+    val docs = docsOf(sizes.toSeq.sortBy(_._1).map { case (id, n) =>
+      (id, Seq.fill(n)("w").mkString(" "))
+    }: _*)
+    val budget = 32
+    val packed = Packing.packGreedy(docs, budget).collect()
+
+    // reference: same md5 sharding, doc_id order, greedy fold — in plain Scala
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = sizes.keys.toSeq
+      .groupBy(id => md5hex(s"shard:$id").substring(0, 1))
+      .flatMap { case (shard, ids) =>
+        var bin = 0; var cum = 0L; var first = true
+        ids.sorted.map { id =>
+          val n = sizes(id)
+          if (first) { first = false; cum = n }
+          else if (cum + n > budget) { bin += 1; cum = n }
+          else cum += n
+          (id, shard, bin, n)
+        }
+      }.toSet
+    assert(packed.map(p => (p.doc_id, p.shard, p.bin_id, p.n_tokens)).toSet == expected)
+    // invariant: no bin exceeds the budget unless it holds one oversized doc
+    packed.groupBy(p => (p.shard, p.bin_id)).values.foreach { bin =>
+      assert(bin.map(_.n_tokens).sum <= budget || bin.length == 1)
+    }
+  }
+
+  test("an oversized document gets its own bin and does not stall packing") {
+    val docs = docsOf(
+      (0L, "w w"), (1L, Seq.fill(10)("w").mkString(" ")), (2L, "w w"))
+    val packed = Packing.packGreedy(docs, budget = 5)
+      .collect()
+    // every doc present exactly once
+    assert(packed.map(_.doc_id).sorted.toSeq == Seq(0L, 1L, 2L))
+    // the oversized doc shares its bin with nobody
+    val big = packed.find(_.doc_id == 1L).get
+    assert(packed.count(p => p.shard == big.shard && p.bin_id == big.bin_id) == 1)
+  }
+
+  test("packing is deterministic under different input partitionings") {
+    val docs = docsOf((0 until 200).map(i =>
+      (i.toLong, Seq.fill(i % 17 + 1)("w").mkString(" "))): _*)
+    val a = Packing.packGreedy(docs.repartition(1), budget = 64).collect().sortBy(_.doc_id)
+    val b = Packing.packGreedy(docs.repartition(13), budget = 64).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq, "packing must not depend on the input partitioning")
+  }
+
+  test("bin summary accounts for every document and token") {
+    val docs = docsOf((0 until 50).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" "))): _*)
+    val packed = Packing.packGreedy(docs, budget = 16)
+    val summary = Packing.binSummary(packed, budget = 16).collect()
+    assert(summary.map(_.getAs[Long]("n_docs")).sum == 50)
+    val totalTokens = (0 until 50).map(_ % 7 + 1).sum
+    assert(summary.map(_.getAs[Long]("bin_tokens")).sum == totalTokens)
+  }
+
+  test("hash sampling is deterministic and stratified quotas are exact") {
+    val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
+    val s1 = Sampling.hashSample(docs, "doc_id", "1999").collect().map(_.getLong(0)).sorted
+    val s2 = Sampling.hashSample(docs, "doc_id", "1999").collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "hash sample must be reproducible")
+    assert(s1.nonEmpty && s1.length < 300, "rate ~10% should keep some, not all")
+
+    val strat = Sampling.stratifiedSample(docs, "source", "doc_id", quota = 20)
+    val bySrc = strat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.toSet == Set(20L), s"every stratum must hit its quota: $bySrc")
+    // ranks are 1..quota within each stratum
+    val ranks = strat.filter(col("source") === "src0")
+      .select("rk").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq == (1 to 20))
+  }
+
+  test("hash sampling rejects a malformed rate loudly") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSample(docs, "doc_id", "ZZ")
+    }
+    assert(e.getMessage.contains("hex"))
+  }
+}

@@ -136,6 +136,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("int8 quantization bounds round-trip error and handles zero vectors") {
+    val df = vecs(
+      (0L, Seq(0.5f, -1.0f, 0.25f)),
+      (1L, Seq(0f, 0f, 0f)),               // zero vector → zeros, scale 0
+      (2L, Seq(127f, -63.5f, 1f)))
+    val rows = Similarity.quantizeInt8(df)
+      .select("vec_id", "scale", "q").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).sortBy(_._1)
+
+    val (_, s0, q0) = rows(0)
+    assert(q0 == Seq(64, -127, 32)) // 0.5/1.0*127 = 63.5 → rounds away from zero
+    assert(math.abs(s0 - 1.0 / 127) < 1e-15)
+    // round-trip error bounded by half a quantization step
+    Seq(0.5, -1.0, 0.25).zip(q0).foreach { case (x, q) =>
+      assert(math.abs(x - q * s0) <= s0 / 2 + 1e-12)
+    }
+
+    val (_, s1, q1) = rows(1)
+    assert(s1 == 0.0 && q1 == Seq(0, 0, 0))
+
+    val (_, _, q2) = rows(2)
+    assert(q2 == Seq(127, -64, 1) && q2.forall(q => q >= -127 && q <= 127))
+  }
+
   test("ivf training rejects empty, null, and undersized corpora loudly") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException] {
@@ -148,6 +172,16 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.trainIvfCentroids(withNull, k = 1)
     }
     assert(e2.getMessage.contains("null embedding"), e2.getMessage)
+
+    // null NOT in the first row: the check must be corpus-wide, not a probe
+    // of the head (a later null previously slipped into the Lloyd iterations)
+    val mixedNull = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(mixedNull, k = 2)
+    }
+    assert(e4.getMessage.contains("null embedding"), e4.getMessage)
 
     val small = vecs((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
     val e3 = intercept[IllegalArgumentException] {
