@@ -311,7 +311,40 @@ object SparkEntry {
           array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))),
     // stream-static enrichment join through the streaming twin — same
     // relational content as q_join_bucketed, same oracle
-    "q_streaming_enriched" -> ((s, dir) => StreamingState.enrichedSnapshot(s, dir))
+    "q_streaming_enriched" -> ((s, dir) => StreamingState.enrichedSnapshot(s, dir)),
+    // ---- Temporal joins (operators Spark lacks built-in, Spark-first) -----
+    // as-of join: each txn enriched with the latest PUBLISHED hourly
+    // aggregate (window end = publish time) at or before its timestamp —
+    // merge-shape (one shuffle + sort), never a per-key cross product
+    "q_asof_join" -> ((s, dir) => {
+      val f = Tables.transactionsWithIdTs(s, dir)
+        .select(col("event_id"), col("symbol"), unix_timestamp(col("ts")).as("ts_s"))
+      val dims = windowedAgg(s, dir).select(
+        col("symbol"),
+        (col("window_start_s") + 3600L).as("publish_s"),
+        (col("window_start_s") + 3600L).as("asof_pub_s"),
+        col("number_shares").as("asof_shares"))
+      TemporalJoins.asOfJoin(f, dims, "symbol", "ts_s", "publish_s")
+    }),
+    // bucketed interval range join: txns inside any global maintenance
+    // window [day+2h, day+5h) — no equi key, still a hash join via the
+    // manufactured bucket key (PlanAuditSpec enforces no nested loop)
+    "q_range_join" -> ((s, dir) => {
+      val f = Tables.transactionsWithIdTs(s, dir)
+        .select(col("event_id"), col("symbol"), unix_timestamp(col("ts")).as("ts_s"))
+      val iv = Tables.transactionsWithIdTs(s, dir)
+        .select(unix_timestamp(date_trunc("day", col("ts"))).as("day_s")).distinct()
+        .select((col("day_s") + 7200L).as("start_s"), (col("day_s") + 18000L).as("end_s"))
+      TemporalJoins.rangeJoin(f, iv, "ts_s", "start_s", "end_s", bucketWidth = 3600L)
+        .select("event_id", "symbol", "start_s", "end_s")
+    }),
+    // session windows: per-symbol activity bursts with a 30-minute gap —
+    // session_window grouping, gaps-and-islands oracle
+    "q_session_agg" -> ((s, dir) =>
+      StockAggregation.aggregateSessions(txnsTs(s, dir), gap = "30 minutes")),
+    // the same sessionization THROUGH the streaming twin (watermarked
+    // session_window state, update-mode changelog) — same oracle
+    "q_streaming_session" -> ((s, dir) => StreamingState.sessionSnapshot(s, dir))
   )
 
   // ------------------------------------------------------------- oracles
@@ -437,6 +470,32 @@ object SparkEntry {
        |         CASE WHEN p.cum + d.n_tokens > $budget THEN p.bin_id + 1 ELSE p.bin_id END,
        |         CASE WHEN p.cum + d.n_tokens > $budget THEN d.n_tokens ELSE p.cum + d.n_tokens END
        |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)""".stripMargin
+
+  /** Session-window oracle (batch q_session_agg AND streaming
+    * q_streaming_session): gaps-and-islands on exact microsecond timestamps —
+    * break only when the gap to the previous event is STRICTLY over 30 min
+    * (Spark's session merge is inclusive: an event starting exactly at the
+    * previous session's end chains it, spec-pinned); bounds floor-divide to
+    * epoch seconds exactly like unix_timestamp.
+    */
+  private val sessionOracle: String =
+    s"""WITH ttx AS (${Tables.txnsTsCte}),
+       |e AS (SELECT epoch_us(ts) AS ts_us, symbol, buy, amount, number_shares FROM ttx),
+       |m AS (SELECT *,
+       |        CASE WHEN lag(ts_us) OVER w IS NULL
+       |               OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts_us)),
+       |s AS (SELECT *, SUM(brk) OVER (PARTITION BY symbol ORDER BY ts_us
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM m)
+       |SELECT CAST(min(ts_us) // 1000000 AS BIGINT) AS session_start_s,
+       |       CAST((max(ts_us) + 1800000000) // 1000000 AS BIGINT) AS session_end_s,
+       |       symbol,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(SUM(CASE WHEN buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS buys,
+       |       CAST(SUM(CASE WHEN NOT buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sells,
+       |       CAST(SUM(number_shares) AS BIGINT) AS number_shares
+       |FROM s GROUP BY symbol, sid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_aggregate" -> s"$W SELECT * FROM agg",
@@ -749,6 +808,35 @@ object SparkEntry {
          |agg AS (${StockAggregation.aggregateSelect}),
          |mts AS (SELECT symbol, max(epoch_ms(ts)) AS max_ts_ms FROM ttx GROUP BY symbol)
          |SELECT a.symbol, a.buys, a.sells, a.number_shares, m.max_ts_ms
-         |FROM agg a JOIN mts m USING (symbol)""".stripMargin
+         |FROM agg a JOIN mts m USING (symbol)""".stripMargin,
+    // as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — the merge-
+    // shape engine path must reproduce it exactly. publish_s is whole-second,
+    // so floor(epoch(ts)) >= publish_s ⟺ ts >= publish_s (no truncation skew).
+    "q_asof_join" ->
+      s"""WITH itx AS (${Tables.txnsIdTsCte}),
+         |f AS (SELECT event_id, symbol, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM itx),
+         |wtx AS ($windowAggCte), wagg AS ($windowAggSelect),
+         |d AS (SELECT symbol, window_start_s + 3600 AS publish_s,
+         |             window_start_s + 3600 AS asof_pub_s,
+         |             number_shares AS asof_shares
+         |      FROM wagg)
+         |SELECT f.event_id, f.symbol, f.ts_s, d.asof_pub_s, d.asof_shares
+         |FROM f ASOF LEFT JOIN d
+         |  ON f.symbol = d.symbol AND f.ts_s >= d.publish_s""".stripMargin,
+    // range join: the oracle is the plain non-equi join (fine at oracle
+    // scale); the engine path buckets it into an equi join
+    "q_range_join" ->
+      s"""WITH itx AS (${Tables.txnsIdTsCte}),
+         |f AS (SELECT event_id, symbol, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM itx),
+         |iv AS (SELECT DISTINCT
+         |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) + 7200 AS start_s,
+         |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) + 18000 AS end_s
+         |       FROM itx)
+         |SELECT f.event_id, f.symbol, iv.start_s, iv.end_s
+         |FROM f JOIN iv ON f.ts_s >= iv.start_s AND f.ts_s < iv.end_s""".stripMargin,
+    // session windows: gaps-and-islands on exact microsecond timestamps —
+    // shared by the batch and streaming forms
+    "q_session_agg" -> sessionOracle,
+    "q_streaming_session" -> sessionOracle
   )
 }

@@ -79,6 +79,21 @@ object Tables {
   def transactionsWithId(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(col("event_id") +: txnCols: _*)
 
+  /** Txns with BOTH the unique event id and the event timestamp — the fact
+    * side of the temporal joins (as-of, range).
+    */
+  def transactionsWithIdTs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(col("event_id") +: col("ts") +: txnCols: _*)
+
+  /** DuckDB-SQL twin of [[transactionsWithIdTs]], as a CTE body. */
+  val txnsIdTsCte: String =
+    """SELECT event_id, ts,
+      |       concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
+      |       event_id % 2 = 0 AS buy,
+      |       value AS amount,
+      |       CAST(event_id % 1000 + 1 AS INT) AS number_shares
+      |FROM events""".stripMargin
+
   /** DuckDB-SQL twin of [[transactionsWithId]], as a CTE body. */
   val txnsIdCte: String =
     """SELECT event_id,

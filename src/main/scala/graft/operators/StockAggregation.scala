@@ -166,6 +166,30 @@ object StockAggregation {
         sum(col("s")).cast("double").as("sells"),
         sum(col("n")).as("number_shares"))
 
+  /** Event-time SESSION-window variant: per-symbol activity bursts separated
+    * by more than `gap` of silence — `session_window(ts, gap)` groups rows
+    * whose timestamps chain within the gap (an event at `t` extends a session
+    * whose last event is at or after `t - gap` — the merge is INCLUSIVE at
+    * exactly the gap, spec-pinned; window end = last event + gap). Same one-shuffle hash-aggregate shape as the tumbling window,
+    * plus the per-key session merge Spark performs inside the aggregation.
+    * In streaming the identical expression runs with a watermark bounding the
+    * open-session state. Emitted bounds are epoch seconds for engine
+    * portability (the oracle reproduces the sessionization as a
+    * gaps-and-islands window query).
+    */
+  def aggregateSessions(txnsWithTs: DataFrame, gap: String = "30 minutes"): DataFrame =
+    txnsWithTs
+      .groupBy(session_window(col("ts"), gap), col("symbol"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        decSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
+        decSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
+        sum(col("number_shares")).as("number_shares"))
+      .select(
+        unix_timestamp(col("session_window.start")).as("session_start_s"),
+        unix_timestamp(col("session_window.end")).as("session_end_s"),
+        col("symbol"), col("n_events"), col("buys"), col("sells"), col("number_shares"))
+
   /** Event-time tumbling-window variant — realizes the reference's declared
     * but never-executed `FilteredWindowRangeQuery` intent (Q5,
     * `query/FilteredWindowRangeQuery.java:11-74`; dispatch gap

@@ -462,6 +462,101 @@ object StreamingState {
     changelog
   }
 
+  private val sessionRuns = new ConcurrentHashMap[String, String]()
+
+  /** A sentinel key outside the real symbol space ('~' > any 'U…'), used to
+    * push the watermark past every real session's end at stream end.
+    */
+  private val FlushSymbol = "~FLUSH~"
+
+  /** Streaming SESSION-window aggregation — `session_window` with a watermark
+    * over the time-ordered replay: Spark merges an arriving event into the
+    * open session per key inside the state store, and the watermark closes
+    * (and evicts) sessions whose end falls behind it — the state stays
+    * bounded by OPEN sessions only, which is what makes sessionization viable
+    * on an unbounded stream.
+    *
+    * Session-window streaming aggregation supports APPEND output only
+    * (update mode raises STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION):
+    * a session is emitted exactly once, when the watermark passes its end.
+    * An append sink therefore needs the watermark to eventually pass EVERY
+    * session's end — on a bounded replay the stream finishes before that
+    * happens for the latest sessions, so the staging appends one FINAL chunk
+    * holding a single far-future sentinel row (its key is outside the real
+    * key space): the sentinel advances the watermark beyond every real
+    * session, the engine's no-data micro-batch flushes them, and the
+    * sentinel's own (still-open) session stays in state and is never
+    * emitted. The emitted set then equals the batch
+    * [[graft.operators.StockAggregation.aggregateSessions]] exactly (same
+    * gaps-and-islands oracle), with no dedup step — append is exactly-once
+    * per session.
+    */
+  def sessionSnapshot(
+      spark: SparkSession, sfDir: String,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val out = sessionRuns.computeIfAbsent(s"$sfDir|$gap|$watermarkDelay", _ => {
+      val root = workDir(sfDir).resolve(
+        "session_" + s"${gap}_$watermarkDelay".replaceAll("[^A-Za-z0-9.]+", "_"))
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val txns = Tables.transactionsTimeChunked(spark, sfDir, NumChunks)
+      stageChunks(txns, root, staging)
+      // flush chunk: one sentinel row far enough ahead that
+      // watermark = sentinelTs - delay clears every session end (< maxTs + gap)
+      val maxTs = txns.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 4L * 3600 * 1000) // > gap + delay with margin
+      import spark.implicits._
+      val sentinel = Seq((sentinelTs, FlushSymbol, true, 0.0, 0))
+        .toDF("ts", "symbol", "buy", "amount", "number_shares")
+        .withColumn("chunk", lit(NumChunks))
+      val tmp = root.resolve("_stage_flush")
+      sentinel.drop("chunk").coalesce(1).write.parquet(tmp.toString)
+      val part = Fs.firstWithSuffix(tmp, ".parquet")
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      Files.move(part, staging.resolve(f"chunk_${NumChunks}%02d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      Fs.deleteRecursively(tmp)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val source = spark.readStream
+        .schema(StructType(StructField("ts", TimestampType) +: txnSchema.fields))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+      def decSum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(18,2)")).cast("double")
+      val agg = source.withWatermark("ts", watermarkDelay)
+        .groupBy(session_window(col("ts"), gap), col("symbol"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          decSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
+          decSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
+          sum(col("number_shares")).as("number_shares"))
+        .select(
+          unix_timestamp(col("session_window.start")).as("session_start_s"),
+          unix_timestamp(col("session_window.end")).as("session_end_s"),
+          col("symbol"), col("n_events"), col("buys"), col("sells"),
+          col("number_shares"))
+      val outDir = root.resolve("out")
+      val query = agg.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .filter(col("symbol") =!= FlushSymbol) // defense-in-depth; never emitted
+      .select(col("session_start_s"), col("session_end_s"), col("symbol"),
+        col("n_events"), col("buys"), col("sells"), col("number_shares"))
+  }
+
   /** Stage one parquet file per chunk value of `txns` (chunk column dropped)
     * into `staging`, so `maxFilesPerTrigger=1` replays them as deterministic
     * micro-batches in chunk order.

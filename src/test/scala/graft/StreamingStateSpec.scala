@@ -115,6 +115,18 @@ class StreamingStateSpec extends AnyFunSuite {
       "streaming custom-state totals diverged from the batch running totals")
   }
 
+  test("append-mode streaming sessionization equals the batch session windows") {
+    // the sentinel-flush design: every REAL session is emitted exactly once
+    // (append), the sentinel's own open session never is
+    val streamed = StreamingState.sessionSnapshot(spark, sfDir)
+    val batch = StockAggregation.aggregateSessions(
+      Tables.transactionsWithTs(spark, sfDir), "30 minutes")
+    assert(streamed.count() == batch.count(),
+      "append must emit each closed session exactly once, and all of them")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming session windows diverged from the batch sessionization")
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
