@@ -344,7 +344,16 @@ object SparkEntry {
       StockAggregation.aggregateSessions(txnsTs(s, dir), gap = "30 minutes")),
     // the same sessionization THROUGH the streaming twin (watermarked
     // session_window state, update-mode changelog) — same oracle
-    "q_streaming_session" -> ((s, dir) => StreamingState.sessionSnapshot(s, dir))
+    "q_streaming_session" -> ((s, dir) => StreamingState.sessionSnapshot(s, dir)),
+    // ---- Sketch twins: exact accounting vs mergeable approximations -------
+    // exact per-source vocabulary (the shuffle-every-distinct-term path)
+    "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
+    // HLL++ sketch twin — engine-specific estimate, rows-only; error vs the
+    // exact twin pinned by SketchesSpec
+    "q_sketch_vocab" -> ((s, dir) => Sketches.vocabBySourceApprox(Tables.documents(s, dir))),
+    // Greenwald-Khanna approx-percentile twin of q_text_token_dist
+    "q_sketch_token_dist" -> ((s, dir) =>
+      Sketches.tokenDistributionApprox(Tables.documents(s, dir)))
   )
 
   // ------------------------------------------------------------- oracles
@@ -837,6 +846,13 @@ object SparkEntry {
     // session windows: gaps-and-islands on exact microsecond timestamps —
     // shared by the batch and streaming forms
     "q_session_agg" -> sessionOracle,
-    "q_streaming_session" -> sessionOracle
+    "q_streaming_session" -> sessionOracle,
+    // exact vocabulary accounting (the sketch twins are rows-only)
+    "q_text_vocab" ->
+      """SELECT source,
+        |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct_terms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY source""".stripMargin
   )
 }
