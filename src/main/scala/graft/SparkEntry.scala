@@ -345,6 +345,10 @@ object SparkEntry {
     // the same sessionization THROUGH the streaming twin (watermarked
     // session_window state, update-mode changelog) — same oracle
     "q_streaming_session" -> ((s, dir) => StreamingState.sessionSnapshot(s, dir)),
+    // stream-stream event-time interval join: buys ⋈ sells per symbol within
+    // ±30 min, both sides watermarked — appended pairs equal the batch
+    // interval self-join exactly
+    "q_streaming_join" -> ((s, dir) => StreamingState.streamStreamJoin(s, dir)),
     // ---- Sketch twins: exact accounting vs mergeable approximations -------
     // exact per-source vocabulary (the shuffle-every-distinct-term path)
     "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
@@ -847,6 +851,14 @@ object SparkEntry {
     // shared by the batch and streaming forms
     "q_session_agg" -> sessionOracle,
     "q_streaming_session" -> sessionOracle,
+    // stream-stream interval join: the batch self-join on exact timestamps
+    "q_streaming_join" ->
+      s"""WITH itx AS (${Tables.txnsIdTsCte})
+         |SELECT b.event_id AS buy_event, s.event_id AS sell_event, b.symbol
+         |FROM itx b JOIN itx s
+         |  ON b.symbol = s.symbol AND b.buy AND NOT s.buy
+         | AND s.ts >= b.ts - INTERVAL 30 MINUTE
+         | AND s.ts <= b.ts + INTERVAL 30 MINUTE""".stripMargin,
     // exact vocabulary accounting (the sketch twins are rows-only)
     "q_text_vocab" ->
       """SELECT source,

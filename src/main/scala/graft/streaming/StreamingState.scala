@@ -557,6 +557,75 @@ object StreamingState {
         col("n_events"), col("buys"), col("sells"), col("number_shares"))
   }
 
+  private val ssjRuns = new ConcurrentHashMap[String, String]()
+
+  /** STREAM-STREAM event-time interval join — the remaining Structured
+    * Streaming join shape: the replayed transaction stream split into a BUY
+    * stream and a SELL stream (two independent watermarked sources over the
+    * same staging), inner-joined per symbol on a ±`window` event-time
+    * interval. Spark keeps both sides in state and evicts a row once the
+    * other side's watermark passes the end of its match interval — the
+    * time-range condition is what makes two unbounded streams joinable with
+    * bounded state.
+    *
+    * Losslessness on the replay: with time-ordered chunks, a row's partners
+    * arrive within `window` of it in event time, while eviction needs the
+    * watermark (`delay` behind) to pass `ts + window`; `delay > window`
+    * therefore guarantees no qualifying pair is dropped, and the appended
+    * output equals the batch interval self-join EXACTLY (the DuckDB oracle).
+    */
+  def streamStreamJoin(
+      spark: SparkSession, sfDir: String,
+      window: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val out = ssjRuns.computeIfAbsent(s"$sfDir|$window|$watermarkDelay", _ => {
+      val root = workDir(sfDir).resolve(
+        "ssj_" + s"${window}_$watermarkDelay".replaceAll("[^A-Za-z0-9.]+", "_"))
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      import org.apache.spark.sql.expressions.Window
+      val txns = Tables.transactionsWithIdTs(spark, sfDir)
+        .withColumn("chunk",
+          (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+            .cast("int"))
+      stageChunks(txns, root, staging)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = StructType(
+        StructField("event_id", LongType) +: StructField("ts", TimestampType) +:
+          txnSchema.fields)
+      def side() = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+      val buys = side().filter(col("buy"))
+        .select(col("event_id").as("buy_event"), col("symbol"), col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", watermarkDelay)
+      val sells = side().filter(!col("buy"))
+        .select(col("event_id").as("sell_event"), col("symbol").as("s_symbol"),
+          col("ts").as("sell_ts"))
+        .withWatermark("sell_ts", watermarkDelay)
+      val joined = buys.join(sells, expr(
+        s"""symbol = s_symbol
+           |AND sell_ts >= buy_ts - interval $window
+           |AND sell_ts <= buy_ts + interval $window""".stripMargin))
+        .select(col("buy_event"), col("sell_event"), col("symbol"))
+      val outDir = root.resolve("out")
+      val query = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out).select("buy_event", "sell_event", "symbol")
+  }
+
   /** Stage one parquet file per chunk value of `txns` (chunk column dropped)
     * into `staging`, so `maxFilesPerTrigger=1` replays them as deterministic
     * micro-batches in chunk order.

@@ -48,6 +48,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("map-only queries plan no exchange at all") {
+    // these operators' scale story is "embarrassingly parallel projection /
+    // filter" — a shuffle appearing in any of them is a design regression
+    val mapOnly = Seq(
+      "q_text_quality", "q_sample_hash", "q_text_stats", "q_text_langid",
+      "q_text_fingerprint", "q_multimodal_meta", "q_multimodal_frames",
+      "q_embed_quantize")
+    mapOnly.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name claims map-only but plans a shuffle:\n$plan")
+    }
+  }
+
   test("every query with an oracle entry is registered, and vice versa where required") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -127,6 +127,25 @@ class StreamingStateSpec extends AnyFunSuite {
       "streaming session windows diverged from the batch sessionization")
   }
 
+  test("stream-stream interval join equals the batch interval self-join") {
+    val streamed = StreamingState.streamStreamJoin(spark, sfDir)
+    val t = Tables.transactionsWithIdTs(spark, sfDir)
+    val buys = t.filter(col("buy"))
+      .select(col("event_id").as("buy_event"), col("symbol"), col("ts").as("buy_ts"))
+    val sells = t.filter(!col("buy"))
+      .select(col("event_id").as("sell_event"), col("symbol").as("s_symbol"),
+        col("ts").as("sell_ts"))
+    val batch = buys.join(sells, expr(
+      """symbol = s_symbol
+        |AND sell_ts >= buy_ts - interval 30 minutes
+        |AND sell_ts <= buy_ts + interval 30 minutes""".stripMargin))
+      .select("buy_event", "sell_event", "symbol")
+    assert(streamed.count() == batch.count(),
+      "append must emit each qualifying pair exactly once")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "stream-stream join pairs diverged from the batch interval self-join")
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
