@@ -302,6 +302,18 @@ object SparkEntry {
     // per-bin fill accounting over the same packing
     "q_pack_bins" -> ((s, dir) =>
       Packing.binSummary(Packing.packGreedy(Tables.documents(s, dir), budget = 1024), 1024)),
+    // the materialized training sequences: member texts concatenated in
+    // doc_id order per (shard, bin)
+    "q_pack_payloads" -> ((s, dir) =>
+      Packing.packedPayloads(Tables.documents(s, dir), budget = 1024)),
+    // benchmark decontamination: corpus docs sharing any 3-gram shingle with
+    // the benchmark slice (doc_id % 50 == 0), matched-shingle counts
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminated(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // int8 max-abs quantization; registered output = portable scalar audit
     // columns (the int8 array content itself is pinned by SimilaritySpec)
     "q_embed_quantize" -> ((s, dir) =>
@@ -797,6 +809,25 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
          |  round(sum(n_tokens)::DOUBLE / 1024, 6) AS fill_ratio
          |FROM packed GROUP BY shard, bin_id""".stripMargin,
+    "q_pack_payloads" ->
+      s"""WITH RECURSIVE ${packCtes(1024)}
+         |SELECT p.shard, CAST(p.bin_id AS INT) AS bin_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(p.n_tokens) AS BIGINT) AS bin_tokens,
+         |  string_agg(d.text, chr(10) ORDER BY d.doc_id) AS payload
+         |FROM packed p JOIN documents d USING (doc_id)
+         |GROUP BY p.shard, p.bin_id""".stripMargin,
+    // decontamination: same distinct word-3-gram shingle definition as the
+    // near-dup oracle; the engine joins on shingle HASHES (collision odds
+    // documented at the operator)
+    "q_decontaminate" ->
+      s"""WITH sh AS ($dedupShCte),
+         |bench AS (SELECT DISTINCT g
+         |          FROM (SELECT unnest(ss) AS g FROM sh WHERE doc_id % 50 = 0)),
+         |corp AS (SELECT doc_id, unnest(ss) AS g FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+         |FROM corp c JOIN bench b USING (g)
+         |GROUP BY c.doc_id""".stripMargin,
     // int8 quantization audit columns: identical float→double widening,
     // round-half-away-from-zero, zero-vector → zeros with scale 0
     "q_embed_quantize" ->

@@ -39,6 +39,36 @@ object Dedup {
     array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
+  /** Benchmark DECONTAMINATION — flag corpus documents sharing any word
+    * n-gram shingle with an evaluation/benchmark set (the overlap check every
+    * training pipeline runs so eval data doesn't leak into training data).
+    *
+    * Shape at 100 TB: the benchmark side is small by nature — its DISTINCT
+    * shingle hashes broadcast (8 bytes each, not strings), and the corpus
+    * side is one explode + broadcast-hash-join + per-doc count, no shuffle of
+    * corpus text. Joining on 64-bit xxhash64 shingle hashes instead of the
+    * strings trades a ~n²/2⁶⁵ false-flag probability (vanishing, and
+    * conservative in the flagging direction) for an 8-byte join key; swap
+    * [[NativeExpressions.shingleHashes]] for [[shingles]] at the same call
+    * shape if exact strings are required.
+    *
+    * Returns (doc_id, n_matched) — contaminated corpus docs with their
+    * distinct matched-shingle counts.
+    */
+  def contaminated(
+      corpus: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val bench = broadcast(
+      benchmark
+        .select(explode(NativeExpressions.shingleHashes(col("text"), n)).as("h"))
+        .distinct())
+    corpus
+      .select(col("doc_id"),
+        explode(NativeExpressions.shingleHashes(col("text"), n)).as("h"))
+      .join(bench, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched")) // shingle hashes are distinct per doc
+  }
+
   /** Exact dedup by full content: keep the lowest-id row per distinct text.
     * Hash-groupBy on a 256-bit content hash (single shuffle, compact key);
     * `min_by` picks the deterministic survivor — no window sort, no second

@@ -76,4 +76,27 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("bin_tokens"),
         round(sum(col("n_tokens")).cast("double") / budget, 6).as("fill_ratio"))
+
+  /** Materialize the packed TRAINING SEQUENCES: one row per (shard, bin)
+    * with the member documents' texts concatenated in doc_id order — the
+    * actual artifact a training run consumes. The doc_id-keyed join back to
+    * the corpus is one shuffle; the per-bin concat sorts only each bin's few
+    * member structs (`array_sort` on collect_list output — deterministic
+    * regardless of collection order). Bin payload size is bounded by
+    * `budget` tokens by construction.
+    */
+  def packedPayloads(
+      docs: DataFrame, budget: Int, salt: String = "shard",
+      sep: String = "\n"): DataFrame =
+    packGreedy(docs, budget, salt).toDF()
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          sep).as("payload"))
 }

@@ -72,6 +72,38 @@ class PackingSpec extends AnyFunSuite {
     assert(summary.map(_.getAs[Long]("bin_tokens")).sum == totalTokens)
   }
 
+  test("packed payloads concatenate member texts in doc_id order") {
+    val docs = docsOf((0 until 40).map(i =>
+      (i.toLong, Seq.fill(i % 5 + 1)(s"w$i").mkString(" "))): _*)
+    val textOf = (0 until 40).map(i =>
+      i.toLong -> Seq.fill(i % 5 + 1)(s"w$i").mkString(" ")).toMap
+    val members = Packing.packGreedy(docs, budget = 8).collect()
+      .groupBy(p => (p.shard, p.bin_id))
+    val payloads = Packing.packedPayloads(docs, budget = 8).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getAs[String]("payload"))).toMap
+    assert(payloads.keySet == members.keySet)
+    members.foreach { case (key, ms) =>
+      val (nDocs, payload) = payloads(key)
+      assert(nDocs == ms.length)
+      val expected = ms.map(_.doc_id).sorted.map(textOf).mkString("\n")
+      assert(payload == expected, s"bin $key payload out of order or wrong")
+    }
+  }
+
+  test("decontamination flags exactly the docs sharing a shingle with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx the quick brown fox yy"),        // shares 2 shingles
+      (2L, "totally different words here now"), // disjoint
+      (3L, "fox jumps")                         // < 3 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.contaminated(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L),
+      s"expected only doc 1 flagged with 2 matched shingles, got $out")
+  }
+
   test("hash sampling is deterministic and stratified quotas are exact") {
     val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
     val s1 = Sampling.hashSample(docs, "doc_id", "1999").collect().map(_.getLong(0)).sorted
