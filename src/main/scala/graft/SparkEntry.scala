@@ -787,7 +787,9 @@ object SparkEntry {
         |      len(string_split(text, ' ')) AS n_tokens,
         |      (len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
         |        / len(string_split(text, ' ')) AS mean_len,
-        |      len(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / len(text) AS sym_ratio
+        |      CASE WHEN len(text) = 0 THEN 0.0
+        |           ELSE len(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / len(text)
+        |      END AS sym_ratio
         |    FROM documents))""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents

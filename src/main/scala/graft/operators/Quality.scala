@@ -42,9 +42,12 @@ object Quality {
     val n = size(t)
     // sum of token lengths = len(text) - (n-1) separators, exactly
     val meanLen = (length(col("text")) - (n - lit(1))).cast("double") / n.cast("double")
-    val symbolRatio =
+    // empty text would divide by zero → NULL flags, breaking the boolean
+    // audit contract; an empty document has zero symbols by definition (and
+    // still fails r_tokens under any sane minTokens)
+    val symbolRatio = when(length(col("text")) === 0, lit(0.0)).otherwise(
       length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-        length(col("text")).cast("double")
+        length(col("text")).cast("double"))
     val hasStop: Column = stopwords
       .map(w => array_contains(t, w)).reduce(_ || _)
     docs

@@ -122,30 +122,35 @@ object Similarity {
       .select(size(col("embedding")).as("dim")).limit(1).collect()
     require(probe.nonEmpty,
       "trainIvfCentroids: empty embeddings corpus — nothing to train on")
-    // corpus-wide: a null anywhere would flow into the Lloyd iterations
-    // (limit(1).count() short-circuits at the first hit)
-    require(embeddings.filter(col("embedding").isNull).limit(1).count() == 0L,
+    require(!probe(0).isNullAt(0),
       "trainIvfCentroids: null embedding in corpus — null vectors are rejected loudly")
     val dim = probe(0).getInt(0)
-    val seeds = embeddings
-      .orderBy("vec_id").limit(k)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
+    val seedRows = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
+    require(seedRows.forall(!_.isNullAt(0)),
+      "trainIvfCentroids: null embedding in corpus — null vectors are rejected loudly")
+    val seeds = seedRows.map(_.getSeq[Float](0).toArray)
     require(seeds.length == k,
-      s"trainIvfCentroids: corpus has only ${seeds.length} non-null vectors, need k=$k seeds")
+      s"trainIvfCentroids: corpus has only ${seeds.length} vectors, need k=$k seeds")
     var centroids: Array[Array[Float]] = seeds
     (1 to iters).foreach { _ =>
       val assigned = embeddings.select(
         col("embedding"),
         nearestCell(col("embedding"), centroids).as("cell"))
-      val means = assigned
+      // the null check rides INSIDE the assignment aggregate (a null anywhere
+      // would silently land in a cell and dilute its mean) — corpus-wide
+      // rejection with no standalone validation pass over the corpus
+      val rows = assigned
         .groupBy("cell")
-        .agg(array((0 until dim).map { i =>
-          (sum(col("embedding")(i).cast("decimal(27,10)")) / count(lit(1)))
-            .cast("float")
-        }: _*).as("mean"))
+        .agg(
+          array((0 until dim).map { i =>
+            (sum(col("embedding")(i).cast("decimal(27,10)")) / count(lit(1)))
+              .cast("float")
+          }: _*).as("mean"),
+          sum(when(col("embedding").isNull, lit(1L)).otherwise(lit(0L))).as("n_null"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      require(rows.forall(_.getLong(2) == 0L),
+        "trainIvfCentroids: null embedding in corpus — null vectors are rejected loudly")
+      val means = rows.map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
       // empty cells keep their previous centroid
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
     }

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object StockAggregation {
 
-  private def decSum(c: Column): Column =
+  /** Exact-decimal dollar sum (see scaladoc above); shared by the batch and
+    * streaming aggregation shapes so they cannot drift.
+    */
+  private[graft] def decSum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
   /** txns(symbol, buy, amount, number_shares) → agg(symbol, buys, sells, number_shares). */

@@ -46,6 +46,10 @@ object TemporalJoins {
     require(payloadCols.nonEmpty, "asOfJoin: dims carries no payload columns")
     require(payloadCols.intersect(factCols).isEmpty,
       s"asOfJoin: payload/fact column collision: ${payloadCols.intersect(factCols)}")
+    val reserved = Seq("__k", "__t", "__d", "__f", "__p", "__asof")
+    val clash = (factCols ++ dims.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asOfJoin: input columns collide with reserved internal names: $clash")
 
     val factStruct = facts.select(struct(factCols.map(col): _*).as("s")).schema("s").dataType
     val payloadStruct = dims.select(struct(payloadCols.map(col): _*).as("s")).schema("s").dataType
@@ -88,12 +92,19 @@ object TemporalJoins {
       factTs: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"rangeJoin: bucketWidth must be positive, got $bucketWidth")
-    val bucketed = intervals.withColumn("__b",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth),
-        // end is exclusive: an interval ending exactly on a bucket boundary
-        // does not reach into that bucket
-        floor((col(endCol) - 1) / bucketWidth))))
+    require(!(facts.columns ++ intervals.columns).contains("__b"),
+      "rangeJoin: input columns collide with the reserved bucket column __b")
+    val bucketed = intervals
+      // [start, end) with end <= start is empty — it matches nothing by
+      // definition, and Spark's sequence(a, b) would otherwise step DOWN for
+      // b < a and explode a huge descending bucket array per degenerate row
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__b",
+        explode(sequence(
+          floor(col(startCol) / bucketWidth),
+          // end is exclusive: an interval ending exactly on a bucket boundary
+          // does not reach into that bucket
+          floor((col(endCol) - 1) / bucketWidth))))
     facts
       .withColumn("__b", floor(col(factTs) / bucketWidth))
       .join(bucketed, Seq("__b"))

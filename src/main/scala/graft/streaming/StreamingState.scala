@@ -356,8 +356,7 @@ object StreamingState {
         .schema(txnSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(workDir(sfDir).resolve("staging").toString)
-      def decSum(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(18,2)")).cast("double")
+      import StockAggregation.decSum
       val agg = source.join(staticDim, Seq("symbol"))
         .groupBy(col("symbol"))
         .agg(
@@ -504,12 +503,15 @@ object StreamingState {
       val txns = Tables.transactionsTimeChunked(spark, sfDir, NumChunks)
       stageChunks(txns, root, staging)
       // flush chunk: one sentinel row far enough ahead that
-      // watermark = sentinelTs - delay clears every session end (< maxTs + gap)
-      val maxTs = txns.agg(max(col("ts"))).head().getTimestamp(0)
-      val sentinelTs = new java.sql.Timestamp(
-        maxTs.getTime + 4L * 3600 * 1000) // > gap + delay with margin
+      // watermark = sentinelTs - delay clears every session end (< maxTs +
+      // gap). Computed FROM the caller's gap/delay (a fixed margin would
+      // silently strand tail sessions for larger parameter values).
+      val maxTs = txns
+        .agg((max(col("ts")) + expr(s"interval $gap") + expr(s"interval $watermarkDelay")
+          + expr("interval 1 hour")).as("sentinel_ts"))
+        .head().getTimestamp(0)
       import spark.implicits._
-      val sentinel = Seq((sentinelTs, FlushSymbol, true, 0.0, 0))
+      val sentinel = Seq((maxTs, FlushSymbol, true, 0.0, 0))
         .toDF("ts", "symbol", "buy", "amount", "number_shares")
         .withColumn("chunk", lit(NumChunks))
       val tmp = root.resolve("_stage_flush")
@@ -526,20 +528,10 @@ object StreamingState {
         .schema(StructType(StructField("ts", TimestampType) +: txnSchema.fields))
         .option("maxFilesPerTrigger", "1")
         .parquet(staging.toString)
-      def decSum(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(18,2)")).cast("double")
-      val agg = source.withWatermark("ts", watermarkDelay)
-        .groupBy(session_window(col("ts"), gap), col("symbol"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          decSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
-          decSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
-          sum(col("number_shares")).as("number_shares"))
-        .select(
-          unix_timestamp(col("session_window.start")).as("session_start_s"),
-          unix_timestamp(col("session_window.end")).as("session_end_s"),
-          col("symbol"), col("n_events"), col("buys"), col("sells"),
-          col("number_shares"))
+      // literally the batch operator over the watermarked stream — the same
+      // code, not a hand-maintained copy, so the shared oracle cannot drift
+      val agg = StockAggregation.aggregateSessions(
+        source.withWatermark("ts", watermarkDelay), gap)
       val outDir = root.resolve("out")
       val query = agg.writeStream
         .outputMode("append")
@@ -574,10 +566,26 @@ object StreamingState {
     * therefore guarantees no qualifying pair is dropped, and the appended
     * output equals the batch interval self-join EXACTLY (the DuckDB oracle).
     */
+  /** Fixed-duration interval spec → microseconds (calendar months rejected —
+    * they have no fixed length to compare against).
+    */
+  private def durationUs(spec: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(spec))
+    require(iv.months == 0, s"calendar-month intervals not supported: '$spec'")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
   def streamStreamJoin(
       spark: SparkSession, sfDir: String,
       window: String = "30 minutes",
       watermarkDelay: String = "1 hour"): DataFrame = {
+    // the documented losslessness invariant, enforced: eviction needs the
+    // watermark (delay behind) to pass ts + window before partners stop
+    // arriving — delay <= window would silently drop qualifying pairs
+    require(durationUs(watermarkDelay) > durationUs(window),
+      s"streamStreamJoin: watermarkDelay ($watermarkDelay) must exceed the join window ($window) " +
+        "or qualifying pairs can be evicted before their partner arrives")
     val out = ssjRuns.computeIfAbsent(s"$sfDir|$window|$watermarkDelay", _ => {
       val root = workDir(sfDir).resolve(
         "ssj_" + s"${window}_$watermarkDelay".replaceAll("[^A-Za-z0-9.]+", "_"))

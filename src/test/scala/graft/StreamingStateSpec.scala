@@ -127,6 +127,16 @@ class StreamingStateSpec extends AnyFunSuite {
       "streaming session windows diverged from the batch sessionization")
   }
 
+  test("stream-stream join rejects watermark delay <= join window loudly") {
+    // delay <= window can evict a row before its partners stop arriving —
+    // silently incomplete output, so the invariant is enforced up front
+    val e = intercept[IllegalArgumentException] {
+      StreamingState.streamStreamJoin(spark, sfDir,
+        window = "2 hours", watermarkDelay = "1 hour")
+    }
+    assert(e.getMessage.contains("must exceed"))
+  }
+
   test("stream-stream interval join equals the batch interval self-join") {
     val streamed = StreamingState.streamStreamJoin(spark, sfDir)
     val t = Tables.transactionsWithIdTs(spark, sfDir)

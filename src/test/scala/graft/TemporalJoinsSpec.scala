@@ -77,6 +77,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
       s"range join must not plan all-pairs:\n$plan")
   }
 
+  test("range join treats empty intervals as matching nothing (no descending explode)") {
+    val facts = Seq((1L, 100L)).toDF("event_id", "ts_s")
+    // end <= start: empty by definition — must produce zero matches, not a
+    // huge descending bucket sequence
+    val iv = Seq((200L, 100L), (0L, 0L), (100L, 200L)).toDF("start_s", "end_s")
+    val out = TemporalJoins.rangeJoin(facts, iv, "ts_s", "start_s", "end_s", 64L)
+    assert(out.count() == 1 && out.head().getLong(2) == 100L)
+  }
+
+  test("reserved internal column names are rejected loudly") {
+    val factsB = Seq((1L, 100L, 0L)).toDF("event_id", "ts_s", "__b")
+    val iv = Seq((100L, 200L)).toDF("start_s", "end_s")
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(factsB, iv, "ts_s", "start_s", "end_s", 64L)
+    }
+    assert(e1.getMessage.contains("__b"))
+
+    val factsT = Seq((1L, "A", 5L, 9L)).toDF("event_id", "symbol", "ts_s", "__t")
+    val dims = Seq(("A", 3L, 30L)).toDF("symbol", "pub_s", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(factsT, dims, "symbol", "ts_s", "pub_s")
+    }
+    assert(e2.getMessage.contains("__t"))
+  }
+
   test("session windows merge at exactly the gap and split strictly beyond it") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
     val txns = Seq(
