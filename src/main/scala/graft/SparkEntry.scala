@@ -361,6 +361,12 @@ object SparkEntry {
     // ±30 min, both sides watermarked — appended pairs equal the batch
     // interval self-join exactly
     "q_streaming_join" -> ((s, dir) => StreamingState.streamStreamJoin(s, dir)),
+    // hierarchical accounting: ROLLUP grouping sets in one aggregate pass
+    "q_text_rollup" -> ((s, dir) => TextAnalysis.tokenRollup(Tables.documents(s, dir))),
+    // per-source language-mix pivot over a fixed language list
+    "q_text_pivot" -> ((s, dir) =>
+      TextAnalysis.langPivot(Tables.documents(s, dir),
+        Seq("de", "en", "es", "fr", "zh"))),
     // ---- Sketch twins: exact accounting vs mergeable approximations -------
     // exact per-source vocabulary (the shuffle-every-distinct-term path)
     "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
@@ -892,6 +898,22 @@ object SparkEntry {
          |  ON b.symbol = s.symbol AND b.buy AND NOT s.buy
          | AND s.ts >= b.ts - INTERVAL 30 MINUTE
          | AND s.ts <= b.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // rollup: rolled-up dims surface as '(all)' in both engines
+    "q_text_rollup" ->
+      """SELECT coalesce(source, '(all)') AS source,
+        |       coalesce(lang, '(all)') AS lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+    // pivot: conditional counts over the fixed language list
+    "q_text_pivot" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
     // exact vocabulary accounting (the sketch twins are rows-only)
     "q_text_vocab" ->
       """SELECT source,

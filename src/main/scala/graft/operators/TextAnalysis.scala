@@ -182,6 +182,37 @@ object TextAnalysis {
   }
 
 
+  /** Hierarchical corpus accounting via ROLLUP: per-(source, lang) doc and
+    * token counts plus the per-source and grand-total subtotal rows —
+    * grouping sets in one pass over the data (Catalyst expands the grouping
+    * sets inside a single hash aggregate; no per-level re-scan). Rolled-up
+    * dimensions surface as the literal `(all)` rather than NULL so the output
+    * is unambiguous and engine-portable.
+    */
+  def tokenRollup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), size(toks(col("text"))).as("n_tokens"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .select(
+        coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("n_docs"), col("total_tokens"))
+
+  /** Per-source language-mix PIVOT: one row per source, one column per
+    * language in `langs` (a FIXED list — a data-dependent column set would
+    * make the schema nondeterministic), cells = doc counts, absent cells 0.
+    * Plans as one hash aggregate with `langs.length` conditional counts.
+    */
+  def langPivot(docs: DataFrame, langs: Seq[String]): DataFrame = {
+    require(langs.nonEmpty, "langPivot: the pivot language list must be non-empty")
+    docs
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+  }
+
   /** Winnowing document fingerprints (rolling-hash k-grams + sliding-window
     * minima — the MOSS scheme): every window of `w` consecutive k-gram hashes
     * contributes its minimum, and the distinct minima are the document's

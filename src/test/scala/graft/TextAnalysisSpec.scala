@@ -11,6 +11,28 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   private def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("rollup emits per-pair, per-source, and grand-total rows that add up") {
+    val docs = Seq(
+      (1L, "a b c", "s1", "en"), (2L, "a b", "s1", "de"), (3L, "a", "s2", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.tokenRollup(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("s1", "en")) == (1L, 3L) && out(("s1", "de")) == (1L, 2L))
+    assert(out(("s1", "(all)")) == (2L, 5L) && out(("s2", "(all)")) == (1L, 1L))
+    assert(out(("(all)", "(all)")) == (3L, 6L))
+    assert(out.size == 6) // 3 pairs + 2 source subtotals + 1 grand total
+  }
+
+  test("pivot fills absent cells with zero and keeps the fixed column order") {
+    val docs = Seq(
+      (1L, "x", "s1", "en"), (2L, "y", "s1", "en"), (3L, "z", "s2", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.langPivot(docs, Seq("de", "en", "fr"))
+    assert(out.columns.toSeq == Seq("source", "de", "en", "fr"))
+    val m = out.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("s1") == (0L, 2L, 0L) && m("s2") == (1L, 0L, 0L))
+  }
+
   test("textStats hand-computed") {
     val r = TextAnalysis.textStats(corpus((1L, "the cat sat on the mat"))).head()
     assert(r.getAs[Int]("n_tokens") == 6)
