@@ -38,6 +38,10 @@ object SparkEntry {
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** Frequency vocabulary — a trained model artifact, built once per corpus. */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   /** Survivor labelings — like the materialized state, a derived artifact
     * computed once per corpus (the label-propagation output is already
     * materialized via localCheckpoint; re-running the whole iteration per
@@ -367,6 +371,33 @@ object SparkEntry {
     "q_text_pivot" -> ((s, dir) =>
       TextAnalysis.langPivot(Tables.documents(s, dir),
         Seq("de", "en", "es", "fr", "zh"))),
+    // Gopher-style repetition signals: per-doc top unigram/bigram/trigram
+    // multiset fractions + keep decision — pure map-side projection
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir))),
+    // regex redaction (the PII-scrub shape) with audit match counts; the
+    // demo pattern hits corpus words — the synthetic corpus has no PII
+    "q_text_redact" -> ((s, dir) =>
+      TextAnalysis.redact(Tables.documents(s, dir), "(customer|vector)")),
+    // vocabulary coverage / OOV rate against the trained top-20 frequency
+    // vocab (a cached model artifact, like the language profiles)
+    "q_text_oov" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.vocabCoverage(docs,
+        vocabCache.computeIfAbsent(dir, _ => TextAnalysis.trainVocab(docs, 20)))
+    }),
+    // deterministic epoch shuffle-and-shard: epoch-salted hash shard + rank
+    "q_shuffle_epoch" -> ((s, dir) =>
+      Sampling.epochShuffle(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", epoch = 1)),
+    // incremental (cross-snapshot) near-dedup: odd-id batch scored against
+    // the even-id corpus — candidates cross-side only, exact Jaccard re-check
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDedup(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     // ---- Sketch twins: exact accounting vs mergeable approximations -------
     // exact per-source vocabulary (the shuffle-every-distinct-term path)
     "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
@@ -914,6 +945,82 @@ object SparkEntry {
         |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
         |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
         |FROM documents GROUP BY source""".stripMargin,
+    // repetition signals: same non-distinct gram multisets, mode count via
+    // list comprehension; keep thresholds compare the UNROUNDED ratios
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, t,
+        |        CASE WHEN len(t) >= 2
+        |             THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+        |             ELSE [] END AS g2,
+        |        CASE WHEN len(t) >= 3
+        |             THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+        |             ELSE [] END AS g3
+        |      FROM d),
+        |r AS (SELECT doc_id, len(t) AS n_tokens,
+        |        list_max(list_transform(list_distinct(t),
+        |          x -> len(list_filter(t, y -> y = x))))::DOUBLE / len(t) AS u,
+        |        CASE WHEN len(g2) = 0 THEN 0.0
+        |             ELSE list_max(list_transform(list_distinct(g2),
+        |               x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2) END AS b,
+        |        CASE WHEN len(g3) = 0 THEN 0.0
+        |             ELSE list_max(list_transform(list_distinct(g3),
+        |               x -> len(list_filter(g3, y -> y = x))))::DOUBLE / len(g3) END AS tr
+        |      FROM g)
+        |SELECT doc_id, n_tokens,
+        |  round(u, 6) AS top_unigram_ratio,
+        |  round(b, 6) AS top_bigram_ratio,
+        |  round(tr, 6) AS top_trigram_ratio,
+        |  (u <= 0.14 AND b <= 0.07 AND tr <= 0.05) AS keep
+        |FROM r""".stripMargin,
+    // redaction: DuckDB regexp_replace needs 'g' (Spark's replaces all)
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '(customer|vector)')) AS n_matches,
+        |  regexp_replace(text, '(customer|vector)', '<redacted>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+    // OOV rate vs the top-20 frequency vocab, retrained in SQL (ties by term)
+    "q_text_oov" ->
+      """WITH v AS (SELECT list(term) AS vl FROM (
+        |  SELECT term FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term ORDER BY count(*) DESC, term LIMIT 20)),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, len(t) AS n_tokens,
+        |  len(list_filter(t, x -> NOT list_contains(v.vl, x))) AS n_oov,
+        |  round(len(list_filter(t, x -> NOT list_contains(v.vl, x)))::DOUBLE
+        |        / len(t), 6) AS oov_rate
+        |FROM d CROSS JOIN v""".stripMargin,
+    // epoch shuffle: same md5 salts — 'e1-shard:' picks the shard digit,
+    // 'e1-pos:' orders within the shard
+    "q_shuffle_epoch" ->
+      """SELECT doc_id,
+        |  substring(md5('e1-shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY substring(md5('e1-shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |    ORDER BY md5('e1-pos:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+        |FROM documents""".stripMargin,
+    // incremental near-dedup: brute-force cross-side Jaccard at oracle scale
+    // (the engine's LSH candidates are cross-side only); best match = max
+    // jaccard, ties to the lowest existing id; sentinels for new docs
+    "q_dedup_incremental" ->
+      s"""WITH sh AS ($dedupShCte),
+         |ex AS (SELECT doc_id, ss FROM sh WHERE doc_id % 2 = 0),
+         |inc AS (SELECT doc_id, ss FROM sh WHERE doc_id % 2 = 1),
+         |j AS (SELECT i.doc_id, e.doc_id AS ex_id,
+         |        len(list_intersect(i.ss, e.ss))::DOUBLE
+         |          / len(list_distinct(list_concat(i.ss, e.ss))) AS jac
+         |      FROM inc i JOIN ex e ON
+         |        len(list_intersect(i.ss, e.ss))::DOUBLE
+         |          / len(list_distinct(list_concat(i.ss, e.ss))) >= 0.7),
+         |best AS (SELECT doc_id, ex_id, jac,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY jac DESC, ex_id) AS rn
+         |         FROM j)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(b.ex_id, -1) AS BIGINT) AS matched_id,
+         |  round(coalesce(b.jac, 0.0), 6) AS jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
     // exact vocabulary accounting (the sketch twins are rows-only)
     "q_text_vocab" ->
       """SELECT source,

@@ -67,6 +67,10 @@ object NativeFunctions {
       val Seq(t, k, w) = nArgs("winnowing_fingerprints", 3, args)
       WinnowingExpr(t, intArg("winnowing_fingerprints", 1, k),
         intArg("winnowing_fingerprints", 2, w))
+    },
+    "repetition_ratios" -> { args: Seq[Expression] =>
+      val Seq(t) = nArgs("repetition_ratios", 1, args)
+      RepetitionRatiosExpr(t)
     }
   )
 

@@ -317,6 +317,57 @@ object Kernels {
     }
     UnsafeArrayData.fromPrimitiveArray(if (m == nWin) out else java.util.Arrays.copyOf(out, m))
   }
+
+  /** One-pass repetition-ratio kernel backing `RepetitionRatiosExpr`:
+    * struct(n_tokens, u, b, tr) where u/b/tr are the fractions of the
+    * token / word-2-gram / word-3-gram MULTISETS taken by their most
+    * frequent element (0.0 when the document is too short for that order).
+    * Tokens are `split(text, " ")` slices; each gram is hashed directly over
+    * its byte range (like [[shingleHashes]]) and multiplicities are counted
+    * per hash — equal to counting the strings themselves up to 64-bit
+    * collisions WITHIN one document (P < n²/2⁶⁴ ≈ 1e-14 per doc, and a
+    * collision only matters if it beats the true mode). Semantically equal to
+    * the nested higher-order-function twin in
+    * `TextAnalysis.repetitionStatsColumns`, whose interpreted lambdas cost
+    * O(distinct × n) per row and dominated the query's profile.
+    */
+  def repetitionRatios(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = text.numBytes()
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (text.getByte(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = len
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+
+    def topRatio(n: Int): Double = {
+      val m = nTokens - n + 1
+      if (m <= 0) return 0.0
+      val counts = new java.util.HashMap[java.lang.Long, Integer](m * 2)
+      var best = 0
+      var s = 0
+      while (s < m) {
+        val from = starts(s)
+        val h = XXH64.hashUnsafeBytes(base, off + from, ends(s + n - 1) - from, Seed)
+        val c: Int = counts.merge(h, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        if (c > best) best = c
+        s += 1
+      }
+      best.toDouble / m
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, topRatio(1), topRatio(2), topRatio(3)))
+  }
 }
 
 /** One-pass multi-profile n-gram scorer backing `ProfileBestMatchExpr`: the

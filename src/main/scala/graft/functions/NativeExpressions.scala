@@ -146,6 +146,27 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** `struct<n_tokens:int, u:double, b:double, tr:double>` — token count and
+    * top unigram/bigram/trigram multiset fractions, one pass over the text
+    * bytes (see [[Kernels.repetitionRatios]]).
+    */
+  case class RepetitionRatiosExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("u", DoubleType, nullable = false),
+      StructField("b", DoubleType, nullable = false),
+      StructField("tr", DoubleType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.repetitionRatios(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.repetitionRatios($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `struct<matched:int, cand_lang:string>` — best-scoring language of a
     * distinct-gram array against a fixed profile set (see [[ProfileMatcher]]).
     * The profile set rides along as a reference object (it is a model
@@ -204,6 +225,9 @@ object NativeExpressions {
 
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingExpr(expr(text), k, w))
+
+  def repetitionRatios(text: Column): Column =
+    ColumnBridge.column(RepetitionRatiosExpr(expr(text)))
 
   def profileBestMatch(grams: Column, profiles: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(

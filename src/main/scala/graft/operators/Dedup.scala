@@ -177,6 +177,78 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental (cross-snapshot) near-dedup: score an INCOMING batch against
+    * an already-curated EXISTING corpus without re-deduplicating the corpus —
+    * the shape every continuously-ingesting pipeline runs per batch. Each
+    * incoming document is matched to its best near-duplicate in the existing
+    * corpus (highest exact n-gram Jaccard >= threshold, ties to the lowest
+    * existing id), or marked new.
+    *
+    * Candidates come from the same banded-MinHash bucket join as
+    * [[nearDuplicatePairs]], but joined CROSS-SIDE only (incoming buckets ⋈
+    * existing buckets) — batch × corpus candidate generation never compares
+    * corpus rows to each other, so the per-batch cost scales with the batch,
+    * not the corpus. Every candidate is re-checked with exact Jaccard over
+    * the shingle-hash sets.
+    *
+    * Returns one row per incoming document: (doc_id, matched_id, jaccard)
+    * with matched_id = -1 and jaccard = 0.0 for new documents (sentinels, not
+    * NULLs, so the output is join- and comparison-friendly downstream).
+    */
+  def incrementalNearDedup(
+      existing: DataFrame,
+      incoming: DataFrame,
+      n: Int = 3,
+      k: Int = 63,
+      bandSize: Int = 3,
+      threshold: Double = 0.7,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k % bandSize == 0, s"k=$k must be a multiple of bandSize=$bandSize")
+    val nBands = k / bandSize
+
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        NativeExpressions.shingleHashes(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    def buckets(withSh: DataFrame): DataFrame = withSh
+      .select(col("id"), NativeExpressions.minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until nBands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), b * bandSize + 1, bandSize))
+        }: _*)).as(Seq("band", "bkt")))
+
+    val exSh = shingled(existing)
+    val incSh = shingled(incoming)
+    val candidates = buckets(incSh).as("i")
+      .join(buckets(exSh).as("e"),
+        col("i.band") === col("e.band") && col("i.bkt") === col("e.bkt"))
+      .select(col("i.id").as("inc_id"), col("e.id").as("ex_id"))
+      .distinct()
+
+    val best = candidates
+      .join(incSh.select(col("id").as("inc_id"), col("sh").as("sh_i")), "inc_id")
+      .join(exSh.select(col("id").as("ex_id"), col("sh").as("sh_e")), "ex_id")
+      .select(col("inc_id"), col("ex_id"),
+        (size(array_intersect(col("sh_i"), col("sh_e"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_e")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("inc_id")
+      // best match on the UNROUNDED jaccard; -ex_id breaks ties toward the
+      // lowest existing id under max_by's greatest-key semantics
+      .agg(max_by(struct(col("ex_id"), col("jaccard")),
+        struct(col("jaccard"), negate(col("ex_id")))).as("m"))
+      .select(col("inc_id"), col("m.ex_id").as("matched_id"),
+        col("m.jaccard").as("jaccard"))
+
+    incoming.select(col(idCol))
+      .join(best.withColumnRenamed("inc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("matched_id"), lit(-1L)).as("matched_id"),
+        round(coalesce(col("jaccard"), lit(0.0)), 6).as("jaccard"))
+  }
+
   /** Canonical-id labeling of the near-duplicate graph: every document gets
     * the MINIMUM doc id reachable through near-duplicate pairs (connected
     * components via min-label propagation), so "keep one per near-dup

@@ -32,6 +32,26 @@ object Sampling {
     df.filter(substring(keyHash(salt, col(keyCol)), 1, 4) < rateHex)
   }
 
+  /** Deterministic epoch shuffle-and-shard: assign every row a shard (first
+    * hex digit of an epoch-salted key hash → 16 shards; widen the prefix for
+    * 256/4096 shards at larger scale) and a 1-based position within its shard
+    * (rank by an INDEPENDENT epoch-salted hash, ties by key). This is the
+    * training-data ordering step: each epoch gets a different but fully
+    * reproducible global permutation, with no `rand()` and no single-partition
+    * global sort — the only wide operations are the shard hash partitioning
+    * and a per-shard sort, both embarrassingly parallel across shards.
+    *
+    * Returns the input columns plus `shard` and `pos`.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salt = s"e$epoch"
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(keyHash(s"$salt-pos", col(keyCol)), col(keyCol))
+    df.withColumn("shard", substring(keyHash(s"$salt-shard", col(keyCol)), 1, 1))
+      .withColumn("pos", row_number().over(w).cast("int"))
+  }
+
   /** Stratified quota sample: the `quota` hash-smallest rows per stratum —
     * every stratum is represented (unlike Bernoulli, which drowns small
     * strata), and within a stratum membership is uniform. Implemented as a

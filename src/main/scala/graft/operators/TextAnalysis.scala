@@ -182,6 +182,131 @@ object TextAnalysis {
   }
 
 
+  /** Word n-grams of a token array, NON-distinct (unlike [[Dedup.shingles]] —
+    * repetition analysis needs the multiset). Documents shorter than n tokens
+    * get an empty gram list.
+    */
+  private def wordGrams(t: Column, n: Int): Column =
+    if (n == 1) t
+    else when(size(t) >= n,
+      transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(t, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of a gram multiset taken by its most frequent element; 0.0 for
+    * an empty list. Per-row mode count via nested higher-order functions —
+    * O(distinct × n) per row, but entirely map-side: no explode, no
+    * (doc, gram) shuffle, which is the difference between one pass and a
+    * corpus-cardinality shuffle at 100 TB.
+    */
+  private def topGramRatio(g: Column): Column =
+    when(size(g) > 0,
+      array_max(transform(array_distinct(g),
+        x => size(filter(g, y => y === x)))).cast("double") / size(g))
+      .otherwise(lit(0.0))
+
+  /** Gopher-style repetition signals: the fraction of the document's token /
+    * word-2-gram / word-3-gram multisets taken by the single most frequent
+    * element, plus a keep decision (all three under their thresholds — a
+    * document dominated by one repeated phrase is boilerplate, not prose).
+    * Thresholds compare the UNROUNDED ratios; the output columns are rounded
+    * to 6 dp for engine-portable comparison.
+    *
+    * Pure map-side projection — scales embarrassingly. The hot path is the
+    * native one-pass [[graft.functions.Kernels.repetitionRatios]] kernel
+    * (the ratios struct materializes as its own projection alias, then each
+    * field reference is a cheap attribute); [[repetitionStatsColumns]] is the
+    * nested higher-order-function twin kept as executable documentation,
+    * differential-tested in NativeKernelsSpec.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      maxUnigramRatio: Double = 0.14,
+      maxBigramRatio: Double = 0.07,
+      maxTrigramRatio: Double = 0.05): DataFrame =
+    docs
+      .select(col("doc_id"), NativeExpressions.repetitionRatios(col("text")).as("r"))
+      .select(
+        col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        round(col("r.u"), 6).as("top_unigram_ratio"),
+        round(col("r.b"), 6).as("top_bigram_ratio"),
+        round(col("r.tr"), 6).as("top_trigram_ratio"),
+        (col("r.u") <= maxUnigramRatio && col("r.b") <= maxBigramRatio &&
+          col("r.tr") <= maxTrigramRatio).as("keep"))
+
+  /** Column-combinator twin of [[repetitionStats]] (see [[topGramRatio]] for
+    * the per-row mode count). Semantically identical up to in-document hash
+    * collisions in the native kernel; O(distinct × n) interpreted-lambda work
+    * per row — kept as executable documentation.
+    */
+  def repetitionStatsColumns(
+      docs: DataFrame,
+      maxUnigramRatio: Double = 0.14,
+      maxBigramRatio: Double = 0.07,
+      maxTrigramRatio: Double = 0.05): DataFrame = {
+    val t = toks(col("text"))
+    docs
+      .select(col("doc_id"), t.as("g1"),
+        wordGrams(t, 2).as("g2"), wordGrams(t, 3).as("g3"))
+      .select(col("doc_id"), size(col("g1")).as("n_tokens"),
+        topGramRatio(col("g1")).as("u"),
+        topGramRatio(col("g2")).as("b"),
+        topGramRatio(col("g3")).as("tr"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("u"), 6).as("top_unigram_ratio"),
+        round(col("b"), 6).as("top_bigram_ratio"),
+        round(col("tr"), 6).as("top_trigram_ratio"),
+        (col("u") <= maxUnigramRatio && col("b") <= maxBigramRatio &&
+          col("tr") <= maxTrigramRatio).as("keep"))
+  }
+
+  /** Regex redaction (the PII-scrub shape: emails, phone numbers, IPs — any
+    * RE2-portable pattern): every match of `pattern` is replaced with
+    * `replacement`, and the match count is kept for audit. One codegen'd
+    * map-side projection — a 100 TB scrub is a single pass, and Catalyst
+    * pushes any upstream doc filter below it.
+    *
+    * The pattern must stay in the portable regex subset (alternation,
+    * classes, bounded repetition — no backreferences/lookaround) so the same
+    * pattern means the same thing to Java's engine here and RE2-family
+    * engines elsewhere.
+    */
+  def redact(docs: DataFrame, pattern: String,
+      replacement: String = "<redacted>"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_matches"),
+      // NB `replacement` is a Java regex replacement string in BOTH overloads:
+      // `$1` is a group reference and a literal `$`/`\` must be escaped
+      regexp_replace(col("text"), lit(pattern), lit(replacement)).as("redacted"))
+
+  /** Train a frequency vocabulary: the `k` most frequent corpus terms (ties
+    * by term) — a bounded model artifact like the language profiles, built
+    * once per corpus and reused.
+    */
+  def trainVocab(docs: DataFrame, k: Int): Seq[String] =
+    topTerms(docs, k).collect().map(_.getString(0)).toSeq
+
+  /** Vocabulary coverage / OOV-rate scoring: per document, how many tokens
+    * fall outside `vocab` — the tokenizer-coverage check a training pipeline
+    * runs before committing to a vocab. The vocab rides along as a literal
+    * array (bounded artifact), so scoring is a pure map-side projection; for
+    * vocabularies too large for a literal, swap in a broadcast join after
+    * explode at the same call shape.
+    */
+  def vocabCoverage(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocabCoverage: empty vocabulary")
+    val vl = lit(vocab.toArray)
+    docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        size(filter(col("t"), x => !array_contains(vl, x))).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Hierarchical corpus accounting via ROLLUP: per-(source, lang) doc and
     * token counts plus the per-source and grand-total subtotal rows —
     * grouping sets in one pass over the data (Catalyst expands the grouping

@@ -111,6 +111,15 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats (native kernel) == repetitionStatsColumns, docs corpus + fixtures") {
+    for (df <- Seq(docs, fixturesDF)) {
+      val fast = TextAnalysis.repetitionStats(df)
+      val slow = TextAnalysis.repetitionStatsColumns(df)
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        "native repetition ratios diverge from the HOF twin")
+    }
+  }
+
   test("property: random unicode texts — native == combinator for all text kernels") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Prop.forAll
