@@ -300,6 +300,12 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id", 20)),
+    // the bounded-heap scale twin (Ranking.topKPerKey): identical rows,
+    // keys × partitions × quota on the wire instead of a per-stratum sort —
+    // hash-checked against the SAME oracle as the window form
+    "q_sample_stratified_bounded" -> ((s, dir) =>
+      Sampling.stratifiedSampleBounded(
+        Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id", 20)),
     // greedy token-budget sequence packing (per-shard prefix scan)
     "q_pack_greedy" -> ((s, dir) =>
       Packing.packGreedy(Tables.documents(s, dir), budget = 1024).toDF()),
@@ -398,6 +404,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // per-label embedding-norm accounting (exercises the label column);
+    // decimal-exact average so the whole profile is oracle-checkable
+    "q_embed_norms" -> ((s, dir) => Similarity.normStats(Tables.embeddings(s, dir))),
     // ---- Sketch twins: exact accounting vs mergeable approximations -------
     // exact per-source vocabulary (the shuffle-every-distinct-term path)
     "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
@@ -838,6 +847,14 @@ object SparkEntry {
         |      ORDER BY md5('s5:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
+    // the bounded-heap twin must reproduce the window form exactly
+    "q_sample_stratified_bounded" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('s5:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
     // Greedy packing: the per-shard prefix scan, replayed row-by-row as a
     // recursive CTE (fine at oracle scale; the engine streams it).
     "q_pack_greedy" -> s"WITH RECURSIVE ${packCtes(1024)} SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id, CAST(n_tokens AS INT) AS n_tokens FROM packed",
@@ -1021,6 +1038,17 @@ object SparkEntry {
          |  round(coalesce(b.jac, 0.0), 6) AS jaccard
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
          |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+    // per-label norm accounting: same sequential per-row norm arithmetic as
+    // the similarity oracles; the mean sums DECIMAL(18,6)-cast rounded norms
+    "q_embed_norms" ->
+      """WITH n AS (SELECT label,
+        |  round(sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+        |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm
+        |FROM n GROUP BY label""".stripMargin,
     // exact vocabulary accounting (the sketch twins are rows-only)
     "q_text_vocab" ->
       """SELECT source,

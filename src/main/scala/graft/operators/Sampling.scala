@@ -73,4 +73,16 @@ object Sampling {
     df.withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= quota)
   }
+
+  /** The 100 TB twin of [[stratifiedSample]] — identical output (same
+    * oracle), computed via [[Ranking.topKPerKey]]'s bounded per-key heaps
+    * instead of a window: map-side partials keep at most `quota` rows per
+    * (stratum, partition), so a dominant stratum costs quota rows per
+    * partition on the wire instead of a partition-sized sort.
+    */
+  def stratifiedSampleBounded(df: DataFrame, stratumCol: String, keyCol: String,
+      quota: Int, salt: String = "s5"): DataFrame =
+    Ranking.topKPerKey(df, Seq(stratumCol),
+      Seq(keyHash(salt, col(keyCol)), col(keyCol)), quota)
+      .withColumnRenamed("rank", "rk")
 }

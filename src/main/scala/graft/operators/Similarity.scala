@@ -241,6 +241,30 @@ object Similarity {
           .as("q"))
   }
 
+  /** Per-label embedding-norm accounting — the embedding-space health profile
+    * (collapsed or exploding norms per class are the standard training-data
+    * red flag). One hash aggregate keyed by label (partial+final, a handful
+    * of rows per label on the wire).
+    *
+    * Engine-portable arithmetic: per-row norms (sequential double
+    * accumulation, like every scoring path here) round to 6 dp; the average
+    * sums those rounded norms EXACTLY as DECIMAL(18,6) — a distributed
+    * double sum would be partition-order-dependent and hash-unstable — then
+    * divides in double.
+    *
+    * Returns (label, n_vecs, min_norm, max_norm, avg_norm).
+    */
+  def normStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), round(norm(col("embedding")), 6).as("nrm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        round(sum(col("nrm").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_norm"))
+
   /** LSH bucket key for one hash table, Column-combinator form: `bits`
     * random-hyperplane sign bits; hyperplane (table, j)'s i-th component is
     * ±1 derived from xxhash64(table, j, i) — deterministic, no stored model.

@@ -69,4 +69,56 @@ class BoundedTopKSpec extends AnyFunSuite {
     val back = agg.deserialize(agg.serialize(b))
     assert(back.sortedItems.toSeq == Seq((-9.0, 4L), (-5.0, 1L), (-3.0, 3L)))
   }
+
+  // ------------------------------------------------- row-generic variant
+
+  import graft.functions.BoundedTopKRowsAgg.boundedTopKRows
+
+  test("rows variant equals collect_list+slice on mixed string/long structs, all partitionings") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (i % 5L, s"h${rnd.nextInt(30)}", i.toLong))
+    for (parts <- Seq(1, 3, 8); k <- Seq(1, 7, 50)) {
+      val df = rows.toDF("key", "h", "id").repartition(parts)
+      val item = struct(col("h"), col("id"))
+      val both = df.groupBy("key")
+        .agg(
+          slice(array_sort(collect_list(item)), 1, k).as("s"),
+          boundedTopKRows(item, k).as("f"))
+        .filter(not(col("s") === col("f")))
+      assert(both.count() == 0, s"parts=$parts k=$k mismatch")
+    }
+  }
+
+  test("rows variant: trailing payload fields ride along without deciding order") {
+    val df = Seq((1L, "b", 10L, "payB"), (1L, "a", 20L, "payA"), (1L, "c", 30L, "payC"))
+      .toDF("key", "ord", "id", "pay")
+    val item = struct(col("ord"), col("id"), struct(col("pay")).as("p"))
+    val out = df.groupBy("key").agg(boundedTopKRows(item, 2).as("t"))
+      .select(explode(col("t")).as("x")).select("x.p.pay").as[String].collect()
+    assert(out.sameElements(Array("payA", "payB")))
+  }
+
+  test("rows variant rejects null order fields loudly") {
+    val df = Seq((1L, Some("a"), 1L), (1L, None, 2L)).toDF("key", "ord", "id")
+    val e = intercept[Exception] {
+      df.groupBy("key")
+        .agg(boundedTopKRows(struct(col("ord"), col("id")), 2).as("t")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bounded_top_k_rows: null")), msgs(e).mkString(" | "))
+  }
+
+  test("stratifiedSampleBounded == stratifiedSample on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source")
+    for (quota <- Seq(1, 20, 10000)) {
+      val w = graft.operators.Sampling.stratifiedSample(docs, "source", "doc_id", quota)
+      val b = graft.operators.Sampling.stratifiedSampleBounded(docs, "source", "doc_id", quota)
+      assert(w.exceptAll(b).isEmpty && b.exceptAll(w).isEmpty,
+        s"quota=$quota: bounded twin diverges from the window form")
+      assert(w.columns.sameElements(b.columns))
+    }
+  }
 }

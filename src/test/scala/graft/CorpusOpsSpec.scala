@@ -120,6 +120,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(run(1) != run(2), "different epochs must permute differently")
   }
 
+  // ------------------------------------------------------------ norm stats
+
+  test("normStats: per-label norm accounting with decimal-exact average") {
+    val emb = Seq(
+      (1L, Array(3f, 4f), 0),   // norm 5
+      (2L, Array(6f, 8f), 0),   // norm 10
+      (3L, Array(0f, 0f), 1))   // norm 0
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity.normStats(emb)
+      .orderBy("label").collect()
+    assert(r(0).getAs[Long]("n_vecs") == 2L)
+    assert(r(0).getAs[Double]("min_norm") == 5.0)
+    assert(r(0).getAs[Double]("max_norm") == 10.0)
+    assert(r(0).getAs[Double]("avg_norm") == 7.5)
+    assert(r(1).getAs[Double]("avg_norm") == 0.0)
+  }
+
   // ----------------------------------------------------- incremental dedup
 
   // A/B near-identical long docs; C unrelated. Word-3-gram Jaccard of
