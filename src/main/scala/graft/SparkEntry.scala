@@ -407,6 +407,15 @@ object SparkEntry {
     // per-label embedding-norm accounting (exercises the label column);
     // decimal-exact average so the whole profile is oracle-checkable
     "q_embed_norms" -> ((s, dir) => Similarity.normStats(Tables.embeddings(s, dir))),
+    // ---- Event-stream analytics over the raw events table -----------------
+    // strict-sequence conversion funnel: view → click → purchase, each stage
+    // strictly after the previous (chained per-user stage aggregates)
+    "q_events_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir), "view", "click", "purchase")),
+    // cohort retention matrix keyed by first-active epoch day
+    "q_events_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
+    // JSON props ($.k) accounting per event type — exact long arithmetic
+    "q_events_props" -> ((s, dir) => EventAnalytics.propsAccounting(Tables.events(s, dir))),
     // ---- Sketch twins: exact accounting vs mergeable approximations -------
     // exact per-source vocabulary (the shuffle-every-distinct-term path)
     "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
@@ -1038,6 +1047,38 @@ object SparkEntry {
          |  round(coalesce(b.jac, 0.0), 6) AS jaccard
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
          |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+    // funnel: same chained stage minima in SQL; epoch_us(TIMESTAMP_NS)
+    // truncates ns→us exactly like the engine's `div 1000` rebuild
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT t1.user_id, t1.t1 AS stage1_us,
+        |       coalesce(t2.t2, -1) AS stage2_us,
+        |       coalesce(t3.t3, -1) AS stage3_us
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             CAST(epoch_us(ts) // 86400000000 AS INT) AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (SELECT DISTINCT user_id, day FROM e) JOIN c USING (user_id)
+        |GROUP BY cohort_day, day_offset""".stripMargin,
+    "q_events_props" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (k IS NULL) AS BIGINT) AS n_missing,
+        |  CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum,
+        |  CAST(coalesce(min(k), -1) AS BIGINT) AS k_min,
+        |  CAST(coalesce(max(k), -1) AS BIGINT) AS k_max
+        |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin,
     // per-label norm accounting: same sequential per-row norm arithmetic as
     // the similarity oracles; the mean sums DECIMAL(18,6)-cast rounded norms
     "q_embed_norms" ->

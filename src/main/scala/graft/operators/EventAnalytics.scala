@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the raw `events` table (user_id, ts,
+  * event_type, props) — the product-analytics operator family next to the
+  * reference's keyed financial aggregation: conversion funnels, cohort
+  * retention, and JSON-property accounting.
+  *
+  * Scale shapes: everything is hash aggregates and per-user equi-joins —
+  * per-USER rows after the first aggregate (150 users here, millions at
+  * 100 TB, either way a tiny fraction of the event count), so the joins are
+  * broadcastable and nothing ever collects or re-sorts the raw event log.
+  * Event times stay in exact epoch MICROSECONDS (`unix_micros`) — floats or
+  * truncated seconds would merge distinct events.
+  */
+object EventAnalytics {
+
+  private def withUs(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+
+  /** Strict-sequence conversion funnel: per user, the earliest `stage1`
+    * event, the earliest `stage2` event strictly after it, and the earliest
+    * `stage3` event strictly after THAT — the standard "did the user
+    * view → click → purchase in order" question, which conditional
+    * aggregation alone cannot answer (stage n's window depends on stage
+    * n-1's result).
+    *
+    * Three stage aggregates chained by per-user joins: stage n's candidate
+    * events join the (user, t_{n-1}) table, filter `us > t_{n-1}`, and
+    * re-minimize — each join is keyed by user_id against an
+    * already-aggregated (hence small) side. Users who never reach `stage1`
+    * are excluded; unreached later stages carry the -1 sentinel (not NULL,
+    * for join- and comparison-friendliness downstream).
+    *
+    * Returns (user_id, stage1_us, stage2_us, stage3_us).
+    */
+  def funnel(events: DataFrame, stage1: String, stage2: String, stage3: String): DataFrame = {
+    val e = withUs(events)
+    val t1 = e.filter(col("event_type") === stage1)
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val t2 = e.filter(col("event_type") === stage2)
+      .join(t1, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val t3 = e.filter(col("event_type") === stage3)
+      .join(t2, "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("t1").as("stage1_us"),
+        coalesce(col("t2"), lit(-1L)).as("stage2_us"),
+        coalesce(col("t3"), lit(-1L)).as("stage3_us"))
+  }
+
+  /** Cohort retention matrix: users are cohorted by their first active epoch
+    * DAY; each (cohort_day, day_offset) cell counts the distinct cohort
+    * members active that many days later. Two hash aggregates (first-day per
+    * user, distinct activity days) + one per-user join + a final count —
+    * the raw event log is touched twice, map-side combined both times.
+    *
+    * Returns (cohort_day, day_offset, n_users), day 0 = the cohort itself.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    // exact LONG division to the epoch day — a double `/` + floor would ride
+    // within a few ulps of the midnight boundaries
+    val e = events.select(
+      col("user_id"),
+      expr("CAST(unix_micros(ts) DIV 86400000000 AS INT)").as("day"))
+    val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** JSON-property accounting: extract `$.k` from the props JSON per event
+    * (the reference's JSONPath heritage applied to the raw stream) and
+    * aggregate exactly per event type — long arithmetic only, one hash
+    * aggregate. Events whose props lack `$.k` are counted in `n_missing`
+    * and excluded from the sums.
+    *
+    * Returns (event_type, n_events, n_missing, k_sum, k_min, k_max).
+    */
+  def propsAccounting(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+        coalesce(sum(col("k")), lit(0L)).as("k_sum"),
+        coalesce(min(col("k")), lit(-1L)).as("k_min"),
+        coalesce(max(col("k")), lit(-1L)).as("k_max"))
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), lit("""{"k": 1}""").as("props"))
+
+  test("funnel: stages must occur strictly in sequence") {
+    val df = ev(
+      // user 1 completes the funnel in order
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // user 2: click BEFORE the first view never counts; purchase without a
+      // qualifying click never counts
+      (2L, 500L, "click"), (2L, 600L, "view"), (2L, 700L, "purchase"),
+      // user 3: no view at all -> excluded entirely
+      (3L, 100L, "click"), (3L, 200L, "purchase"))
+    val r = EventAnalytics.funnel(df, "view", "click", "purchase")
+      .orderBy("user_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("stage1_us") == 100L)
+    assert(r(0).getAs[Long]("stage2_us") == 200L)
+    assert(r(0).getAs[Long]("stage3_us") == 300L)
+    assert(r(1).getAs[Long]("stage1_us") == 600L)
+    assert(r(1).getAs[Long]("stage2_us") == -1L)
+    assert(r(1).getAs[Long]("stage3_us") == -1L)
+  }
+
+  test("funnel: a same-instant next stage does not count (strictly after)") {
+    val df = ev((1L, 100L, "view"), (1L, 100L, "click"), (1L, 101L, "click"))
+    val r = EventAnalytics.funnel(df, "view", "click", "purchase").head()
+    assert(r.getAs[Long]("stage2_us") == 101L)
+  }
+
+  test("retention: cohort by first day, offsets count distinct users") {
+    val day = 86400000000L
+    val df = ev(
+      (1L, 0L, "view"), (1L, day + 1, "view"), (1L, day + 2, "view"), // d0 + d1
+      (2L, 1L, "view"), (2L, 2 * day, "view"),                       // d0 + d2
+      (3L, day, "view"))                                             // cohort d1
+    val r = EventAnalytics.retention(df)
+      .orderBy("cohort_day", "day_offset")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(r == Seq((0, 0, 2L), (0, 1, 1L), (0, 2, 1L), (1, 0, 1L)))
+  }
+
+  test("propsAccounting: missing keys counted, excluded from the sums") {
+    val df = Seq(
+      (1L, 10L, "view", """{"k": 5}"""),
+      (2L, 20L, "view", """{"j": 9}"""),
+      (3L, 30L, "error", """{"k": 2}"""))
+      .toDF("user_id", "us", "event_type", "props")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), col("props"))
+    val r = EventAnalytics.propsAccounting(df).orderBy("event_type").collect()
+    assert(r(0).getAs[String]("event_type") == "error")
+    assert(r(0).getAs[Long]("k_sum") == 2L)
+    assert(r(1).getAs[Long]("n_events") == 2L)
+    assert(r(1).getAs[Long]("n_missing") == 1L)
+    assert(r(1).getAs[Long]("k_sum") == 5L)
+    assert(r(1).getAs[Long]("k_min") == 5L && r(1).getAs[Long]("k_max") == 5L)
+  }
+}
