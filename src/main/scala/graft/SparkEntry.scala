@@ -239,6 +239,9 @@ object SparkEntry {
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
     "q_text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), k = 20)),
+    // grouped top-k via the bounded per-key heaps (Ranking.topKPerKey)
+    "q_text_terms_by_source" -> ((s, dir) =>
+      TextAnalysis.topTermsBySource(Tables.documents(s, dir), k = 5)),
     // per-source token-count distribution (corpus-quality profile): exact
     // interpolated quantiles so the whole thing is oracle-checkable
     "q_text_token_dist" -> ((s, dir) => TextAnalysis.tokenDistribution(Tables.documents(s, dir))),
@@ -300,9 +303,9 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id", 20)),
-    // the bounded-heap scale twin (Ranking.topKPerKey): identical rows,
-    // keys × partitions × quota on the wire instead of a per-stratum sort —
-    // hash-checked against the SAME oracle as the window form
+    // the bounded-heap scale twin (Ranking.topKPerKey): identical rows, no
+    // partition-wide sorts (O(quota)-memory heaps; same shuffle bound as the
+    // WindowGroupLimit plan) — hash-checked against the SAME oracle
     "q_sample_stratified_bounded" -> ((s, dir) =>
       Sampling.stratifiedSampleBounded(
         Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id", 20)),
@@ -721,6 +724,17 @@ object SparkEntry {
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin,
+    // grouped top-k: the bounded-heap form must equal the window form
+    "q_text_terms_by_source" ->
+      """SELECT source, term, cnt, CAST(rk AS INT) AS rk FROM (
+        |  SELECT source, term, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, term ASC) AS rk
+        |  FROM (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        |              FROM documents)
+        |        GROUP BY source, term))
+        |WHERE rk <= 5""".stripMargin,
     // per-source token-count distribution: quantile_cont IS Spark's exact
     // `percentile` (linear interpolation); both sides round to 6 dp
     "q_text_token_dist" ->

@@ -15,10 +15,10 @@ import org.apache.spark.sql.types._
 /** Row-generic bounded top-k aggregate — [[BoundedTopKAgg]]'s size-capped
   * buffer property (at most k entries per open group at EVERY stage, so the
   * shuffle carries at most k rows per (group, partition)) for an ARBITRARY
-  * orderable struct, ordered by its fields left-to-right. This is what lets
-  * any `row_number() <= k` window — whose exchange ships every row of every
-  * group and whose sort materializes whole partitions — be replaced by one
-  * bounded hash aggregate wherever only the top k survive.
+  * orderable struct, ordered by its fields left-to-right. Lets any
+  * `row_number() <= k` window be computed as one bounded hash aggregate:
+  * same shuffle volume as Spark 4's WindowGroupLimit-optimized window plan,
+  * minus its two partition-wide sorts (see [[graft.operators.Ranking]]).
   *
   * Output: `array<item struct>` holding the k SMALLEST items ascending —
   * identical to `slice(array_sort(collect_list(item)), 1, k)` when the item's

@@ -10,12 +10,17 @@ import graft.functions.BoundedTopKRowsAgg.boundedTopKRows
   * one hash aggregate over [[graft.functions.BoundedTopKRowsAgg]] instead of
   * a window.
   *
-  * Why it matters at 100 TB: the window form exchanges EVERY row of every
-  * key and fully sorts each partition before discarding all but k rows per
-  * key; the bounded-aggregate form keeps at most k rows per (key, partition)
-  * in map-side partials, so the exchange carries keys × partitions × k rows
-  * and nothing is ever globally sorted. A dominant key costs k rows per
-  * partition instead of a partition-sized sort.
+  * What it buys at 100 TB — measured against what Spark 4 already does, not
+  * a strawman: the rank-filter window plans `Sort → WindowGroupLimit
+  * (Partial) → Exchange → Sort → WindowGroupLimit(Final) → Window`, so its
+  * EXCHANGE is already bounded to k rows per (key, map partition) — same
+  * wire cost as this form. The remaining difference is the two
+  * partition-wide SORTS the group-limit needs (O(n log n) comparisons and a
+  * fully materialized, spillable partition each, just to discard everything
+  * past rank k): the bounded aggregate replaces them with O(k)-memory
+  * streaming heaps inside ordinary partial aggregation — O(n log k), no
+  * partition materialization, and map-side combining with everything else
+  * in the same aggregate.
   */
 object Ranking {
 

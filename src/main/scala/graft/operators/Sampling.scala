@@ -76,9 +76,11 @@ object Sampling {
 
   /** The 100 TB twin of [[stratifiedSample]] — identical output (same
     * oracle), computed via [[Ranking.topKPerKey]]'s bounded per-key heaps
-    * instead of a window: map-side partials keep at most `quota` rows per
-    * (stratum, partition), so a dominant stratum costs quota rows per
-    * partition on the wire instead of a partition-sized sort.
+    * instead of a window. Spark 4's own WindowGroupLimit already bounds the
+    * window form's SHUFFLE to quota rows per (stratum, map partition); what
+    * this form removes is the two partition-wide sorts around it — a
+    * dominant stratum costs an O(quota)-memory heap per task instead of a
+    * fully materialized, spillable partition sort (see [[Ranking]]).
     */
   def stratifiedSampleBounded(df: DataFrame, stratumCol: String, keyCol: String,
       quota: Int, salt: String = "s5"): DataFrame =

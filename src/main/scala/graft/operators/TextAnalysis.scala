@@ -82,6 +82,25 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
+  /** Per-source top-k terms: explode → one hash aggregate keyed by
+    * (source, term) → [[Ranking.topKPerKey]] bounded per-key heaps (top by
+    * count desc, ties by term asc). The grouped-top-k twin of [[topTerms]]'s
+    * global TakeOrderedAndProject: no per-source sort of the whole term
+    * dictionary, just O(k)-memory heaps riding the count aggregate's
+    * output (see [[Ranking]] for the comparison against the rank-filter
+    * window plan).
+    *
+    * Returns (source, term, cnt, rk).
+    */
+  def topTermsBySource(docs: DataFrame, k: Int): DataFrame =
+    Ranking.topKPerKey(
+      docs
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .groupBy("source", "term")
+        .agg(count(lit(1)).as("cnt")),
+      Seq("source"), Seq(negate(col("cnt")), col("term")), k)
+      .withColumnRenamed("rank", "rk")
+
   /** Character n-grams of a text column (default trigrams) —
     * Column-combinator twin of the native `CharNgramsExpr` kernel
     * (differential-tested); the scoring paths use the native form.
