@@ -327,6 +327,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // the Bloom-prefiltered twin: identical output (exact re-check join
+    // behind the map-side bloom_might_contain prune), same oracle
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminatedBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // int8 max-abs quantization; registered output = portable scalar audit
     // columns (the int8 array content itself is pinned by SimilaritySpec)
     "q_embed_quantize" -> ((s, dir) =>
@@ -899,6 +907,15 @@ object SparkEntry {
     // decontamination: same distinct word-3-gram shingle definition as the
     // near-dup oracle; the engine joins on shingle HASHES (collision odds
     // documented at the operator)
+    // Bloom prefilter + exact re-check = exactly the broadcast-join result
+    "q_decontaminate_bloom" ->
+      s"""WITH sh AS ($dedupShCte),
+         |bench AS (SELECT DISTINCT g
+         |          FROM (SELECT unnest(ss) AS g FROM sh WHERE doc_id % 50 = 0)),
+         |corp AS (SELECT doc_id, unnest(ss) AS g FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+         |FROM corp c JOIN bench b USING (g)
+         |GROUP BY c.doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH sh AS ($dedupShCte),
          |bench AS (SELECT DISTINCT g

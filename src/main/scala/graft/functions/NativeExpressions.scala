@@ -146,6 +146,47 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Serializable carrier for a trained [[org.apache.spark.util.sketch.BloomFilter]]
+    * riding inside generated code (reference-object pattern, like
+    * [[ProfileMatcher]]): the filter ships as its serialized bytes and
+    * rebuilds lazily per executor JVM.
+    */
+  final class BloomRef(bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val filter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+    def mightContainLong(h: Long): Boolean = filter.mightContainLong(h)
+  }
+
+  object BloomRef {
+    def apply(filter: org.apache.spark.util.sketch.BloomFilter): BloomRef = {
+      val bos = new java.io.ByteArrayOutputStream()
+      filter.writeTo(bos)
+      new BloomRef(bos.toByteArray)
+    }
+  }
+
+  /** `boolean` — membership probe of a long column against a trained Bloom
+    * filter (no false negatives; false positives at the filter's fpp). The
+    * filter is a bounded model artifact riding the references array, so the
+    * probe is a single virtual call inside whole-stage codegen — never a UDF.
+    */
+  case class BloomMightContainExpr(child: Expression, bloom: BloomRef)
+    extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected bigint, got ${t.sql}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      bloom.mightContainLong(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomRef", bloom, classOf[BloomRef].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `struct<n_tokens:int, u:double, b:double, tr:double>` — token count and
     * top unigram/bigram/trigram multiset fractions, one pass over the text
     * bytes (see [[Kernels.repetitionRatios]]).
@@ -228,6 +269,9 @@ object NativeExpressions {
 
   def repetitionRatios(text: Column): Column =
     ColumnBridge.column(RepetitionRatiosExpr(expr(text)))
+
+  def bloomMightContain(h: Column, bloom: BloomRef): Column =
+    ColumnBridge.column(BloomMightContainExpr(expr(h), bloom))
 
   def profileBestMatch(grams: Column, profiles: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(

@@ -69,6 +69,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_matched")) // shingle hashes are distinct per doc
   }
 
+  /** [[contaminated]] with a BLOOM PREFILTER on the corpus side — the shape
+    * for benchmark sets too large to broadcast-join comfortably. A Bloom
+    * filter over the benchmark's distinct shingle hashes (a bounded model
+    * artifact: ~1.2 MB per million shingles at 1% fpp) rides inside codegen
+    * via [[NativeExpressions.BloomMightContainExpr]] and prunes corpus
+    * shingles MAP-SIDE, before any join: only true matches plus an fpp
+    * fraction of the corpus ever reach the exact re-check join, so when that
+    * join must shuffle (benchmark beyond broadcast size), the shuffled volume
+    * is ≈ matches + fpp × corpus instead of the whole exploded corpus.
+    *
+    * The exact hash join after the prefilter re-checks every survivor — no
+    * false negatives exist by Bloom construction, so the output is
+    * EXACTLY [[contaminated]]'s (same oracle).
+    */
+  def contaminatedBloom(
+      corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val bench = benchmark
+      .select(explode(NativeExpressions.shingleHashes(col("text"), n)).as("h"))
+      .distinct()
+    // training phase (one pass over the small side): size then fill the filter
+    val nItems = math.max(bench.count(), 1L)
+    val bloomRef = NativeExpressions.BloomRef(bench.stat.bloomFilter("h", nItems, fpp))
+    corpus
+      .select(col("doc_id"),
+        explode(NativeExpressions.shingleHashes(col("text"), n)).as("h"))
+      .filter(NativeExpressions.bloomMightContain(col("h"), bloomRef))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+  }
+
   /** Exact dedup by full content: keep the lowest-id row per distinct text.
     * Hash-groupBy on a 256-bit content hash (single shuffle, compact key);
     * `min_by` picks the deterministic survivor — no window sort, no second

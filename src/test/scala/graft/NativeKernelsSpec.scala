@@ -111,6 +111,25 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomMightContain: no false negatives; contaminatedBloom == contaminated") {
+    // direct expression probe: every inserted hash answers true
+    val hashes = (1L to 2000L).map(_ * 2654435761L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(hashes.length, 0.01)
+    hashes.foreach(bloom.putLong)
+    val ref = NativeExpressions.BloomRef(bloom)
+    val probed = hashes.toDF("h")
+      .filter(NativeExpressions.bloomMightContain(col("h"), ref)).count()
+    assert(probed == hashes.length, "a Bloom filter must never answer false for an inserted key")
+
+    // operator-level: the prefiltered path is EXACTLY the broadcast-join path
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val plain = Dedup.contaminated(corpus, bench)
+    val bloomed = Dedup.contaminatedBloom(corpus, bench)
+    assert(plain.exceptAll(bloomed).isEmpty && bloomed.exceptAll(plain).isEmpty,
+      "bloom-prefiltered decontamination diverges from the exact join")
+  }
+
   test("repetitionStats (native kernel) == repetitionStatsColumns, docs corpus + fixtures") {
     for (df <- Seq(docs, fixturesDF)) {
       val fast = TextAnalysis.repetitionStats(df)
