@@ -427,6 +427,10 @@ object SparkEntry {
     "q_events_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
     // JSON props ($.k) accounting per event type — exact long arithmetic
     "q_events_props" -> ((s, dir) => EventAnalytics.propsAccounting(Tables.events(s, dir))),
+    // the SAME funnel through the streaming twin: CEP-style keyed state
+    // machine (flatMapGroupsWithState) over the time-ordered replay — the
+    // final snapshot must equal the batch funnel (same oracle)
+    "q_streaming_funnel" -> ((s, dir) => StreamingState.funnelSnapshot(s, dir)),
     // ---- Sketch twins: exact accounting vs mergeable approximations -------
     // exact per-source vocabulary (the shuffle-every-distinct-term path)
     "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
@@ -1081,6 +1085,19 @@ object SparkEntry {
     // funnel: same chained stage minima in SQL; epoch_us(TIMESTAMP_NS)
     // truncates ns→us exactly like the engine's `div 1000` rebuild
     "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT t1.user_id, t1.t1 AS stage1_us,
+        |       coalesce(t2.t2, -1) AS stage2_us,
+        |       coalesce(t3.t3, -1) AS stage3_us
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+    // streaming funnel: identical chained-minima result as the batch form
+    "q_streaming_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |t1 AS (SELECT user_id, min(us) AS t1 FROM e
         |       WHERE event_type = 'view' GROUP BY user_id),

@@ -329,6 +329,114 @@ object StreamingState {
       .select("symbol", "event_id", "buys", "sells", "number_shares")
   }
 
+  /** A staged raw event for the streaming funnel. */
+  final case class UserEvent(event_id: Long, user_id: Long, event_type: String, us: Long)
+
+  /** Per-user funnel progress carried in the state store: earliest stage-1
+    * time, earliest stage-2 strictly after it, earliest stage-3 strictly
+    * after that; -1 = unreached.
+    */
+  final case class FunnelProgress(t1: Long, t2: Long, t3: Long)
+
+  /** One emitted funnel update (the user's progress after a batch). */
+  final case class FunnelUpdate(user_id: Long, stage1_us: Long, stage2_us: Long, stage3_us: Long)
+
+  private val funnelRuns = new ConcurrentHashMap[String, String]()
+
+  /** CEP-style SEQUENCE DETECTION in streaming — the strict view→click→
+    * purchase funnel ([[graft.operators.EventAnalytics.funnel]]) as custom
+    * keyed state: per user, `flatMapGroupsWithState` advances a three-stage
+    * state machine as events arrive and emits the updated progress once per
+    * (user, batch). This is the operator family Spark has no built-in for
+    * (SQL MATCH_RECOGNIZE / Flink CEP); keyed state + an explicit machine is
+    * the Spark-idiomatic realization, and it handles the dependency that
+    * defeats windowed aggregation — stage n's admissible window starts at
+    * stage n-1's RESULT.
+    *
+    * Ordering: the replay is staged in TIME-ordered chunks (ntile over
+    * (ts, event_id)), so no batch carries an event older than a previous
+    * batch's; within a batch each user's events sort in memory (bounded by
+    * per-user batch volume). A sequential ts-ordered scan computes exactly
+    * the batch form's chained minima: every stage-n candidate with
+    * `us > t_{n-1}` is scanned after t_{n-1} is final, and strict inequality
+    * makes equal-time ties order-free. Hence the final snapshot equals the
+    * batch funnel row-for-row — same DuckDB oracle.
+    *
+    * Because each stage time transitions -1 → value exactly once and never
+    * regresses, the final snapshot is an order-free `max` per user — no
+    * batch-id bookkeeping needed.
+    *
+    * Scale: state is three longs per user; emissions are one row per
+    * (active user, batch).
+    */
+  def funnelSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = funnelRuns.computeIfAbsent(sfDir, _ => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.expressions.Window
+      val root = workDir(sfDir).resolve("funnel")
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val staged = Tables.events(spark, sfDir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+          .cast("int").as("chunk"))
+      stageChunks(staged, root, staging)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val source = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("us", LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .as[UserEvent]
+
+      val updates = source
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[UserEvent], state: GroupState[FunnelProgress]) =>
+            var st = state.getOption.getOrElse(FunnelProgress(-1L, -1L, -1L))
+            val before = st
+            // materialize + sort BEFORE state.update (lazy output iterator)
+            rows.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              st = e.event_type match {
+                case "view" if st.t1 == -1L => st.copy(t1 = e.us)
+                case "click" if st.t1 != -1L && st.t2 == -1L && e.us > st.t1 =>
+                  st.copy(t2 = e.us)
+                case "purchase" if st.t2 != -1L && st.t3 == -1L && e.us > st.t2 =>
+                  st.copy(t3 = e.us)
+                case _ => st
+              }
+            }
+            state.update(st)
+            // emit only reached-stage-1 users whose progress changed
+            if (st != before && st.t1 != -1L)
+              Iterator.single(FunnelUpdate(uid, st.t1, st.t2, st.t3))
+            else Iterator.empty
+        }
+
+      val outDir = root.resolve("out")
+      val query = updates.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max(col("stage1_us")).as("stage1_us"),
+        max(col("stage2_us")).as("stage2_us"),
+        max(col("stage3_us")).as("stage3_us"))
+  }
+
   private val enrichedRuns = new ConcurrentHashMap[String, String]()
 
   /** Stream-static enrichment join — the remaining Structured Streaming join

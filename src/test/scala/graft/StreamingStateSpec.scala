@@ -115,6 +115,16 @@ class StreamingStateSpec extends AnyFunSuite {
       "streaming custom-state totals diverged from the batch running totals")
   }
 
+  test("streaming funnel (keyed state machine) equals the batch chained minima") {
+    val streamed = StreamingState.funnelSnapshot(spark, sfDir)
+    val batch = graft.operators.EventAnalytics.funnel(
+      Tables.events(spark, sfDir), "view", "click", "purchase")
+    assert(streamed.count() == batch.count(),
+      "every user reaching stage 1 must appear exactly once in the snapshot")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming funnel state machine diverged from the batch funnel")
+  }
+
   test("append-mode streaming sessionization equals the batch session windows") {
     // the sentinel-flush design: every REAL session is emitted exactly once
     // (append), the sentinel's own open session never is
