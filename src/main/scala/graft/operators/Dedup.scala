@@ -109,7 +109,7 @@ object Dedup {
     * a collision here silently DELETES a document.
     */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val allCols = struct(docs.columns.map(col): _*)
+    val allCols = struct(docs.columns.toIndexedSeq.map(col): _*)
     docs
       .groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
       .agg(min_by(allCols, col(idCol)).as("kept"))

@@ -38,7 +38,7 @@ object Ranking {
     require(orderCols.nonEmpty, "topKPerKey: no order columns")
     val item = struct(
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") } :+
-        struct(df.columns.map(col): _*).as("_p"): _*)
+        struct(df.columns.toIndexedSeq.map(col): _*).as("_p"): _*)
     df
       .groupBy(keyCols.map(col): _*)
       .agg(boundedTopKRows(item, k).as("_top"))

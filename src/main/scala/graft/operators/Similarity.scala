@@ -162,7 +162,7 @@ object Similarity {
     * centroid; the |v|² term is constant per row and omitted.
     */
   private def nearestCell(v: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val cLit = typedlit(c)
       val c2 = c.map(x => x.toDouble * x.toDouble).sum
       struct((lit(c2) - lit(2.0) * NativeExpressions.vecDot(v, cLit)).as("d"),
@@ -188,7 +188,7 @@ object Similarity {
       col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
       norm(col("embedding")).as("nn"),
       nearestCell(col("embedding"), centroids).as("cell"))
-    val probed = slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+    val probed = slice(array_sort(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val c2 = c.map(x => x.toDouble * x.toDouble).sum
       struct((lit(c2) - lit(2.0) * NativeExpressions.vecDot(col("qv"), typedlit(c))).as("d"),
         lit(i).as("cell"))
