@@ -269,6 +269,17 @@ object SparkEntry {
         _ => TextAnalysis.trainLanguageProfiles(docs))
       Curation.curatedLanguageProfile(docs, labels, profiles)
     }),
+    // the FULL gate composition: near-dup canonical → quality rules →
+    // repetition rules → language-ID → accounting, oracle-checked end-to-end
+    "q_pipeline_curation_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = dedupLabels.computeIfAbsent(s"${System.identityHashCode(s)}:text:$dir", _ => {
+        Dedup.nearDedupLabels(docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7))
+      })
+      val profiles = langProfiles.computeIfAbsent(dir,
+        _ => TextAnalysis.trainLanguageProfiles(docs))
+      Curation.fullCurationProfile(docs, labels, profiles)
+    }),
     // ---- Beyond-reference: multimodal binary columns ---------------------
     // typed metadata over opaque binary payloads (oracle-checkable)
     "q_multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
@@ -544,6 +555,54 @@ object SparkEntry {
        |                   len(list_intersect(d.grams, p.tgs)) AS matched
        |            FROM $gramsRel d CROSS JOIN prof p))
        |WHERE rn = 1 AND matched > 0""".stripMargin
+
+  /** Quality-gate keep set over `table` (doc_id, n_tokens of survivors) —
+    * mirrors [[graft.operators.Quality.qualityRules]] default thresholds,
+    * rules on UNROUNDED values. Compose as a CTE body.
+    */
+  private def qualityKeepCte(table: String): String =
+    s"""SELECT doc_id, n_tokens FROM (
+       |  SELECT doc_id, n_tokens,
+       |    (n_tokens >= 30 AND n_tokens <= 50000) AS r_tokens,
+       |    (mean_len >= 2.0 AND mean_len <= 12.0) AS r_mean_len,
+       |    (sym_ratio <= 0.1) AS r_symbol,
+       |    (list_contains(toks, 'a') OR list_contains(toks, 'the')) AS r_stopword
+       |  FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS toks,
+       |      len(string_split(text, ' ')) AS n_tokens,
+       |      (len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+       |        / len(string_split(text, ' ')) AS mean_len,
+       |      CASE WHEN len(text) = 0 THEN 0.0
+       |           ELSE len(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / len(text)
+       |      END AS sym_ratio
+       |    FROM $table))
+       |WHERE r_tokens AND r_mean_len AND r_symbol AND r_stopword""".stripMargin
+
+  /** Repetition-gate keep set over `table` (doc_ids of survivors) — mirrors
+    * [[graft.operators.TextAnalysis.repetitionStats]] default thresholds on
+    * the unrounded mode fractions. Compose as a CTE body.
+    */
+  private def repetitionKeepCte(table: String): String =
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    list_max(list_transform(list_distinct(t),
+       |      x -> len(list_filter(t, y -> y = x))))::DOUBLE / len(t) AS u,
+       |    CASE WHEN len(g2) = 0 THEN 0.0
+       |         ELSE list_max(list_transform(list_distinct(g2),
+       |           x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2) END AS b,
+       |    CASE WHEN len(g3) = 0 THEN 0.0
+       |         ELSE list_max(list_transform(list_distinct(g3),
+       |           x -> len(list_filter(g3, y -> y = x))))::DOUBLE / len(g3) END AS tr
+       |  FROM (
+       |    SELECT doc_id, t,
+       |      CASE WHEN len(t) >= 2
+       |           THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+       |           ELSE [] END AS g2,
+       |      CASE WHEN len(t) >= 3
+       |           THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+       |           ELSE [] END AS g3
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $table)))
+       |WHERE u <= 0.14 AND b <= 0.07 AND tr <= 0.05""".stripMargin
 
   /** Greedy-packing oracle pieces (shared by q_pack_greedy and q_pack_bins):
     * per-shard doc ordering + the recursive greedy fold, mirroring
@@ -847,6 +906,33 @@ object SparkEntry {
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |       round(sum(n_stop)::DOUBLE / sum(n_tokens), 6) AS stopword_ratio
          |FROM best JOIN counted USING (doc_id)
+         |GROUP BY predicted_lang""".stripMargin,
+    // The FULL gate composition re-derived in one DuckDB query: transitive
+    // closure → canonical survivors → quality + repetition keep sets →
+    // profiles trained on the full corpus → score survivors → account.
+    "q_pipeline_curation_full" ->
+      s"""WITH RECURSIVE sh AS ($dedupShCte),
+         |pairs AS ($dedupNearBody),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         |canon AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |kept AS (
+         |  SELECT d.* FROM documents d LEFT JOIN canon c USING (doc_id)
+         |  WHERE least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id),
+         |dg AS (${langGramsCte("documents")}),
+         |$langProfCtes,
+         |kg AS (${langGramsCte("kept")}),
+         |best AS (${langBestSelect("kg")}),
+         |qk AS (${qualityKeepCte("kept")}),
+         |rk AS (${repetitionKeepCte("kept")})
+         |SELECT predicted_lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM best JOIN qk USING (doc_id) JOIN rk USING (doc_id)
          |GROUP BY predicted_lang""".stripMargin,
     // Quality rules: mean token length via the separator identity
     // sum(len(token)) == len(text) - (n_tokens - 1); DuckDB regexp_replace

@@ -120,6 +120,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(run(1) != run(2), "different epochs must permute differently")
   }
 
+  // ------------------------------------------------------ full curation
+
+  test("fullCurationProfile: adding gates only ever shrinks each language's count") {
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val labels = Dedup.nearDedupLabels(corpus,
+      Dedup.nearDuplicatePairs(corpus, n = 3, threshold = 0.7))
+    val profiles = TextAnalysis.trainLanguageProfiles(corpus)
+    val v1 = Curation.curatedLanguageProfile(corpus, labels, profiles)
+      .select(col("predicted_lang"), col("n_docs").as("n_v1"))
+    val full = Curation.fullCurationProfile(corpus, labels, profiles)
+      .select(col("predicted_lang"), col("n_docs").as("n_full"))
+    // quality keep implies the v1 minTokens gate, and the repetition gate
+    // only removes more — so per language: 0 < n_full <= n_v1
+    val joined = full.join(v1, "predicted_lang").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_full") > 0 &&
+        r.getAs[Long]("n_full") <= r.getAs[Long]("n_v1"),
+        s"gate monotonicity violated for ${r.getAs[String]("predicted_lang")}")
+    }
+  }
+
   // ------------------------------------------------------------ norm stats
 
   test("normStats: per-label norm accounting with decimal-exact average") {
