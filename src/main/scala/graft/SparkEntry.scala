@@ -123,6 +123,13 @@ object SparkEntry {
     // ---- Q5: windowed aggregate + FilteredWindowRangeQuery
     //      (query/FilteredWindowRangeQuery.java:11-74 — declared, never wired)
     "q_window_agg" -> ((s, dir) => windowedAgg(s, dir)),
+    // hopping (overlapping) windows: 2h windows every 1h — each event lands
+    // in exactly two windows; same one-shuffle hash-aggregate plan
+    "q_window_hopping" -> ((s, dir) =>
+      StockAggregation.aggregateHopping(txnsTs(s, dir), "2 hours", "1 hour")
+        .select(
+          unix_timestamp(col("window_start")).as("window_start_s"),
+          col("symbol"), col("buys"), col("sells"), col("number_shares"))),
     "q_window_range" -> ((s, dir) =>
       InteractiveQueries.filteredWindowRangeQuery(
         StockAggregation.aggregateWindowed(txnsTs(s, dir), "1 hour"),
@@ -672,6 +679,19 @@ object SparkEntry {
          |  SELECT concat('U', lpad(CAST(generate_series AS VARCHAR), 6, '0'))
          |  FROM generate_series(0, 998, 2))""".stripMargin,
     "q_window_agg" -> s"$WW SELECT * FROM wagg",
+    // hopping windows: each event replicates into the two 1h-aligned starts
+    // covering it (start = hour(ts) and hour(ts)-3600; ts < start+2h holds
+    // for both by construction)
+    "q_window_hopping" ->
+      s"""WITH wtx AS ($windowAggCte),
+         |h AS (SELECT window_start_s + off AS window_start_s, symbol_raw, buy,
+         |             amount, number_shares
+         |      FROM wtx CROSS JOIN (VALUES (0), (-3600)) AS o(off))
+         |SELECT window_start_s, symbol_raw AS symbol,
+         |  CAST(SUM(CASE WHEN buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS buys,
+         |  CAST(SUM(CASE WHEN NOT buy THEN CAST(amount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sells,
+         |  CAST(SUM(number_shares) AS BIGINT) AS number_shares
+         |FROM h GROUP BY window_start_s, symbol_raw""".stripMargin,
     "q_streaming_window_agg" -> s"$WW SELECT * FROM wagg",
     "q_window_range" ->
       s"$WW SELECT * FROM wagg WHERE buys > sells AND window_start_s >= 1704153600 AND window_start_s < 1704240000",

@@ -212,4 +212,27 @@ object StockAggregation {
         col("window.start").as("window_start"),
         col("symbol"), col("buys"), col("sells"), col("number_shares")
       )
+
+  /** HOPPING (sliding) window variant — the Kafka Streams windowing mode the
+    * tumbling form doesn't cover: overlapping windows of `windowDuration`
+    * every `slide` (each event lands in duration/slide windows). Spark's
+    * `window(ts, duration, slide)` expands the overlap inside the same
+    * one-shuffle hash-aggregate plan — the expansion factor is
+    * duration/slide, a constant chosen by the query, never data-dependent.
+    */
+  def aggregateHopping(
+      txnsWithTs: DataFrame,
+      windowDuration: String = "2 hours",
+      slide: String = "1 hour"): DataFrame =
+    txnsWithTs
+      .groupBy(window(col("ts"), windowDuration, slide), col("symbol"))
+      .agg(
+        decSum(when(col("buy"), col("amount")).otherwise(lit(0))).as("buys"),
+        decSum(when(!col("buy"), col("amount")).otherwise(lit(0))).as("sells"),
+        sum(col("number_shares")).as("number_shares")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("symbol"), col("buys"), col("sells"), col("number_shares")
+      )
 }
