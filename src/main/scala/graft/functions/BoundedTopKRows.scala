@@ -67,9 +67,11 @@ case class BoundedTopKRowsAgg(
             "fill or filter the row before ranking")
         i += 1
       }
-      // copy through the unsafe projection: the incoming row's buffers are
-      // reused by the operator above, and the heap must own its items
-      b.add(toUnsafe(row).copy())
+      // project into the (reused) unsafe buffer for the admission compare;
+      // Buffer.offer copies only rows it actually admits — in steady state
+      // on a hot key most candidates are rejected, and copying first would
+      // allocate O(n) garbage for O(k) kept rows
+      b.offer(toUnsafe(row))
     }
     b
   }
@@ -130,6 +132,16 @@ object BoundedTopKRowsAgg {
     private val heap =
       scala.collection.mutable.PriorityQueue.empty[UnsafeRow](ord.on(identity[UnsafeRow]))
 
+    /** Admit `row` if it ranks in the current top k, COPYING it on admission
+      * (the caller's row may sit in a buffer the operator reuses); rejected
+      * rows are never copied.
+      */
+    def offer(row: UnsafeRow): Unit = {
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+    }
+
+    /** Admit an already-owned row (merge/deserialize paths — no copy). */
     def add(row: UnsafeRow): Unit = {
       if (heap.size < k) heap.enqueue(row)
       else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }

@@ -31,39 +31,6 @@ object Curation {
     *
     * @param labels (doc_id, canonical_id) from [[Dedup.nearDedupLabels]]
     */
-  /** The FULL gate composition — every curation stage this engine ships, in
-    * pipeline order: near-dup canonical filter → Gopher quality rules
-    * ([[Quality.qualityRules]], default thresholds) → repetition rules
-    * ([[TextAnalysis.repetitionStats]], default thresholds) → language ID →
-    * per-language accounting. Each gate is an individually-oracle-checked
-    * operator; this composition is itself oracle-checked end-to-end
-    * (`q_pipeline_curation_full` re-derives the whole thing — transitive
-    * closure, both gates, profile training, scoring — in one DuckDB query).
-    *
-    * Same plan shape as [[curatedLanguageProfile]]: one doc_id-keyed join per
-    * gate (each gate's output is a thin (doc_id, …) projection), map-only
-    * scoring, final hash aggregate of a handful of rows per language.
-    */
-  def fullCurationProfile(
-      docs: DataFrame,
-      labels: DataFrame,
-      profiles: Seq[(String, Seq[String])]): DataFrame = {
-    val kept = docs.join(
-      labels.filter(col("canonical_id") === col("doc_id")).select("doc_id"),
-      "doc_id")
-    val qualityKeep = Quality.qualityRules(kept)
-      .filter(col("keep")).select(col("doc_id"), col("n_tokens"))
-    val repetitionKeep = TextAnalysis.repetitionStats(kept)
-      .filter(col("keep")).select(col("doc_id"))
-    TextAnalysis.languageId(kept, profiles)
-      .join(qualityKeep, "doc_id")
-      .join(repetitionKeep, "doc_id")
-      .groupBy(col("predicted_lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"))
-  }
-
   def curatedLanguageProfile(
       docs: DataFrame,
       labels: DataFrame,
@@ -89,5 +56,40 @@ object Curation {
         sum(col("n_tokens")).as("total_tokens"),
         round(sum(col("n_stop")).cast("double") / sum(col("n_tokens")), 6)
           .as("stopword_ratio"))
+  }
+
+  /** The FULL gate composition — every curation stage this engine ships, in
+    * pipeline order: near-dup canonical filter → Gopher quality rules
+    * ([[Quality.qualityRules]], default thresholds) → repetition rules
+    * ([[TextAnalysis.repetitionStats]], default thresholds) → language ID →
+    * per-language accounting. Each gate is an individually-oracle-checked
+    * operator; this composition is itself oracle-checked end-to-end
+    * (`q_pipeline_curation_full` re-derives the whole thing — transitive
+    * closure, both gates, profile training, scoring — in one DuckDB query).
+    *
+    * Same plan shape as [[curatedLanguageProfile]]: one doc_id-keyed join per
+    * gate (each gate's output is a thin (doc_id, …) projection), map-only
+    * scoring, final hash aggregate of a handful of rows per language.
+    *
+    * @param labels (doc_id, canonical_id) from [[Dedup.nearDedupLabels]]
+    */
+  def fullCurationProfile(
+      docs: DataFrame,
+      labels: DataFrame,
+      profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val kept = docs.join(
+      labels.filter(col("canonical_id") === col("doc_id")).select("doc_id"),
+      "doc_id")
+    val qualityKeep = Quality.qualityRules(kept)
+      .filter(col("keep")).select(col("doc_id"), col("n_tokens"))
+    val repetitionKeep = TextAnalysis.repetitionStats(kept)
+      .filter(col("keep")).select(col("doc_id"))
+    TextAnalysis.languageId(kept, profiles)
+      .join(qualityKeep, "doc_id")
+      .join(repetitionKeep, "doc_id")
+      .groupBy(col("predicted_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
   }
 }

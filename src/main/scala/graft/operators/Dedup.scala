@@ -89,14 +89,24 @@ object Dedup {
     val bench = benchmark
       .select(explode(NativeExpressions.shingleHashes(col("text"), n)).as("h"))
       .distinct()
-    // training phase (one pass over the small side): size then fill the filter
-    val nItems = math.max(bench.count(), 1L)
-    val bloomRef = NativeExpressions.BloomRef(bench.stat.bloomFilter("h", nItems, fpp))
+    // training phase: cache the distinct set across the two eager passes
+    // (size, fill), then release — the lazy re-check join below rebuilds it
+    // once at execution rather than pinning executor memory indefinitely
+    bench.persist()
+    val bloomRef =
+      try {
+        val nItems = math.max(bench.count(), 1L)
+        NativeExpressions.BloomRef(bench.stat.bloomFilter("h", nItems, fpp))
+      } finally bench.unpersist(blocking = false)
     corpus
       .select(col("doc_id"),
         explode(NativeExpressions.shingleHashes(col("text"), n)).as("h"))
       .filter(NativeExpressions.bloomMightContain(col("h"), bloomRef))
-      .join(broadcast(bench), Seq("h"))
+      // NO broadcast hint: a small bench side broadcasts under the planner's
+      // threshold anyway, and a bench too large for broadcast — the case this
+      // variant exists for — must be allowed to plan a shuffle join over the
+      // bloom-pruned (≈ matches + fpp × corpus) survivor set
+      .join(bench, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matched"))
   }
@@ -160,6 +170,39 @@ object Dedup {
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
+  /** (id, sh) shingle-hash sets of the non-empty docs — the shared front of
+    * every MinHash path. Native one-pass kernels (graft.functions.Kernels):
+    * shingle hashes straight off the text bytes. The exact-Jaccard re-checks
+    * downstream also run on these hashed shingle SETS
+    * (array_intersect/array_union over longs — codegen'd, an order of
+    * magnitude cheaper than string-set operations); |A∩B|/|A∪B| over 64-bit
+    * hashes equals the string-shingle Jaccard unless two distinct shingles of
+    * the same pair collide (P < |A∪B|² / 2^64 ≈ 1e-14 per pair).
+    */
+  private def shingled(df: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        NativeExpressions.shingleHashes(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** (id, band, bkt) banded-MinHash bucket keys over a [[shingled]] frame:
+    * all k permutation minima in one native scan, then one bucket key per
+    * band — hash of the band's r-minhash slice (+ band id so equal slices in
+    * different bands stay distinct buckets). SHARED by the self-join
+    * ([[nearDuplicatePairs]]) and cross-side ([[incrementalNearDedup]])
+    * candidate generators — tuning the banding scheme in one place cannot
+    * desynchronize their candidate recall.
+    */
+  private def bandBuckets(withSh: DataFrame, k: Int, bandSize: Int): DataFrame = {
+    require(k % bandSize == 0, s"k=$k must be a multiple of bandSize=$bandSize")
+    val nBands = k / bandSize
+    withSh
+      .select(col("id"), NativeExpressions.minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until nBands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), b * bandSize + 1, bandSize))
+        }: _*)).as(Seq("band", "bkt")))
+  }
+
   def nearDuplicatePairs(
       docs: DataFrame,
       n: Int = 3,
@@ -168,30 +211,8 @@ object Dedup {
       threshold: Double = 0.7,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(k % bandSize == 0, s"k=$k must be a multiple of bandSize=$bandSize")
-    val nBands = k / bandSize
-    // Native one-pass kernels (graft.functions.Kernels) for the per-row hot
-    // path: shingle hashes straight off the text bytes, all k permutation
-    // minima in one scan. The exact-Jaccard re-check also runs on the hashed
-    // shingle SETS (array_intersect/array_union over longs — codegen'd,
-    // an order of magnitude cheaper than string-set operations); |A∩B|/|A∪B|
-    // over 64-bit hashes equals the string-shingle Jaccard unless two distinct
-    // shingles of the same pair collide (P < |A∪B|² / 2^64 ≈ 1e-14 per pair).
-    val withShingles = docs
-      .select(col(idCol).as("id"),
-        NativeExpressions.shingleHashes(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-    val sigs = withShingles
-      .select(col("id"), NativeExpressions.minhashSignature(col("sh"), k).as("sig"))
-
-    // one bucket key per band: hash of the band's r-minhash slice (+ band id
-    // so equal slices in different bands stay distinct buckets)
-    val buckets = sigs.select(
-      col("id"),
-      posexplode(array((0 until nBands).map { b =>
-        xxhash64(lit(b), slice(col("sig"), b * bandSize + 1, bandSize))
-      }: _*)).as(Seq("band", "bkt")))
+    val withShingles = shingled(docs, n, textCol, idCol)
+    val buckets = bandBuckets(withShingles, k, bandSize)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
@@ -236,25 +257,10 @@ object Dedup {
       threshold: Double = 0.7,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(k % bandSize == 0, s"k=$k must be a multiple of bandSize=$bandSize")
-    val nBands = k / bandSize
-
-    def shingled(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"),
-        NativeExpressions.shingleHashes(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-    def buckets(withSh: DataFrame): DataFrame = withSh
-      .select(col("id"), NativeExpressions.minhashSignature(col("sh"), k).as("sig"))
-      .select(col("id"),
-        posexplode(array((0 until nBands).map { b =>
-          xxhash64(lit(b), slice(col("sig"), b * bandSize + 1, bandSize))
-        }: _*)).as(Seq("band", "bkt")))
-
-    val exSh = shingled(existing)
-    val incSh = shingled(incoming)
-    val candidates = buckets(incSh).as("i")
-      .join(buckets(exSh).as("e"),
+    val exSh = shingled(existing, n, textCol, idCol)
+    val incSh = shingled(incoming, n, textCol, idCol)
+    val candidates = bandBuckets(incSh, k, bandSize).as("i")
+      .join(bandBuckets(exSh, k, bandSize).as("e"),
         col("i.band") === col("e.band") && col("i.bkt") === col("e.bkt"))
       .select(col("i.id").as("inc_id"), col("e.id").as("ex_id"))
       .distinct()

@@ -64,11 +64,15 @@ object EventAnalytics {
     * Returns (cohort_day, day_offset, n_users), day 0 = the cohort itself.
     */
   def retention(events: DataFrame): DataFrame = {
-    // exact LONG division to the epoch day — a double `/` + floor would ride
+    // exact LONG FLOOR division to the epoch day: subtracting the
+    // (always-non-negative) pmod remainder before DIV floors for negative
+    // epochs too — `DIV` alone truncates toward zero, which would make
+    // pre-1970 day 0 two days wide; a double `/` + floor would instead ride
     // within a few ulps of the midnight boundaries
     val e = events.select(
       col("user_id"),
-      expr("CAST(unix_micros(ts) DIV 86400000000 AS INT)").as("day"))
+      expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+        " DIV 86400000000 AS INT)").as("day"))
     val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     e.distinct()
       .join(cohorts, "user_id")

@@ -746,10 +746,14 @@ object StreamingState {
     * into `staging`, so `maxFilesPerTrigger=1` replays them as deterministic
     * micro-batches in chunk order.
     */
-  private[graft] def stageChunks(txns: DataFrame, root: Path, staging: Path): Unit =
+  private[graft] def stageChunks(txns: DataFrame, root: Path, staging: Path): Unit = {
+    // one write job runs per chunk below; without cutting lineage each job
+    // re-executes the caller's chunk assignment (for the time-ordered
+    // replays, a global sort) NumChunks times over
+    val mat = txns.localCheckpoint(true)
     (0 until NumChunks).foreach { i =>
       val tmp = root.resolve(s"_stage_$i")
-      txns.filter(col("chunk") === i).drop("chunk")
+      mat.filter(col("chunk") === i).drop("chunk")
         .coalesce(1).write.parquet(tmp.toString)
       val part = Fs.firstWithSuffix(tmp, ".parquet")
         .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
@@ -757,5 +761,5 @@ object StreamingState {
         StandardCopyOption.ATOMIC_MOVE)
       Fs.deleteRecursively(tmp)
     }
-
+  }
 }
