@@ -449,6 +449,11 @@ object SparkEntry {
     // machine (flatMapGroupsWithState) over the time-ordered replay — the
     // final snapshot must equal the batch funnel (same oracle)
     "q_streaming_funnel" -> ((s, dir) => StreamingState.funnelSnapshot(s, dir)),
+    // the SAME incremental near-dedup through the streaming twin: each
+    // micro-batch of incoming docs scored against the static corpus in
+    // foreachBatch — union of batch verdicts = the batch operator's result
+    "q_streaming_dedup_incremental" -> ((s, dir) =>
+      StreamingState.incrementalDedupVerdicts(s, dir)),
     // ---- Sketch twins: exact accounting vs mergeable approximations -------
     // exact per-source vocabulary (the shuffle-every-distinct-term path)
     "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
@@ -562,6 +567,30 @@ object SparkEntry {
        |                   len(list_intersect(d.grams, p.tgs)) AS matched
        |            FROM $gramsRel d CROSS JOIN prof p))
        |WHERE rn = 1 AND matched > 0""".stripMargin
+
+  /** Incremental near-dedup oracle (shared by the batch and streaming
+    * forms): brute-force cross-side Jaccard, best match = max jaccard with
+    * ties to the lowest existing id, sentinels for new docs.
+    */
+  private val incDedupOracle: String =
+    s"""WITH sh AS ($dedupShCte),
+       |ex AS (SELECT doc_id, ss FROM sh WHERE doc_id % 2 = 0),
+       |inc AS (SELECT doc_id, ss FROM sh WHERE doc_id % 2 = 1),
+       |j AS (SELECT i.doc_id, e.doc_id AS ex_id,
+       |        len(list_intersect(i.ss, e.ss))::DOUBLE
+       |          / len(list_distinct(list_concat(i.ss, e.ss))) AS jac
+       |      FROM inc i JOIN ex e ON
+       |        len(list_intersect(i.ss, e.ss))::DOUBLE
+       |          / len(list_distinct(list_concat(i.ss, e.ss))) >= 0.7),
+       |best AS (SELECT doc_id, ex_id, jac,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY jac DESC, ex_id) AS rn
+       |         FROM j)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(b.ex_id, -1) AS BIGINT) AS matched_id,
+       |  round(coalesce(b.jac, 0.0), 6) AS jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
 
   /** Quality-gate keep set over `table` (doc_id, n_tokens of survivors) —
     * mirrors [[graft.operators.Quality.qualityRules]] default thresholds,
@@ -1169,25 +1198,9 @@ object SparkEntry {
     // incremental near-dedup: brute-force cross-side Jaccard at oracle scale
     // (the engine's LSH candidates are cross-side only); best match = max
     // jaccard, ties to the lowest existing id; sentinels for new docs
-    "q_dedup_incremental" ->
-      s"""WITH sh AS ($dedupShCte),
-         |ex AS (SELECT doc_id, ss FROM sh WHERE doc_id % 2 = 0),
-         |inc AS (SELECT doc_id, ss FROM sh WHERE doc_id % 2 = 1),
-         |j AS (SELECT i.doc_id, e.doc_id AS ex_id,
-         |        len(list_intersect(i.ss, e.ss))::DOUBLE
-         |          / len(list_distinct(list_concat(i.ss, e.ss))) AS jac
-         |      FROM inc i JOIN ex e ON
-         |        len(list_intersect(i.ss, e.ss))::DOUBLE
-         |          / len(list_distinct(list_concat(i.ss, e.ss))) >= 0.7),
-         |best AS (SELECT doc_id, ex_id, jac,
-         |           row_number() OVER (PARTITION BY doc_id
-         |                              ORDER BY jac DESC, ex_id) AS rn
-         |         FROM j)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(b.ex_id, -1) AS BIGINT) AS matched_id,
-         |  round(coalesce(b.jac, 0.0), 6) AS jaccard
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+    "q_dedup_incremental" -> incDedupOracle,
+    // per-micro-batch streaming form — unions to the identical verdict set
+    "q_streaming_dedup_incremental" -> incDedupOracle,
     // funnel: same chained stage minima in SQL; epoch_us(TIMESTAMP_NS)
     // truncates ns→us exactly like the engine's `div 1000` rebuild
     "q_events_funnel" ->

@@ -437,6 +437,62 @@ object StreamingState {
         max(col("stage3_us")).as("stage3_us"))
   }
 
+  private val incDedupRuns = new ConcurrentHashMap[String, String]()
+
+  /** CONTINUOUS-INGESTION near-dedup — the streaming twin of
+    * [[graft.operators.Dedup.incrementalNearDedup]]: incoming documents
+    * arrive as a stream (chunked replay standing in for the ingestion topic)
+    * and every micro-batch runs the SAME batch operator against the static
+    * existing corpus inside `foreachBatch`, appending each batch's
+    * (doc_id, matched_id, jaccard) verdicts idempotently. Each incoming doc
+    * lives in exactly one batch, so the union of batch outputs IS the batch
+    * operator's full result — same DuckDB oracle.
+    *
+    * This is the composition a per-batch ingestion pipeline actually runs:
+    * the stream side carries only the new batch (LSH candidates stay
+    * cross-side, cost scales with the batch), and the existing-corpus
+    * shingle/bucket side is recomputed per batch here — at scale it would be
+    * a persisted artifact updated as batches commit, at the same call shape.
+    */
+  def incrementalDedupVerdicts(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = incDedupRuns.computeIfAbsent(sfDir, _ => {
+      import org.apache.spark.sql.expressions.Window
+      val root = workDir(sfDir).resolve("incdedup")
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val docs = Tables.documents(spark, sfDir)
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      stageChunks(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"),
+            (ntile(NumChunks).over(Window.orderBy(col("doc_id"))) - 1)
+              .cast("int").as("chunk")),
+        root, staging)
+
+      val source = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+
+      val outDir = root.resolve("out").toString
+      val query = source.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatchIdempotent(
+            graft.operators.Dedup.incrementalNearDedup(existing, batch),
+            batchId, outDir)
+        }
+        .start()
+      query.awaitTermination()
+      outDir
+    })
+    spark.read.parquet(out).select("doc_id", "matched_id", "jaccard")
+  }
+
   private val enrichedRuns = new ConcurrentHashMap[String, String]()
 
   /** Stream-static enrichment join — the remaining Structured Streaming join

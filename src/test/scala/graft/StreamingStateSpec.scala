@@ -125,6 +125,18 @@ class StreamingStateSpec extends AnyFunSuite {
       "streaming funnel state machine diverged from the batch funnel")
   }
 
+  test("streaming incremental dedup verdicts equal the batch operator") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val streamed = StreamingState.incrementalDedupVerdicts(spark, sfDir)
+    val batch = Dedup.incrementalNearDedup(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    assert(streamed.count() == batch.count(),
+      "every incoming doc must receive exactly one verdict across all batches")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "per-micro-batch verdicts diverged from the batch operator")
+  }
+
   test("append-mode streaming sessionization equals the batch session windows") {
     // the sentinel-flush design: every REAL session is emitted exactly once
     // (append), the sentinel's own open session never is
