@@ -213,20 +213,33 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 3)),
     // ---- Beyond-reference: similarity search over `embeddings` -----------
-    // exact cosine top-k for a small query set (oracle: brute-force SQL)
-    "q_similarity_topk" -> ((s, dir) =>
-      Similarity.bruteForceTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
-    // exact ε-neighbor pair listing (embedding-cosine near-dup)
-    "q_similarity_pairs" -> ((s, dir) =>
-      Similarity.cosinePairs(Tables.embeddings(s, dir), threshold = 0.45)),
+    // exact cosine top-k for a small query set, served by the IVF-pruned
+    // equi-join path (identical output to the brute-force baseline — the
+    // triangle-inequality candidate set is a proven superset of the true
+    // top-k; oracle: brute-force SQL)
+    "q_similarity_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfExactTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb)))
+    }),
+    // exact ε-neighbor pair listing (embedding-cosine near-dup), served by
+    // cell-pair-pruned equi-joins — same rows as the all-pairs baseline,
+    // which now lives oracle/spec-side only
+    "q_similarity_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosinePairsPruned(emb, threshold = 0.45,
+        ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb)))
+    }),
     // embedding-space dedup survivors: connected components over the exact
-    // cosine ε-pair graph — same label propagation as q_dedup_survivors
+    // cosine ε-pair graph (pruned plan) — same label propagation as
+    // q_dedup_survivors
     "q_similarity_dedup" -> ((s, dir) =>
       dedupLabels.computeIfAbsent(s"${System.identityHashCode(s)}:emb:$dir", _ => {
         val emb = Tables.embeddings(s, dir)
         Dedup.nearDedupLabels(
           emb.select(col("vec_id")),
-          Similarity.cosinePairs(emb, threshold = 0.45)
+          Similarity.cosinePairsPruned(emb, threshold = 0.45,
+            ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb)))
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
           idCol = "vec_id")
       })),

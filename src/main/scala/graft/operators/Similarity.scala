@@ -26,9 +26,12 @@ import graft.functions.NativeExpressions
   *     LSH — an equi-join on (table, bucket) keys — then re-ranks candidates
   *     exactly. Hyperplanes are deterministic pseudo-vectors derived from
   *     xxhash64, so results are stable across runs and partitionings.
-  *   - exact ε-pair listing (`cosinePairs`) is inherently all-pairs; it exists
-  *     as the exactness baseline/oracle twin. At scale use the LSH candidate
-  *     path when approximate recall is acceptable.
+  *   - the SERVING exact paths ([[cosinePairsPruned]], [[ivfExactTopK]])
+  *     never plan an all-pairs join: IVF cells + the angular triangle
+  *     inequality prune cell pairs / per-query cells with proven-exact
+  *     bounds, then re-check candidates with the exact cosine. The
+  *     brute-force forms ([[cosinePairs]], [[bruteForceTopK]]) remain as
+  *     spec-side differential baselines only.
   */
 object Similarity {
 
@@ -200,6 +203,193 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("qn"),
           explode(probed).as("probe"))
         .select(col("query_id"), col("qv"), col("qn"), col("probe.cell").as("cell")))
+    val scored = corpus.join(queries, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  // ------------------------------------------------------------------
+  // Exact similarity WITHOUT all-pairs plans: IVF cells + the triangle
+  // inequality on angular distance. Angular distance (the angle between
+  // vectors) is a metric on the unit sphere, so for a vector v in cell c
+  // with angular radius r_c = max angle(member, centroid):
+  //   angle(a, b) <= angle(a, c_a) + angle(c_a, c_b) + angle(c_b, b)
+  // which lets whole CELL PAIRS be pruned when even their closest possible
+  // members cannot reach the cosine threshold, and per-query CELLS be
+  // pruned when their best possible score cannot reach the running top-k
+  // floor. Every surviving candidate is re-checked with the exact cosine,
+  // so results are IDENTICAL to the brute-force baselines — the candidate
+  // generation only ever over-approximates. The plans are equi-joins on
+  // cell id (broadcast small side): no cartesian anywhere.
+  //
+  // Pruning power is data-adaptive: clustered corpora (the real-world
+  // case — embeddings of near-duplicate documents cluster tightly) prune
+  // most cell pairs; an adversarially ISOTROPIC corpus (the synthetic
+  // test data) admits most of them, in which case the cost degrades
+  // toward the brute-force total while the PLAN stays an equi-join that
+  // shuffles by cell — partitionable, spillable, AQE-balanceable —
+  // rather than a broadcast nested loop. That asymmetry (worst case no
+  // worse, typical case far better, always exact) is the point.
+  // ------------------------------------------------------------------
+
+  /** Clamped arccos — angle in [0, π]; null (zero-norm) → π, the
+    * conservative "could be anywhere" angle (zero vectors never pass a
+    * cosine threshold anyway — they are excluded by the exact re-check).
+    */
+  private def angleCol(cosine: Column): Column =
+    coalesce(acos(least(greatest(cosine, lit(-1.0)), lit(1.0))), lit(math.Pi))
+
+  private def driverAngle(a: Array[Float], b: Array[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dp += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) math.Pi
+    else math.acos(math.max(-1.0, math.min(1.0, dp / (math.sqrt(na) * math.sqrt(nb)))))
+  }
+
+  /** Corpus with nearest-cell assignment and the angle to that centroid:
+    * (vec_id, v, nrm, cell, cang). Assignment is identical to
+    * [[nearestCell]] (argmin by (d, cell) — the extra struct field rides
+    * behind the tie-break and cannot change the winner). Map-side only.
+    */
+  private def assignCells(
+      embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val v = col("embedding")
+    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cLit = typedlit(c)
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(c2) - lit(2.0) * NativeExpressions.vecDot(v, cLit)).as("d"),
+        lit(i).as("cell"), NativeExpressions.vecDot(v, cLit).as("dt"))
+    }: _*)
+    val cnorms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+    val m = array_min(scored)
+    embeddings.select(
+      col("vec_id"), v.as("v"), norm(v).as("nrm"),
+      m.getField("cell").as("cell"),
+      angleCol(m.getField("dt") /
+        (norm(v) * element_at(typedlit(cnorms.toSeq), m.getField("cell") + 1)))
+        .as("cang"))
+  }
+
+  /** Per-cell angular radius r_c = max angle(member, centroid) — a bounded
+    * model artifact (≤ k rows), one hash aggregate.
+    */
+  private def cellRadii(assigned: DataFrame): Map[Int, Double] =
+    assigned.groupBy("cell").agg(max(col("cang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  // pruning bounds inflate by this margin so double rounding can only ever
+  // ADMIT extra candidates (re-checked exactly), never drop a true one
+  private val PruneEps = 1e-6
+
+  /** Exact cosine ε-pair listing with a non-quadratic plan: cell pairs
+    * (i, j) survive only if
+    *   angle(c_i, c_j) <= r_i + r_j + arccos(threshold) + eps
+    * (no member pair across a pruned cell pair can reach the threshold, by
+    * two applications of the angular triangle inequality); survivors join
+    * on cell id and re-check the EXACT cosine. Result is identical to
+    * [[cosinePairs]] — differential-tested in SimilaritySpec, and both
+    * serve the same DuckDB brute-force oracle.
+    *
+    * Scale shape: map-side assignment, one ≤k-row radius aggregate, then
+    * corpus ⋈ admissible-cell-pairs (broadcast, ≤k² rows) ⋈ corpus — both
+    * joins equi-joins on cell id, shuffled/partitionable by cell.
+    */
+  def cosinePairsPruned(
+      embeddings: DataFrame, threshold: Double,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = assignCells(embeddings, centroids)
+    val radii = cellRadii(assigned)
+    val theta = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    // directed admissible pairs: (i,j) AND (j,i) for i<j, (i,i) once —
+    // after the join, vec_a < vec_b keeps each vector pair exactly once
+    val cells = radii.keys.toSeq.sorted
+    val admissible = for {
+      i <- cells; j <- cells
+      // (i,i) is trivially admissible (angle(c,c)=0); cross-cell pairs
+      // survive only within the triangle-inequality reach
+      if i == j ||
+        driverAngle(centroids(i), centroids(j)) <= radii(i) + radii(j) + theta + PruneEps
+    } yield (i, j)
+    val pairsDf = broadcast(admissible.toDF("cell_a", "cell_b"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell").as("cell_a"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell").as("cell_b"))
+    a.join(pairsDf, Seq("cell_a"))
+      .join(b, Seq("cell_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (NativeExpressions.vecDot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("raw"))
+      // threshold on the UNROUNDED cosine, exactly like cosinePairs
+      .filter(col("raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("score"))
+  }
+
+  /** Exact top-k with a non-quadratic plan — two bound-pruned phases:
+    *
+    *  1. seed floor: [[ivfTopK]] over the `nprobe` nearest cells gives each
+    *     query a LOWER bound δ_q = its k-th best candidate score (a ≤|q|-row
+    *     collect — bounded model artifact; δ_q = −∞ when a query has fewer
+    *     than k seed candidates).
+    *  2. cell pruning: cell c can hold a better-than-δ_q neighbor only if
+    *     its best POSSIBLE score cos(max(0, angle(q, c_c) − r_c)) ≥ δ_q − ε
+    *     (reverse triangle inequality). Each query probes exactly its
+    *     admissible cells via a broadcast (query, cell) build side,
+    *     equi-joined to the cell-assigned corpus, re-scored EXACTLY, then
+    *     bounded-top-k'd.
+    *
+    * Every true top-k member's cell is admissible (its exact score ≥ the
+    * true k-th ≥ δ_q, and the bound over-approximates scores), so the
+    * result is IDENTICAL to [[bruteForceTopK]] — same rounding, same
+    * (score desc, id asc) tie-break — differential-tested in
+    * SimilaritySpec against the same DuckDB oracle. ε covers the 6-dp
+    * score rounding plus float slack, admitting (never dropping)
+    * boundary candidates.
+    */
+  def ivfExactTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      centroids: Array[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = assignCells(embeddings, centroids)
+    val radii = cellRadii(assigned)
+    // phase 1: per-query floor from the approximate probe (≤ |q| rows)
+    val seed = ivfTopK(embeddings, queryIds, k, centroids, nprobe)
+      .groupBy("query_id")
+      .agg(min(col("score")).as("kth"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(2) >= k) r.getDouble(1) else -2.0)).toMap
+    // query vectors driver-side (|q| × dim — bounded artifact)
+    val qVecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val margin = 2e-6 // 6-dp rounding (5e-7) + float slack, admit-only
+    val probe = for {
+      (qid, qv) <- qVecs.toSeq.sortBy(_._1)
+      (cell, r) <- radii.toSeq.sortBy(_._1)
+      best = math.cos(math.max(0.0, driverAngle(qv, centroids(cell)) - r))
+      if best >= seed.getOrElse(qid, -2.0) - margin
+    } yield (qid, qv.toSeq, cell)
+    val queries = broadcast(
+      probe.toDF("query_id", "qv", "cell")
+        .select(col("query_id"), col("qv").cast("array<float>").as("qv"), col("cell"))
+        .withColumn("qn", norm(col("qv"))))
+    val corpus = assigned.select(col("vec_id").as("neighbor_id"),
+      col("v").as("nv"), col("nrm").as("nn"), col("cell"))
     val scored = corpus.join(queries, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

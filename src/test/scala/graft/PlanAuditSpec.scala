@@ -4,28 +4,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Systematic 100×-scale plan audit over EVERY registered query: no
   * accidental cartesian products, no driver-side loops hiding in the plans.
-  * The two exact brute-force baselines are the only whitelisted quadratic
-  * plans (ε-pair listing and brute-force top-k score every pair by
-  * definition; both broadcast their small side).
+  * Since round 7 there is NO whitelist — the exact similarity queries serve
+  * from IVF-pruned equi-join plans; the brute-force all-pairs forms are
+  * spec-side differential baselines only.
   */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  // inherently all-pairs by specification (exactness baselines, and the
-  // survivor labeling built on the exact ε-pair graph)
-  private val quadraticByDesign =
-    Set("q_similarity_pairs", "q_similarity_topk", "q_similarity_dedup")
-
-  test("no registered query plans a cartesian or nested-loop join (unless quadratic by design)") {
+  test("no registered query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      if (quadraticByDesign.contains(name)) None
-      else {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop"))
-          Some(name)
-        else None
-      }
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop"))
+        Some(name)
+      else None
     }
     assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
   }

@@ -136,6 +136,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("pruned exact pairs == brute-force pairs on the real corpus (plan is equi-join)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, k = 16, iters = 5)
+    val pruned = Similarity.cosinePairsPruned(emb, 0.45, centroids)
+
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pruned pair plan must not be all-pairs:\n$plan")
+
+    val brute = Similarity.cosinePairs(emb, 0.45)
+      .select("vec_a", "vec_b", "score").as[(Long, Long, Double)].collect().toSet
+    val got = pruned
+      .select("vec_a", "vec_b", "score").as[(Long, Long, Double)].collect().toSet
+    assert(got == brute,
+      s"pruned pairs must be EXACT: missing=${brute -- got}, extra=${got -- brute}")
+  }
+
+  test("pruned exact pairs prune cross-cluster cell pairs on clustered data") {
+    // two antipodal tight clusters: every cross-cluster cell pair is
+    // unreachable at threshold 0.9, so the admissible pair list (and thus
+    // the candidate count) must be strictly below all-pairs
+    val rows = (0 until 40).map { i =>
+      val sign = if (i < 20) 1f else -1f
+      (i.toLong, Seq(sign * 10f, 0.01f * (i % 5), 0.01f * (i % 3), 0f))
+    }
+    val df = vecs(rows: _*)
+    val centroids = Similarity.trainIvfCentroids(df, k = 4, iters = 5)
+    val pruned = Similarity.cosinePairsPruned(df, 0.9, centroids)
+    val brute = Similarity.cosinePairs(df, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val got = pruned.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    // no cross-cluster pair can score >= 0.9, and pruning must have removed
+    // those cell pairs: every returned pair stays within one sign-cluster
+    assert(got.forall { case (a, b) => (a < 20) == (b < 20) })
+  }
+
+  test("ivfExactTopK == bruteForceTopK on the real corpus (plan is equi-join)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val centroids = Similarity.trainIvfCentroids(emb, k = 16, iters = 5)
+    val exact = Similarity.ivfExactTopK(emb, queryIds, k = 10, centroids)
+
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"exact IVF top-k plan must not be all-pairs:\n$plan")
+
+    val brute = Similarity.bruteForceTopK(emb, queryIds, k = 10)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val got = exact
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == brute,
+      s"exact IVF top-k must match brute force rank-for-rank: " +
+        s"missing=${brute -- got}, extra=${got -- brute}")
+  }
+
   test("int8 quantization bounds round-trip error and handles zero vectors") {
     val df = vecs(
       (0L, Seq(0.5f, -1.0f, 0.25f)),
