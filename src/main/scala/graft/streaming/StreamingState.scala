@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.operators.StockAggregation
-import graft.sources.Serdes
+import graft.sources.{Serdes, Transport}
 import graft.util.Fs
 
 /** The streaming twin of the batch aggregation — the reference's core write
@@ -49,7 +49,10 @@ import graft.util.Fs
   * is one `max_by` hash-aggregate keyed by symbol — the same single-shuffle
   * shape as the aggregation itself, so the pattern holds when the changelog is
   * 1000 batches × 10^8 keys. On a real cluster the same code runs with a Kafka
-  * source/sink by swapping the `readStream`/`foreachBatch` format strings.
+  * source/sink by passing `Transport.SourceFormat.Kafka` /
+  * `Transport.SinkFormat.Kafka` to the transport seam (see
+  * [[graft.sources.Transport]]) — the pipeline between source decode and sink
+  * encode is transport-agnostic.
   */
 object StreamingState {
 
@@ -103,48 +106,33 @@ object StreamingState {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-    val source = spark.readStream
-      .schema(txnSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staging.toString)
-
-    val agg = StockAggregation.aggregate(source)
+    // The full transport seam (S1→A2→S4): wire-shaped source (binary
+    // key/value, exactly what a Kafka broker would deliver) → shared wire
+    // decode → the UNCHANGED aggregation → changelog sink. Swapping
+    // FileReplay→Kafka / FileChangelog→Kafka here is a config change that
+    // replaces only the plan's leaf and sink (Transport; TransportSpec pins
+    // the wiring).
+    val wire = Transport.readTransactionStream(spark,
+      Transport.SourceFormat.FileReplay(staging.toString, txnSchema))
+    val agg = StockAggregation.aggregate(Transport.decodeWire(wire))
 
     val changelogStr = changelog.toString
-    val query = agg.writeStream
+    val query = Transport
+      .changelogWriter(agg, Transport.SinkFormat.FileChangelog(changelogStr))
       .outputMode("update")
       .option("checkpointLocation", checkpoint.toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatchIdempotent(
-          Serdes.encodeAggregation(batch).withColumn("batch_id", lit(batchId)),
-          batchId, changelogStr)
-      }
       .start()
     query.awaitTermination()
     changelogStr
   }
 
-  /** foreachBatch is AT-LEAST-ONCE: a batch whose sink write committed but
-    * whose streaming commit log didn't records again on restart, and a blind
-    * append would duplicate its rows (breaking the one-update-per-key-per-
-    * batch invariant and the COUNT(DISTINCT chunk) oracle). Dynamic partition
-    * overwrite on a per-batch partition directory makes the retry replace its
-    * own output instead — the standard idempotent-foreachBatch pattern.
-    * `batch_id` stays a regular long column; the partition key `p_batch` is a
-    * separate throwaway column. Note the written value's type does NOT pin the
-    * reader-side type — partition-column type inference works off the
-    * directory names at read time (`p_batch=0` infers as int regardless), and
-    * is harmless here only because every reader drops `p_batch`; a reader
-    * that keeps it must read with an explicit schema (or disable
-    * `spark.sql.sources.partitionColumnTypeInference.enabled`).
+  /** See [[Transport.writeBatchIdempotent]] — shared by the non-changelog
+    * streaming twins below (funnel, incremental dedup), whose sinks are
+    * plain per-batch verdict dumps, not the S4 changelog.
     */
   private def writeBatchIdempotent(df: DataFrame, batchId: Long, dir: String): Unit =
-    df.withColumn("p_batch", lit(batchId.toString))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("p_batch")
-      .parquet(dir)
+    Transport.writeBatchIdempotent(df, batchId, dir)
 
   /** The raw changelog: (key, value proto-JSON, batch_id) — the engine's
     * equivalent of the records on the reference's `output` topic.
