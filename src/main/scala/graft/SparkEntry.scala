@@ -185,6 +185,12 @@ object SparkEntry {
         StreamingState.snapshot(s, dir), Some("U000000"), Some("U000099"), "@.buys > @.sells")),
     // ---- Streaming exact dedup: first-seen-per-key state over the replay
     "q_streaming_dedup_keys" -> ((s, dir) => StreamingState.streamingDedupKeys(s, dir)),
+    // ---- BOUNDED-state streaming dedup: dropDuplicatesWithinWatermark —
+    //      state evicted once the watermark passes a key's event time +
+    //      delay; evicted keys re-emit (one row per emission). The oracle
+    //      replays the engine's millisecond watermark recursion in SQL.
+    "q_streaming_dedup_bounded" -> ((s, dir) =>
+      StreamingState.streamingDedupBounded(s, dir)),
     // ---- S4/A2 per-record semantics IN STREAMING: flatMapGroupsWithState
     //      custom keyed state emits one cumulative update per input record —
     //      the reference's cache=0 changelog, same oracle as the batch form.
@@ -775,6 +781,37 @@ object SparkEntry {
       s"""WITH ctxns AS (${Tables.txnsChunkCte(StreamingState.NumChunks)})
          |SELECT symbol, CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_updates
          |FROM ctxns GROUP BY symbol""".stripMargin,
+    // Bounded-state dedup: replays Spark's watermark arithmetic exactly, in
+    // MILLISECONDS (the engine's event-time unit). Per (symbol, chunk) the
+    // staged watermark column is the group's min event-ms `dts`. The
+    // eviction a batch-c arrival observes ran at the END of batch c−1 under
+    // the watermark in effect DURING batch c−1 — max(dts over chunks ≤ c−2)
+    // − delay (one-batch lag, pinned empirically and by
+    // StreamingStateSpec's Scala replay). A key's state (expiry = dts +
+    // delay, set at emission, NOT extended by dropped duplicates) survives
+    // iff expiry >= that watermark; an arrival with no live state emits and
+    // re-arms. delay = 12 h = 43_200_000 ms (streamingDedupBounded's
+    // default).
+    "q_streaming_dedup_bounded" ->
+      s"""WITH RECURSIVE tc AS (${Tables.txnsTimeChunkMsCte(StreamingState.NumChunks)}),
+         |g AS (SELECT symbol, chunk, min(ms) AS dts FROM tc GROUP BY symbol, chunk),
+         |bmax AS (SELECT chunk, max(dts) AS mx FROM g GROUP BY chunk),
+         |wm AS (SELECT c.chunk, max(b.mx) - 43200000 AS wm_ms
+         |       FROM bmax c JOIN bmax b ON b.chunk <= c.chunk - 2 GROUP BY c.chunk),
+         |ord AS (SELECT symbol, chunk, dts,
+         |               row_number() OVER (PARTITION BY symbol ORDER BY chunk) AS rn
+         |        FROM g),
+         |rec(symbol, chunk, rn, emitted, expiry) AS (
+         |  SELECT symbol, chunk, rn, TRUE, dts + 43200000 FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.symbol, o.chunk, o.rn,
+         |         coalesce(r.expiry < w.wm_ms, FALSE),
+         |         CASE WHEN coalesce(r.expiry < w.wm_ms, FALSE)
+         |              THEN o.dts + 43200000 ELSE r.expiry END
+         |  FROM rec r
+         |  JOIN ord o ON o.symbol = r.symbol AND o.rn = r.rn + 1
+         |  LEFT JOIN wm w ON w.chunk = o.chunk)
+         |SELECT symbol, CAST(chunk AS INT) AS emit_chunk FROM rec WHERE emitted""".stripMargin,
     // Dedup: survivors = lowest doc_id per distinct text (plus the sha-256 the
     // engine groups by); near-dup oracle = brute-force 3-gram Jaccard.
     "q_dedup_exact" ->

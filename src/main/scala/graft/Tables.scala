@@ -129,6 +129,20 @@ object Tables {
        |       CAST(event_id % $nChunks AS INT) AS chunk
        |FROM events""".stripMargin
 
+  /** DuckDB-SQL twin of [[transactionsTimeChunked]] (symbol + event-time
+    * millis only), as a CTE body. Ordering replicates Spark's view of `ts`
+    * exactly: Spark reads the TIMESTAMP(NANOS) column truncated to
+    * MICROseconds, so the twin orders by (`epoch_ns(ts)//1000`, event_id) —
+    * ordering raw nanos would tie-break same-microsecond events differently.
+    * The `ms` column is the engine's MILLISECOND event-time view (floor),
+    * which is the unit all watermark arithmetic runs in.
+    */
+  def txnsTimeChunkMsCte(nChunks: Int): String =
+    s"""SELECT concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
+       |       epoch_ns(ts) // 1000000 AS ms,
+       |       ntile($nChunks) OVER (ORDER BY epoch_ns(ts) // 1000, event_id) - 1 AS chunk
+       |FROM events""".stripMargin
+
   /** Txns with `event_id` retained and an ID-ORDERED chunk (`ntile` over
     * event_id): chunk i+1's smallest id is greater than chunk i's largest, so
     * a replay staged from these chunks delivers every key's records across

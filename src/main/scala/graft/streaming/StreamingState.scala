@@ -216,6 +216,78 @@ object StreamingState {
     spark.read.parquet(out)
   }
 
+  private val boundedDedupRuns = new ConcurrentHashMap[String, String]()
+
+  /** BOUNDED-state streaming dedup — the 100 TB form of
+    * [[streamingDedupKeys]]: `withWatermark + dropDuplicatesWithinWatermark`
+    * keeps a key's state only until the watermark passes its event time plus
+    * the delay, so state size tracks the KEYS ACTIVE WITHIN ONE DELAY WINDOW
+    * instead of growing with every key ever seen. A key that falls silent
+    * longer than the (watermark-lagged) delay is evicted and its next
+    * occurrence is emitted AGAIN — the contract is "at most one emission per
+    * delay window", not "exactly once ever".
+    *
+    * Determinism: over the time-ordered replay
+    * ([[Tables.transactionsTimeChunked]]) each row's watermark column is
+    * staged as the MIN event time of its (symbol, chunk) group — group
+    * constant, so whichever physical row wins the intra-batch race, the
+    * created state's expiry and the emitted output columns
+    * (symbol, emit_chunk) are identical. That makes the whole emission set a
+    * pure function of the data, reproducible in SQL: Spark's engine tracks
+    * event time in MILLISECONDS (expiry = event-ms + delay-ms, set at
+    * emission and NOT extended by dropped duplicates). Eviction runs at the
+    * END of each batch under the watermark in effect DURING that batch, so
+    * the eviction a batch-c arrival observes used max event-ms over batches
+    * <= c−2 minus delay-ms — a ONE-BATCH LAG relative to the naive reading
+    * (pinned empirically by StreamingStateSpec's Scala replay and the
+    * sf0.01 SQL oracle, SparkEntry's q_streaming_dedup_bounded).
+    *
+    * Returns (symbol, emit_chunk): one row per EMISSION — re-emissions after
+    * eviction appear as additional rows with the later chunk id.
+    */
+  def streamingDedupBounded(
+      spark: SparkSession, sfDir: String, delay: String = "12 hours"): DataFrame = {
+    val out = boundedDedupRuns.computeIfAbsent(s"$sfDir|$delay", _ => {
+      val root = workDir(sfDir).resolve(
+        "bounded_dedup_" + delay.replaceAll("[^A-Za-z0-9.]+", "_"))
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      import org.apache.spark.sql.expressions.Window
+      val txns = Tables.transactionsTimeChunked(spark, sfDir, NumChunks)
+        .withColumn("dts",
+          min(col("ts")).over(Window.partitionBy(col("symbol"), col("chunk"))))
+        .select(col("dts"), col("symbol"),
+          col("chunk").as("emit_chunk"), col("chunk"))
+      stageChunks(txns, root, staging)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val source = spark.readStream
+        .schema(StructType(Seq(
+          StructField("dts", TimestampType),
+          StructField("symbol", StringType),
+          StructField("emit_chunk", IntegerType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+      val outDir = root.resolve("out")
+      val query = source
+        .withWatermark("dts", delay)
+        .dropDuplicatesWithinWatermark("symbol")
+        .select(col("symbol"), col("emit_chunk"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+  }
+
   /** A decoded input record for the per-record changelog (field names match
     * the staged parquet columns).
     */

@@ -72,6 +72,48 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(n == batchAgg.count(), "every key must be emitted once")
   }
 
+  test("bounded-state dedup: state evicts, keys re-emit, and the emission set matches the watermark recursion") {
+    val delayMs = 12L * 3600 * 1000
+    val got = StreamingState.streamingDedupBounded(spark, sfDir, "12 hours")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+
+    // Scala replay of the engine's millisecond watermark recursion — the
+    // same contract the DuckDB oracle pins at sf0.01 (see SparkEntry)
+    val groups = Tables.transactionsTimeChunked(spark, sfDir, StreamingState.NumChunks)
+      .groupBy(col("symbol"), col("chunk"))
+      .agg(min(unix_millis(col("ts"))).as("dts"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val batchMax = groups.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    // the eviction a batch-c arrival observes ran at the END of batch c-1,
+    // under the watermark in effect DURING batch c-1 — i.e. max event-ms
+    // over chunks <= c-2, minus the delay (one-batch lag; pinned here and
+    // by the sf0.01 oracle)
+    def wmAt(chunk: Int): Long =
+      if (chunk < 2) Long.MinValue
+      else (0 to chunk - 2).map(batchMax).max - delayMs
+    val expected = groups.groupBy(_._1).toSeq.flatMap { case (sym, rows) =>
+      var expiry = Long.MinValue
+      var armed = false
+      rows.sortBy(_._2).flatMap { case (_, chunk, dts) =>
+        val alive = armed && expiry >= wmAt(chunk)
+        if (alive) None
+        else { expiry = dts + delayMs; armed = true; Some((sym, chunk)) }
+      }
+    }.toSet
+    assert(got == expected,
+      s"emissions must equal the watermark recursion: " +
+        s"missing=${expected -- got}, extra=${got -- expected}")
+
+    // both behaviors must actually occur at this scale: some key re-emitted
+    // after eviction, and some (key, chunk) occurrence dropped as duplicate
+    val emitsPerKey = got.groupBy(_._1).view.mapValues(_.size)
+    assert(emitsPerKey.values.exists(_ > 1),
+      "at least one key must be re-emitted after state eviction")
+    val occurrences = groups.map(g => (g._1, g._2)).toSet
+    assert(got.size < occurrences.size,
+      "at least one occurrence must be dropped as an in-delay duplicate")
+  }
+
   test("watermarked windowed streaming agg over time-ordered replay equals batch windowed agg") {
     val streamed = StreamingState.windowedSnapshot(spark, sfDir)
     val batch = StockAggregation
