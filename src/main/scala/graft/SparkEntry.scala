@@ -249,18 +249,31 @@ object SparkEntry {
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
           idCol = "vec_id")
       })),
-    // ANN: LSH-bucketed candidates + exact re-rank — approximate by design,
-    // so rows-only here; recall vs brute force is pinned in SimilaritySpec
-    "q_similarity_ann" -> ((s, dir) =>
-      Similarity.annTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
-    // IVF ANN: k-means cells (trained once per corpus, cached like the lang
-    // profiles) + nprobe cell probing + exact re-rank — the data-adaptive
-    // scale path next to the data-oblivious LSH; rows-only, recall pinned in
-    // SimilaritySpec
+    // ANN recall AUDIT (error-as-data, like the sketch audits): LSH-bucketed
+    // candidates + exact re-rank, recall measured against the exact top-k
+    // (served by the pruned path — no cartesian) — emits the SQL-checkable
+    // verdict that recall beats random candidate selection; raw ANN results
+    // remain Similarity.annTopK, recall pinned in SimilaritySpec
+    "q_similarity_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val cents = ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb))
+      Similarity.recallAudit(
+        Similarity.ivfExactTopK(emb, qids, k = 10, cents),
+        Similarity.annTopK(emb, qids, k = 10),
+        Similarity.annScored(emb, qids), emb, qids, k = 10)
+    }),
+    // IVF ANN recall audit: k-means cells (trained once per corpus, cached
+    // like the lang profiles) + nprobe cell probing + exact re-rank — the
+    // data-adaptive scale path next to the data-oblivious LSH
     "q_similarity_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10,
-        ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb)))
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val cents = ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb))
+      Similarity.recallAudit(
+        Similarity.ivfExactTopK(emb, qids, k = 10, cents),
+        Similarity.ivfTopK(emb, qids, k = 10, cents),
+        Similarity.ivfScored(emb, qids, cents), emb, qids, k = 10)
     }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
@@ -476,12 +489,15 @@ object SparkEntry {
     // ---- Sketch twins: exact accounting vs mergeable approximations -------
     // exact per-source vocabulary (the shuffle-every-distinct-term path)
     "q_text_vocab" -> ((s, dir) => Sketches.vocabBySource(Tables.documents(s, dir))),
-    // HLL++ sketch twin — engine-specific estimate, rows-only; error vs the
-    // exact twin pinned by SketchesSpec
-    "q_sketch_vocab" -> ((s, dir) => Sketches.vocabBySourceApprox(Tables.documents(s, dir))),
-    // Greenwald-Khanna approx-percentile twin of q_text_token_dist
+    // HLL++ sketch AUDIT — error-as-data: exact accounting + the verdict
+    // that the estimate landed inside its bound, in one aggregation pass;
+    // the oracle recomputes the exact side and asserts the verdict TRUE
+    // (raw estimate queries stay available as Sketches.vocabBySourceApprox,
+    // error pinned by SketchesSpec)
+    "q_sketch_vocab" -> ((s, dir) => Sketches.vocabAudit(Tables.documents(s, dir))),
+    // Greenwald-Khanna audit of q_text_token_dist, same error-as-data move
     "q_sketch_token_dist" -> ((s, dir) =>
-      Sketches.tokenDistributionApprox(Tables.documents(s, dir)))
+      Sketches.tokenDistributionAudit(Tables.documents(s, dir)))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1307,12 +1323,45 @@ object SparkEntry {
         |  min(nrm) AS min_norm, max(nrm) AS max_norm,
         |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM n GROUP BY label""".stripMargin,
-    // exact vocabulary accounting (the sketch twins are rows-only)
+    // exact vocabulary accounting
     "q_text_vocab" ->
       """SELECT source,
         |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct_terms,
         |  CAST(COUNT(*) AS BIGINT) AS n_terms
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
-        |GROUP BY source""".stripMargin
+        |GROUP BY source""".stripMargin,
+    // Sketch audits: the oracle recomputes the EXACT side and asserts the
+    // within-bound verdict — the only SQL-portable claims a sketch can make
+    "q_sketch_vocab" ->
+      """SELECT source,
+        |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct_terms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  TRUE AS hll_within_bound
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY source""".stripMargin,
+    // ANN recall audits: every emitted column is SQL-derivable (k and the
+    // query set are query constants; n_exact = k per query since the corpus
+    // exceeds k) — the engine-specific recall number stays engine-side,
+    // only its verdict crosses
+    "q_similarity_ann" ->
+      """SELECT 10 AS k,
+        |  CAST(5 AS BIGINT) AS n_queries,
+        |  CAST(50 AS BIGINT) AS n_exact,
+        |  TRUE AS recall_beats_random""".stripMargin,
+    "q_similarity_ivf" ->
+      """SELECT 10 AS k,
+        |  CAST(5 AS BIGINT) AS n_queries,
+        |  CAST(50 AS BIGINT) AS n_exact,
+        |  TRUE AS recall_beats_random""".stripMargin,
+    "q_sketch_token_dist" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(SUM(len(string_split(text, ' ')))::DOUBLE / COUNT(*), 6) AS avg_tokens,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.25), 6) AS p25,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.75), 6) AS p75,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90,
+        |  TRUE AS gk_within_bound
+        |FROM documents GROUP BY source""".stripMargin
   )
 }

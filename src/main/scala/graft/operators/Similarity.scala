@@ -186,6 +186,17 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       centroids: Array[Array[Float]],
+      nprobe: Int = 4): DataFrame =
+    topKPerQuery(ivfScored(embeddings, queryIds, centroids, nprobe), k)
+
+  /** The IVF candidate set, scored: (query_id, neighbor_id, score) for every
+    * corpus vector in one of the query's `nprobe` probed cells. Exposed so
+    * the recall audit can count candidates without re-deriving the join.
+    */
+  def ivfScored(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      centroids: Array[Array[Float]],
       nprobe: Int = 4): DataFrame = {
     val corpus = embeddings.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
@@ -203,11 +214,10 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("qn"),
           explode(probed).as("probe"))
         .select(col("query_id"), col("qv"), col("qn"), col("probe.cell").as("cell")))
-    val scored = corpus.join(queries, Seq("cell"))
+    corpus.join(queries, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
-    topKPerQuery(scored, k)
   }
 
   // ------------------------------------------------------------------
@@ -483,6 +493,18 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       tables: Int = 8,
+      bits: Int = 6): DataFrame =
+    topKPerQuery(annScored(embeddings, queryIds, tables, bits), k)
+
+  /** The LSH candidate set, scored and deduped: (query_id, neighbor_id,
+    * score) for every corpus vector sharing at least one (table, bucket)
+    * with the query. Exposed so the recall audit can count candidates
+    * without re-deriving the join.
+    */
+  def annScored(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      tables: Int = 8,
       bits: Int = 6): DataFrame = {
     def bucketed(df: DataFrame, idName: String, vName: String, nName: String): DataFrame =
       df.select(col(idName), col(vName), col(nName),
@@ -502,11 +524,66 @@ object Similarity {
     // score BEFORE dedup: a duplicated candidate (shared buckets in several
     // tables) costs at most `tables` extra dots, while deduping first would
     // shuffle both full float vectors per candidate instead of one scalar
-    val scored = corpus.join(queries, Seq("tbl", "bkt"))
+    corpus.join(queries, Seq("tbl", "bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
       .dropDuplicates("query_id", "neighbor_id")
-    topKPerQuery(scored, k)
+  }
+
+  /** Recall-as-data audit of an approximate top-k against the EXACT top-k
+    * ([[ivfExactTopK]] — never the quadratic brute force inside a serving
+    * plan): one row
+    * (k, n_queries, n_exact, recall_beats_random) where the verdict is
+    *   recall@k  >  candidate_fraction + 0.1
+    * — the approximate method must beat blind random candidate selection by
+    * a wide margin (the same contract SimilaritySpec pins; on a clustered
+    * real-world corpus recall approaches 1 and the margin is huge, on this
+    * adversarially isotropic synthetic corpus it is data-limited). The
+    * recall NUMBER itself depends on the engine-specific sketch (hash
+    * hyperplanes / trained cells), so like the sketch audits only
+    * SQL-recomputable columns and the verdict are emitted; the oracle
+    * asserts the verdict TRUE.
+    */
+  def recallAudit(
+      exact: DataFrame, approx: DataFrame, candidates: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val key = Seq("query_id", "neighbor_id")
+    // single-row combination WITHOUT a join: combining 1-row aggregates on
+    // a synthetic key constant-folds into a nested-loop join (which the
+    // plan audit rightly bans), so every input flows through ONE tagged
+    // union — pair-grained rows for exact/approx/candidates, corpus rows
+    // keyed (vec_id, -1) — and two aggregation levels produce the one
+    // audit row
+    def pairs(df: DataFrame, tag: String): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"), lit(tag).as("src"))
+    val tagged = pairs(exact.select(key.map(col): _*), "e")
+      .unionByName(pairs(approx.select(key.map(col): _*), "a"))
+      .unionByName(pairs(candidates.select(key.map(col): _*), "c"))
+      .unionByName(embeddings.select(
+        col("vec_id").as("query_id"), lit(-1L).as("neighbor_id"),
+        lit("n").as("src")))
+    val flags = tagged
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(
+        max(when(col("src") === "e", 1).otherwise(0)).as("is_e"),
+        max(when(col("src") === "a", 1).otherwise(0)).as("is_a"),
+        sum(when(col("src") === "c", 1).otherwise(0)).as("n_c"),
+        sum(when(col("src") === "n", 1).otherwise(0)).as("n_n"))
+    flags
+      .agg(
+        countDistinct(when(col("is_e") === 1, col("query_id"))).as("n_queries"),
+        sum(col("is_e")).as("n_exact"),
+        sum(col("is_e") * col("is_a")).as("n_hit"),
+        sum(col("n_c")).as("n_cand"),
+        sum(col("n_n")).as("n_corpus"))
+      .select(
+        lit(k).as("k"),
+        col("n_queries"),
+        col("n_exact"),
+        (col("n_hit").cast("double") / col("n_exact") >
+          col("n_cand").cast("double") /
+            (lit(queryIds.size) * (col("n_corpus") - 1)) + lit(0.1))
+          .as("recall_beats_random"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate aggregations next to their exact twins — the
@@ -61,5 +61,81 @@ object Sketches {
         count(lit(1)).as("n_docs"),
         round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
         q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.9, "p90"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Sketch AUDITS — error-as-data. The sketch estimates themselves are
+  // engine-specific (an HLL register set / GK summary is not reproducible
+  // bit-for-bit in another engine), so the estimate can never be
+  // hash-compared against a SQL oracle. What CAN be: the exact value and
+  // the VERDICT that the estimate landed inside its advertised bound. Each
+  // audit computes exact and sketch in ONE aggregation pass (shared
+  // shuffle) and emits only SQL-recomputable columns — the exact
+  // accounting plus a within-bound boolean the oracle asserts as TRUE.
+  // This graduates the sketch queries from rows-only to fully
+  // oracle-checked without pretending the estimate is portable.
+  // ---------------------------------------------------------------------
+
+  /** HLL++ audit of [[vocabBySource]]: (source, n_distinct_terms, n_terms,
+    * hll_within_bound) where the bound is `tolRel` relative error vs the
+    * exact distinct count (default 3× the advertised 5% rsd, the same
+    * contract SketchesSpec pins). One shared explode + aggregate pass.
+    */
+  def vocabAudit(
+      docs: DataFrame, rsd: Double = 0.05, tolRel: Double = 0.15): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("term")).as("n_distinct_terms"),
+        count(lit(1)).as("n_terms"),
+        approx_count_distinct(col("term"), rsd).as("hll"))
+      .select(
+        col("source"), col("n_distinct_terms"), col("n_terms"),
+        (abs(col("hll") - col("n_distinct_terms")).cast("double") <=
+          lit(tolRel) * col("n_distinct_terms")).as("hll_within_bound"))
+
+  /** GK audit of [[graft.operators.TextAnalysis.tokenDistribution]]:
+    * exact interpolated quantiles plus `gk_within_bound`. The bound is GK's
+    * REAL guarantee, which lives in RANK space, not value space: the sketch
+    * returns an actual group element whose rank is within n/accuracy of the
+    * target — but the VALUE distance to the exact (interpolating) quantile
+    * is unbounded when the neighborhood's inter-element gap is large (a
+    * 25-doc group with token counts ...72, 87... puts every element ≥ 6
+    * away from the interpolated 81). So the audit checks rank containment:
+    * for each p, count(x < approx) ≤ p·n + slack and count(x ≤ approx) ≥
+    * p·n − slack, slack = 2 + n/accuracy. Two aggregation passes joined by
+    * source (broadcast — one row per group).
+    */
+  def tokenDistributionAudit(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90")
+    val base = docs.select(col("source"), size(split(col("text"), " ")).as("n_tokens"))
+    val sketchCols: Seq[Column] =
+      Seq(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens")) ++
+        ps.map { case (p, n) => round(percentile(col("n_tokens"), lit(p)), 6).as(n) } ++
+        ps.map { case (p, n) =>
+          approx_percentile(col("n_tokens"), lit(p), lit(accuracy))
+            .cast("double").as(s"ap_$n")
+        }
+    val sketched = base
+      .groupBy("source")
+      .agg(sketchCols.head, sketchCols.tail: _*)
+    def rankOk(p: Double, name: String): Column = {
+      // group-constant join-side columns must ride an aggregate inside agg()
+      val slack = lit(2.0) + first(col("n_docs")) / accuracy
+      val target = lit(p) * first(col("n_docs"))
+      (sum(when(col("n_tokens") < col(s"ap_$name"), 1).otherwise(0)) <= target + slack) &&
+        (sum(when(col("n_tokens") <= col(s"ap_$name"), 1).otherwise(0)) >= target - slack)
+    }
+    base.join(broadcast(sketched), Seq("source"))
+      .groupBy("source")
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("avg_tokens")).as("avg_tokens"),
+        first(col("p25")).as("p25"), first(col("p50")).as("p50"),
+        first(col("p75")).as("p75"), first(col("p90")).as("p90"),
+        ps.map { case (p, n) => rankOk(p, n) }.reduce(_ && _).as("gk_within_bound"))
   }
 }

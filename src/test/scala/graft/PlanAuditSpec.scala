@@ -60,12 +60,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle entries without a query: ${o -- q}")
     // rows-only entries are the xxhash64-based/approximate ops, by design
     // (langid + the decode seam graduated to oracle-checked in round 4; the
-    // sketch twins are engine-specific estimates pinned by SketchesSpec)
+    // sketch twins and ANN queries graduated via error/recall-as-data
+    // audits in round 7)
     val rowsOnly = q -- o
     val expectedRowsOnly = Set(
-      "q_dedup_simhash", "q_similarity_ann", "q_similarity_ivf",
-      "q_text_fingerprint", "q_multimodal_frames",
-      "q_sketch_vocab", "q_sketch_token_dist")
+      "q_dedup_simhash", "q_text_fingerprint", "q_multimodal_frames")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries (add an oracle or whitelist deliberately): ${rowsOnly -- expectedRowsOnly}")
   }

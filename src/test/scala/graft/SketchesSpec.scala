@@ -27,21 +27,35 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
-  test("approximate quantiles stay within one token-count step of exact") {
+  test("approximate quantiles are returned elements within GK's rank guarantee") {
+    // GK returns an ACTUAL element at rank-error <= n/accuracy; the exact
+    // form interpolates BETWEEN elements, so a VALUE bound is unbounded on
+    // gappy small groups (sf0.01's src19: elements ...72, 87... vs exact
+    // p90 = 81). The portable contract is rank containment — exactly what
+    // tokenDistributionAudit checks per group.
+    val audit = Sketches.tokenDistributionAudit(docs).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("gk_within_bound")),
+        s"${r.getString(0)}: GK estimate outside its rank guarantee")
+    }
+    // audit's exact columns must equal the exact twin's (same expressions)
     val exact = TextAnalysis.tokenDistribution(docs).collect()
       .map(r => r.getString(0) -> Seq("p25", "p50", "p75", "p90").map(r.getAs[Double])).toMap
-    val approx = Sketches.tokenDistributionApprox(docs).collect()
-      .map(r => r.getString(0) -> Seq("p25", "p50", "p75", "p90").map(r.getAs[Double])).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (src, ex) =>
-      approx(src).zip(ex).zipWithIndex.foreach { case ((a, e), i) =>
-        // GK returns an ACTUAL element at rank-error <= n/accuracy; the exact
-        // form interpolates BETWEEN elements — on small groups the nearest
-        // element can sit a full inter-element gap away, so the contract is
-        // 5% relative (floor 3 tokens), which holds at every group size
-        assert(math.abs(a - e) <= math.max(3.0, 0.05 * e),
-          s"$src quantile #$i: approx $a vs exact $e")
-      }
+    audit.foreach { r =>
+      assert(Seq("p25", "p50", "p75", "p90").map(r.getAs[Double]) == exact(r.getString(0)))
+    }
+  }
+
+  test("vocab audit: exact accounting carried, HLL verdict true on the real corpus") {
+    val audit = Sketches.vocabAudit(docs).collect()
+    val exact = Sketches.vocabBySource(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.map(_.getString(0)).toSet == exact.keySet)
+    audit.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == exact(r.getString(0)))
+      assert(r.getBoolean(r.fieldIndex("hll_within_bound")),
+        s"${r.getString(0)}: HLL estimate outside 15% of exact")
     }
   }
 }
