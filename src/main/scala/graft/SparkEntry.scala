@@ -277,6 +277,9 @@ object SparkEntry {
     }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
+    // term-rarity: the hot-key (stopword-skewed) term join — broadcast at
+    // test scale, AQE skew-split when shuffled (JoinSkewSpec)
+    "q_text_rarity_join" -> ((s, dir) => TextAnalysis.termRarity(Tables.documents(s, dir))),
     "q_text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), k = 20)),
     // grouped top-k via the bounded per-key heaps (Ranking.topKPerKey)
     "q_text_terms_by_source" -> ((s, dir) =>
@@ -1330,6 +1333,20 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_terms
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY source""".stripMargin,
+    // term-rarity hot-key join: tf·n/df without ln (engine-portable IEEE
+    // arithmetic), per-term contributions rounded then summed as DECIMAL
+    "q_text_rarity_join" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+        |  round(CAST(SUM(CAST(round(tf.tf * n.n_docs / df.df, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS rarity_score
+        |FROM tf JOIN df USING (term), n
+        |GROUP BY doc_id""".stripMargin,
     // Sketch audits: the oracle recomputes the EXACT side and asserts the
     // within-bound verdict — the only SQL-portable claims a sketch can make
     "q_sketch_vocab" ->

@@ -391,4 +391,38 @@ object TextAnalysis {
     when(length(text) >= k + w - 1, array_distinct(windowMins))
       .otherwise(array().cast("array<bigint>"))
   }
+
+  /** Term-rarity accounting — the corpus pipeline's natural HOT-KEY JOIN:
+    * per-document term frequencies joined against corpus-wide document
+    * frequencies ON THE TERM. Stopwords ("the", "a") appear in nearly every
+    * document, so at 100 TB the probe side's term-keyed shuffle is heavily
+    * skewed — exactly the shape AQE skew-join mitigation exists for
+    * (JoinSkewSpec proves the engine splits such a join when it is
+    * shuffled; at test scale Catalyst rightly broadcasts the small df side
+    * instead).
+    *
+    * Rarity weight = tf · n_docs / df — the raw tf-idf odds ratio WITHOUT a
+    * logarithm: `ln` is not guaranteed bit-identical across engines' libm,
+    * while integer multiply + one IEEE double division is. Per-term
+    * contributions round to 6 dp and accumulate as DECIMAL(18,6), so the
+    * per-doc sum is partition-order-independent and hash-stable.
+    *
+    * Returns (doc_id, n_distinct_terms, rarity_score).
+    */
+  def termRarity(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size is a bounded driver-side artifact (one long), like the
+    // trained-model builds elsewhere
+    val nDocs = docs.count()
+    tf.join(df, Seq("term"))
+      .select(col("doc_id"),
+        round(col("tf") * lit(nDocs) / col("df"), 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_terms"),
+        round(sum(col("contrib")).cast("double"), 6).as("rarity_score"))
+  }
 }
