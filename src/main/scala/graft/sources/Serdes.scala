@@ -55,9 +55,48 @@ object Serdes {
 
   /** Kafka-shaped decode: a string/binary JSON value column → typed struct
     * with wire field names.
+    *
+    * MALFORMED-INPUT POLICY (pinned by SerdesMalformedSpec): this is the
+    * PERMISSIVE decode — a value that is not valid JSON for the wire schema
+    * decodes to an all-null-fields struct instead of failing the job. The
+    * reference's Jackson deserializer THROWS instead
+    * (`SerdeUtil.java:160-166` wraps `IOException` in `RuntimeException`),
+    * tearing down the Streams thread on one bad record. At 100 TB that
+    * posture is wrong for Spark — a single poison record must not kill a
+    * 1000-executor job — so the engine's default is permissive with
+    * [[isCorrupt]] as the quarantine predicate (route `isCorrupt` rows to a
+    * dead-letter sink, decode the rest); [[decodeTransactionStrict]] is the
+    * reference-parity mode for pipelines that WANT one bad byte to stop the
+    * world.
     */
   def decodeTransaction(json: Column): Column =
     from_json(json.cast("string"), stockTransactionWireSchema)
+
+  /** Reference-parity STRICT decode: FAILFAST `from_json` raises on the
+    * first malformed value, like the reference's throwing Jackson
+    * deserializer (`SerdeUtil.java:160-166`).
+    */
+  def decodeTransactionStrict(json: Column): Column =
+    from_json(json.cast("string"), stockTransactionWireSchema,
+      Map("mode" -> "FAILFAST"))
+
+  /** [[decodeTransaction]] with the parser's corrupt-record channel exposed:
+    * the extra `_corrupt` field carries the RAW value for rows the parser
+    * rejected (invalid JSON, or a type-mismatched field — the same inputs
+    * the reference's Jackson POJO reader throws on) and is null for clean
+    * rows. Absent fields are absent data, not corruption.
+    */
+  def decodeTransactionQuarantine(json: Column): Column =
+    from_json(json.cast("string"),
+      stockTransactionWireSchema.add(StructField("_corrupt", StringType)),
+      Map("columnNameOfCorruptRecord" -> "_corrupt"))
+
+  /** Quarantine predicate for the permissive decode: true exactly when the
+    * parser rejected the wire value. Codegen'd column expression — usable
+    * as a hot-path filter feeding a dead-letter sink.
+    */
+  def isCorrupt(json: Column): Column =
+    decodeTransactionQuarantine(json).getField("_corrupt").isNotNull
 
   /** Encode one txn row to its wire JSON (Jackson shape, camelCase). A plain
     * column expression over the standard txn column names — bind it by
