@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-testing stager: derives an N×-scale copy of the driver's test
+  * substrate (the three tables the registered queries read — events,
+  * documents, embeddings) by unioning id-shifted replicas, so Bench can
+  * produce a data point one decade above the largest driver-provided scale
+  * factor and SCALING.md can compare measured per-family scaling against the
+  * designed plan shapes.
+  *
+  * Replication choices, and what they mean for the measurement:
+  *   - `events`: event_id and user_id shift per replica → 10× rows AND 10×
+  *     key cardinality (the symbol space grows with the data, as a real
+  *     ingest's would). ts stays — 10 same-timestamp events are ordinary.
+  *     The raw nanosecond ts column is copied verbatim (read with
+  *     `nanosAsLong`), preserving the TIMESTAMP(NANOS) long-read path.
+  *   - `documents`: doc_id shifts; replica i>0 appends a ' repl<i>' token.
+  *     Exact-dup classes stay within-replica (the suffix differs), while
+  *     every original doc gains 9 NEAR-duplicates at jaccard ≈ 0.95 — the
+  *     boilerplate-heavy profile of a real crawl. Near-dup outputs therefore
+  *     grow ~45 pairs per original doc BY CONSTRUCTION; SCALING.md accounts
+  *     for that when reading those queries' times.
+  *   - `embeddings`: vec_id shifts, vectors copy verbatim — every vector
+  *     gains 9 exact duplicates (cosine 1.0), the densest possible ε-graph,
+  *     an adversarial stress for the pair listing.
+  *
+  * Usage: ScaleData <srcSfDir> <destDir> <factor>
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleData <srcSfDir> <destDir> <factor>")
+    val Array(src, dest, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evN = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userN = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    replicate(ev) { (d, i) =>
+      d.select(
+        (col("event_id") + lit(i) * evN).as("event_id"), col("ts"),
+        (col("user_id") + lit(i) * userN).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.write.mode("overwrite").parquet(s"$dest/events.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docN = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    replicate(docs) { (d, i) =>
+      d.select(
+        (col("doc_id") + lit(i) * docN).as("doc_id"),
+        (if (i == 0) col("text") else concat(col("text"), lit(s" repl$i"))).as("text"),
+        col("lang"), col("source"),
+        (if (i == 0) col("n_chars")
+         else col("n_chars") + lit(s" repl$i".length)).as("n_chars"))
+    }.write.mode("overwrite").parquet(s"$dest/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecN = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    replicate(emb) { (d, i) =>
+      d.select((col("vec_id") + lit(i) * vecN).as("vec_id"),
+        col("embedding"), col("label"))
+    }.write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    println(s"staged ${factor}x of $src at $dest")
+    spark.stop()
+  }
+}
