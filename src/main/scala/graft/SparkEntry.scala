@@ -280,6 +280,17 @@ object SparkEntry {
     // term-rarity: the hot-key (stopword-skewed) term join — broadcast at
     // test scale, AQE skew-split when shuffled (JoinSkewSpec)
     "q_text_rarity_join" -> ((s, dir) => TextAnalysis.termRarity(Tables.documents(s, dir))),
+    // fixed-window token chunking with overlap (training-sequence prep):
+    // pure map-side row expansion, no shuffle
+    "q_text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), window = 32, overlap = 8)),
+    // top-k collocations by log-free PMI lift (engine-portable arithmetic)
+    "q_text_collocations" -> ((s, dir) =>
+      TextAnalysis.topCollocations(Tables.documents(s, dir), k = 20, minCount = 5)),
+    // bounded-postings inverted index: one hash aggregate, O(maxPostings)
+    // state per term via the size-capped row heap
+    "q_text_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), maxPostings = 1000)),
     "q_text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), k = 20)),
     // grouped top-k via the bounded per-key heaps (Ranking.topKPerKey)
     "q_text_terms_by_source" -> ((s, dir) =>
@@ -377,6 +388,13 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.contaminated(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+    // contamination fraction per doc (left join keeps clean docs at 0)
+    "q_decontaminate_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationScore(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
@@ -1333,6 +1351,59 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_terms
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY source""".stripMargin,
+    // contamination score: same shingle universe as q_decontaminate, left
+    // join so clean docs carry 0
+    "q_decontaminate_score" ->
+      s"""WITH sh AS ($dedupShCte),
+         |bench AS (SELECT DISTINCT g
+         |          FROM (SELECT unnest(ss) AS g FROM sh WHERE doc_id % 50 = 0)),
+         |corp AS (SELECT doc_id, unnest(ss) AS g FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT c.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(b.g) AS BIGINT) AS n_matched,
+         |  round(count(b.g)::DOUBLE / count(*), 6) AS contamination
+         |FROM corp c LEFT JOIN bench b USING (g)
+         |GROUP BY c.doc_id""".stripMargin,
+    // token chunking: 1-based slices [i·stride+1, i·stride+window] per doc,
+    // ⌊(n−1)/stride⌋+1 chunks (stride 24, window 32)
+    "q_text_chunks" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |  CAST(len(toks[i*24+1 : i*24+32]) AS INT) AS n_tokens
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |  LATERAL (SELECT unnest(range(0, CAST(floor((len(toks)-1)/24) AS INT) + 1)) AS i)""".stripMargin,
+    // collocations: identical lift expression shape (c_ab·Nu·Nu)/(c_a·c_b·Nb),
+    // rounded to 6 dp; top-20 under (lift desc, bigram asc)
+    "q_text_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        |tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu,
+        |               (SELECT SUM(greatest(len(t) - 1, 0)) FROM toks) AS nb),
+        |bi AS (SELECT t[i] || ' ' || t[i+1] AS bigram
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |bcnt AS (SELECT bigram, COUNT(*) AS c_ab FROM bi
+        |         GROUP BY bigram HAVING COUNT(*) >= 5)
+        |SELECT b.bigram, b.c_ab AS n_occurrences,
+        |  round((CAST(b.c_ab AS DOUBLE) * t.nu * t.nu)
+        |        / (CAST(ua.c AS DOUBLE) * ub.c * t.nb), 6) AS lift
+        |FROM bcnt b CROSS JOIN tot t
+        |JOIN ucnt ua ON ua.w = string_split(b.bigram, ' ')[1]
+        |JOIN ucnt ub ON ub.w = string_split(b.bigram, ' ')[2]
+        |ORDER BY lift DESC, b.bigram
+        |LIMIT 20""".stripMargin,
+    // inverted index: df exact, postings capped at the first 1000 doc ids
+    "q_text_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, term
+        |            FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |                  FROM documents)),
+        |r AS (SELECT term, doc_id,
+        |             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |      FROM td)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |  string_agg(CASE WHEN rn <= 1000 THEN CAST(doc_id AS VARCHAR) END,
+        |             ',' ORDER BY doc_id) AS postings
+        |FROM r GROUP BY term""".stripMargin,
     // term-rarity hot-key join: tf·n/df without ln (engine-portable IEEE
     // arithmetic), per-term contributions rounded then summed as DECIMAL
     "q_text_rarity_join" ->

@@ -69,6 +69,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_matched")) // shingle hashes are distinct per doc
   }
 
+  /** Contamination SCORE — [[contaminated]]'s flag refined to a fraction:
+    * per corpus document, what share of its distinct shingles appears in
+    * the benchmark set. The score (not just the flag) is what a curation
+    * pipeline thresholds on — a 2% incidental overlap and a 90% verbatim
+    * leak are different decisions. Same broadcast-hashed-shingle shape as
+    * [[contaminated]], with a LEFT join so clean documents keep score 0;
+    * documents too short to shingle (< n tokens) have no overlap defined
+    * and are absent, exactly like [[contaminated]].
+    *
+    * Returns (doc_id, n_shingles, n_matched, contamination).
+    */
+  def contaminationScore(
+      corpus: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val bench = broadcast(
+      benchmark
+        .select(explode(NativeExpressions.shingleHashes(col("text"), n)).as("h"))
+        .distinct()
+        .withColumn("hit", lit(1)))
+    corpus
+      .select(col("doc_id"),
+        explode(NativeExpressions.shingleHashes(col("text"), n)).as("h"))
+      .join(bench, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"), // shingle hashes are distinct per doc
+        sum(coalesce(col("hit"), lit(0))).as("n_matched"))
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** [[contaminated]] with a BLOOM PREFILTER on the corpus side — the shape
     * for benchmark sets too large to broadcast-join comfortably. A Bloom
     * filter over the benchmark's distinct shingle hashes (a bounded model

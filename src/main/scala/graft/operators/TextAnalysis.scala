@@ -392,6 +392,100 @@ object TextAnalysis {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Fixed-window token CHUNKING with overlap — the step that turns raw
+    * documents into training sequences for a context-window-bounded model:
+    * token windows of `window` tokens starting every `window − overlap`
+    * tokens (the final chunk may be short; a document shorter than one
+    * window yields exactly one chunk). Pure map-side row expansion —
+    * sequence + slice + join, no shuffle, expansion factor ≤
+    * 1 + n/(window−overlap) — so the plan is an embarrassingly parallel
+    * projection at any corpus size.
+    *
+    * Returns (doc_id, chunk_id, chunk_text, n_tokens).
+    */
+  def chunkDocuments(docs: DataFrame, window: Int = 32, overlap: Int = 8): DataFrame = {
+    require(window > overlap && overlap >= 0,
+      s"chunkDocuments: need window > overlap >= 0, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    val toks = split(col("text"), " ")
+    // starts 1, 1+stride, ... while start <= n  →  n_chunks = ⌊(n−1)/stride⌋+1
+    val nChunks = (floor((size(toks) - 1) / lit(stride)) + 1).cast("int")
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(window)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(col("ctoks"), " ").as("chunk_text"),
+        size(col("ctoks")).as("n_tokens"))
+  }
+
+  /** Collocation extraction — top-k bigrams by PMI-style LIFT,
+    *   lift = P(ab) / (P(a)·P(b)) = c_ab · N_uni² / (c_a · c_b · N_bi),
+    * computed WITHOUT the logarithm (log only monotonically rescales the
+    * ranking, and `ln` is not bit-identical across engines' libm while
+    * IEEE multiply/divide is). `minCount` suppresses the degenerate
+    * rare-pair tail. Corpus totals are a bounded driver-side artifact (two
+    * longs); the per-term joins key on the term — broadcastable while the
+    * vocabulary is small, shuffled (and AQE-skew-handled, see JoinSkewSpec)
+    * when it is not.
+    *
+    * Returns top-k (bigram, n_occurrences, lift), ordered by
+    * (lift desc, bigram asc) — engine-portable total order on the 6-dp
+    * rounded lift.
+    */
+  def topCollocations(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val totals = docs
+      .select(size(toks).as("n"))
+      .agg(sum(col("n")).as("nu"), sum(greatest(col("n") - 1, lit(0))).as("nb"))
+      .head()
+    val (nUni, nBi) = (totals.getLong(0), totals.getLong(1))
+    val uniC = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    docs.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("wa", split(col("bigram"), " ")(0))
+      .withColumn("wb", split(col("bigram"), " ")(1))
+      .join(uniC.select(col("w").as("wa"), col("c").as("c_a")), Seq("wa"))
+      .join(uniC.select(col("w").as("wb"), col("c").as("c_b")), Seq("wb"))
+      .select(col("bigram"), col("c_ab").as("n_occurrences"),
+        round((col("c_ab").cast("double") * nUni * nUni) /
+          (col("c_a").cast("double") * col("c_b") * nBi), 6).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Inverted index with BOUNDED postings: per term, the exact document
+    * frequency plus the first `maxPostings` doc ids ascending, built in ONE
+    * hash aggregate whose posting buffer is the size-capped
+    * [[graft.functions.BoundedTopKRowsAgg]] heap — per-group state is
+    * O(maxPostings) even for stopwords that hit every document (an
+    * unbounded `collect_list` would buffer a stopword's entire posting list
+    * in one aggregation buffer — the classic index-build OOM at corpus
+    * scale). Postings serialize as a comma-joined string for engine-portable
+    * comparison.
+    *
+    * Returns (term, df, postings).
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 1000): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        graft.functions.BoundedTopKRowsAgg.boundedTopKRows(
+          struct(col("doc_id").as("_o0")), maxPostings).as("top"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("top"), t => t.getField("_o0").cast("string")), ",")
+          .as("postings"))
+
   /** Term-rarity accounting — the corpus pipeline's natural HOT-KEY JOIN:
     * per-document term frequencies joined against corpus-wide document
     * frequencies ON THE TERM. Stopwords ("the", "a") appear in nearly every

@@ -104,6 +104,22 @@ class PackingSpec extends AnyFunSuite {
       s"expected only doc 1 flagged with 2 matched shingles, got $out")
   }
 
+  test("contamination score: fraction of matched shingles, clean docs at 0") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx the quick brown fox yy"),        // 4 shingles, 2 matched
+      (2L, "totally different words here now"), // 3 shingles, 0 matched
+      (3L, "fox jumps")                         // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.contaminationScore(corpus, bench)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((4L, 2L, 0.5)),
+      2L -> ((3L, 0L, 0.0))))
+  }
+
   test("hash sampling is deterministic and stratified quotas are exact") {
     val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
     val s1 = Sampling.hashSample(docs, "doc_id", "1999").collect().map(_.getLong(0)).sorted

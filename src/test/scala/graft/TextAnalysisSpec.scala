@@ -102,4 +102,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_fingerprints") == 0)
     assert(r.isNullAt(r.fieldIndex("min_fingerprint")))
   }
+
+  test("chunking: windows overlap correctly and the tail chunk may be short") {
+    // 10 tokens, window 4, overlap 2 → stride 2 → starts 1,3,5,7,9 → 5 chunks
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val chunks = TextAnalysis.chunkDocuments(corpus((1L, text)), window = 4, overlap = 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_tokens")
+      .as[(Int, String, Int)].collect()
+    assert(chunks.length == 5)
+    assert(chunks(0) == ((0, "t1 t2 t3 t4", 4)))
+    assert(chunks(1) == ((1, "t3 t4 t5 t6", 4))) // overlaps the previous by 2
+    assert(chunks(4) == ((4, "t9 t10", 2))) // short tail kept
+    // every token is covered by at least one chunk
+    val covered = chunks.flatMap(_._2.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+
+    // a doc shorter than one window yields exactly one chunk of itself
+    val one = TextAnalysis.chunkDocuments(corpus((2L, "a b")), window = 4, overlap = 2)
+      .select("chunk_text", "n_tokens").as[(String, Int)].collect()
+    assert(one.toSeq == Seq(("a b", 2)))
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(corpus((3L, "x")), window = 2, overlap = 2)
+    }
+  }
+
+  test("collocations: a bigram that always co-occurs outranks independent pairs") {
+    // "san francisco" always adjacent; "the" is everywhere (low lift)
+    val docs = corpus((1 to 10).map { i =>
+      i.toLong -> s"the city of san francisco is the w$i of the coast"
+    }: _*)
+    val top = TextAnalysis.topCollocations(docs, k = 5, minCount = 5)
+      .select("bigram", "lift").as[(String, Double)].collect()
+    assert(top.nonEmpty)
+    val lifts = top.toMap
+    assert(lifts.contains("san francisco"))
+    // perfect collocation: P(ab)=P(a)=P(b) → lift ≈ Nu²/(c·Nb) with c=10 —
+    // strictly above any bigram involving 'the' (c_the = 30)
+    val theBigrams = lifts.filter(_._1.split(" ").contains("the"))
+    assert(theBigrams.values.forall(_ < lifts("san francisco")))
+    // ranking is by lift desc
+    assert(top.map(_._2).toSeq == top.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("inverted index: exact df, sorted postings, cap bounds the string") {
+    val docs = corpus(
+      (5L, "alpha beta"), (3L, "alpha beta beta"), (9L, "alpha gamma"))
+    val idx = TextAnalysis.invertedIndex(docs, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(idx("alpha") == ((3L, "3,5"))) // df exact, postings capped at 2, sorted
+    assert(idx("beta") == ((2L, "3,5"))) // within-doc dup counted once
+    assert(idx("gamma") == ((1L, "9")))
+  }
 }
