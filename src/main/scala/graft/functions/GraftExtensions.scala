@@ -63,6 +63,10 @@ object NativeFunctions {
       val Seq(t, n) = nArgs("char_ngrams", 2, args)
       CharNgramsExpr(t, intArg("char_ngrams", 1, n))
     },
+    "word_bigrams" -> { args: Seq[Expression] =>
+      val Seq(t) = nArgs("word_bigrams", 1, args)
+      WordBigramsExpr(t)
+    },
     "winnowing_fingerprints" -> { args: Seq[Expression] =>
       val Seq(t, k, w) = nArgs("winnowing_fingerprints", 3, args)
       WinnowingExpr(t, intArg("winnowing_fingerprints", 1, k),

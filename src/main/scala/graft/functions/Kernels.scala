@@ -284,6 +284,45 @@ object Kernels {
     new GenericArrayData(if (k == count) out else out.take(k))
   }
 
+  /** Adjacent word bigrams of a single-space-separated text, in order —
+    * equals `transform(sequence(1, n_tokens − 1), i => concat_ws(" ",
+    * tok[i], tok[i+1]))` over `split(text, " ")` (which keeps empty tokens,
+    * including trailing ones). Because consecutive tokens are separated by
+    * EXACTLY one 0x20 byte, bigram j is the zero-copy byte span from the
+    * start of token j to the end of token j+1 — one scan for the space
+    * positions, no per-element lambda, no intermediate token array. 0x20
+    * never occurs inside a UTF-8 multi-byte sequence, so byte scanning is
+    * code-point safe.
+    */
+  def wordBigrams(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' '.toByte) spaces += 1; i += 1 }
+    if (spaces == 0) return new GenericArrayData(Array.empty[Any])
+    // token j spans [starts(j), ends(j)); bigram j spans token j..j+1
+    val starts = new Array[Int](spaces + 1)
+    val ends = new Array[Int](spaces + 1)
+    starts(0) = 0
+    var tok = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' '.toByte) {
+        ends(tok) = i; tok += 1; starts(tok) = i + 1
+      }
+      i += 1
+    }
+    ends(tok) = n
+    val out = new Array[Any](spaces)
+    var j = 0
+    while (j < spaces) {
+      out(j) = UTF8String.fromBytes(bytes, starts(j), ends(j + 1) - starts(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprints (MOSS): distinct sliding-window (`w`) minima of
     * the rolling k-gram xxhash64 sequence, first-occurrence order. Character
     * k-grams are code-point substrings hashed over their UTF-8 bytes —

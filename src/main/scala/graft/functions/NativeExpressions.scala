@@ -116,6 +116,20 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** `array<string>` of adjacent word bigrams (single-space separator). */
+  case class WordBigramsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.wordBigrams(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.wordBigrams($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `array<string>` of distinct character n-grams. */
   case class CharNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
@@ -260,6 +274,9 @@ object NativeExpressions {
 
   def lshBuckets(v: Column, tables: Int, bits: Int): Column =
     ColumnBridge.column(LshBucketsExpr(expr(v), tables, bits))
+
+  def wordBigrams(text: Column): Column =
+    ColumnBridge.column(WordBigramsExpr(expr(text)))
 
   def charNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramsExpr(expr(text), n))

@@ -436,10 +436,9 @@ object TextAnalysis {
     */
   def topCollocations(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame = {
     val toks = split(col("text"), " ")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // one-pass native kernel — the HOF twin [[wordBigramsColumn]] stays as
+    // the executable semantics (differential-tested in NativeKernelsSpec)
+    val bigrams = NativeExpressions.wordBigrams(col("text"))
     val totals = docs
       .select(size(toks).as("n"))
       .agg(sum(col("n")).as("nu"), sum(greatest(col("n") - 1, lit(0))).as("nb"))
@@ -459,6 +458,19 @@ object TextAnalysis {
           (col("c_a").cast("double") * col("c_b") * nBi), 6).as("lift"))
       .orderBy(col("lift").desc, col("bigram"))
       .limit(k)
+  }
+
+  /** Adjacent word bigrams, Column-combinator form — the executable twin of
+    * the native `WordBigramsExpr` kernel (differential-tested in
+    * NativeKernelsSpec): every consecutive token pair of `split(text, " ")`
+    * joined with a single space, empty array below two tokens.
+    */
+  def wordBigramsColumn(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Inverted index with BOUNDED postings: per term, the exact document

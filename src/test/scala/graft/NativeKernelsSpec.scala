@@ -99,6 +99,25 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordBigrams == transform(sequence, concat_ws) twin, docs corpus + fixtures") {
+    for (df <- Seq(docs.select("text"), fixturesDF.select("text"))) {
+      val both = df.select(
+        TextAnalysis.wordBigramsColumn(col("text")).as("slow"),
+        NativeExpressions.wordBigrams(col("text")).as("fast"))
+      assert(both.filter(not(col("slow") === col("fast"))).count() == 0)
+    }
+    // hand-pinned edges: empty tokens from doubled/leading/trailing spaces
+    val edges = Seq("", "one", "a b", "a  b", " a b ", "é 日本 😀").toDF("text")
+    val rows = edges.select(NativeExpressions.wordBigrams(col("text")))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq())
+    assert(rows(1) == Seq())
+    assert(rows(2) == Seq("a b"))
+    assert(rows(3) == Seq("a ", " b")) // doubled space → empty middle token
+    assert(rows(4) == Seq(" a", "a b", "b ")) // leading/trailing empties
+    assert(rows(5) == Seq("é 日本", "日本 😀"))
+  }
+
   test("winnowingFingerprints == sliding array_min form, incl. short texts") {
     for (df <- Seq(docs.select("text"), fixturesDF.select("text"))) {
       val both = df.select(
@@ -162,10 +181,13 @@ class NativeKernelsSpec extends AnyFunSuite {
         TextAnalysis.charNgrams(col("text"), 3).as("s2"),
         NativeExpressions.charNgrams(col("text"), 3).as("f2"),
         TextAnalysis.fingerprintSet(col("text"), 4, 3).as("s3"),
-        NativeExpressions.winnowingFingerprints(col("text"), 4, 3).as("f3"))
+        NativeExpressions.winnowingFingerprints(col("text"), 4, 3).as("f3"),
+        TextAnalysis.wordBigramsColumn(col("text")).as("s4"),
+        NativeExpressions.wordBigrams(col("text")).as("f4"))
         .filter(not(col("s1") === col("f1")) or
           not(col("s2") === col("f2")) or
-          not(col("s3") === col("f3")))
+          not(col("s3") === col("f3")) or
+          not(col("s4") === col("f4")))
         .count()
       bad == 0L
     }
