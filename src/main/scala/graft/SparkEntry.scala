@@ -363,6 +363,12 @@ object SparkEntry {
     "q_sample_hash" -> ((s, dir) =>
       Sampling.hashSample(
         Tables.documents(s, dir).select("doc_id", "lang", "source"), "doc_id", "1999")),
+    // temperature mixture sampling (alpha=0.5): sources rebalanced toward
+    // sqrt-proportional shares, per-source hex thresholds, one-pass filter
+    "q_sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        "source", "doc_id", budgetFraction = 0.5)),
     // stratified quota sample: the 20 hash-smallest docs per source
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(
@@ -1097,6 +1103,29 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5('s5:' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'""".stripMargin,
+    // mixture sampling: identical arithmetic order (((f·N)·w)/W)/n, decimal
+    // weight normalization, 4-hex-digit threshold quantization, 'g' sentinel
+    "q_sample_mixture" ->
+      """WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        |            FROM documents GROUP BY source),
+        |w AS (SELECT source, n_s,
+        |             CAST(round(sqrt(CAST(n_s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_s
+        |      FROM st),
+        |t AS (SELECT source, n_s, w_s,
+        |             SUM(w_s) OVER () AS w_tot, SUM(n_s) OVER () AS n_tot
+        |      FROM w),
+        |thr AS (SELECT source,
+        |  CASE WHEN least(CAST(floor(0.5 * n_tot * CAST(w_s AS DOUBLE)
+        |                         / CAST(w_tot AS DOUBLE) / n_s * 65536) AS BIGINT),
+        |                  65536) = 65536
+        |       THEN 'g'
+        |       ELSE lpad(lower(hex(least(CAST(floor(0.5 * n_tot * CAST(w_s AS DOUBLE)
+        |                                        / CAST(w_tot AS DOUBLE) / n_s * 65536) AS BIGINT),
+        |                                 65536))), 4, '0') END AS thr
+        |  FROM t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN thr USING (source)
+        |WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < thr.thr""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
         |  SELECT doc_id, source,

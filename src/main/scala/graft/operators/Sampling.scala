@@ -74,6 +74,48 @@ object Sampling {
       .filter(col("rk") <= quota)
   }
 
+  /** Temperature-rebalanced MIXTURE sampling — the data-mixing step of a
+    * training pipeline: resample the corpus toward source shares
+    * proportional to n_s^alpha (alpha < 1 upweights small sources; the
+    * default alpha = 0.5 is chosen deliberately — `sqrt` is IEEE
+    * correctly-rounded in every engine, while `pow` is not, so the 0.5
+    * temperature is exactly oracle-portable). The keep decision is a pure
+    * map-side hash-coordinate comparison like [[hashSample]], with a
+    * PER-SOURCE hex threshold derived from the target share:
+    *
+    *   p_s = min(1, budgetFraction · N · w_s / W / n_s),  w_s = √n_s
+    *
+    * with w_s rounded to 6 dp and W summed as DECIMAL so the normalization
+    * is partition-order-independent, and the double→threshold conversion
+    * quantized to 4 hex digits (floor(p·65536)) compared lexicographically
+    * — rates of 1 use the sentinel 'g' (> every hex prefix), keeping such
+    * sources whole. Per-source stats are one tiny aggregate broadcast back
+    * onto the scan: the sample of a 100 TB corpus is still one pass.
+    *
+    * Returns the kept rows (input columns, no additions).
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCol: String,
+      budgetFraction: Double, salt: String = "mix"): DataFrame = {
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0, 1], got $budgetFraction")
+    import org.apache.spark.sql.expressions.Window
+    val everything = Window.partitionBy()
+    val stats = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", round(sqrt(col("n_s").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("w_tot", sum(col("w_s")).over(everything))
+      .withColumn("n_tot", sum(col("n_s")).over(everything))
+    val pRaw = lit(budgetFraction) * col("n_tot") * col("w_s").cast("double") /
+      col("w_tot").cast("double") / col("n_s")
+    val v = least(floor(pRaw * 65536).cast("long"), lit(65536L))
+    val thresholds = broadcast(stats.select(
+      col(sourceCol),
+      when(v === 65536L, lit("g"))
+        .otherwise(lpad(lower(hex(v)), 4, "0")).as("_thr")))
+    df.join(thresholds, Seq(sourceCol))
+      .filter(substring(keyHash(salt, col(keyCol)), 1, 4) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** The 100 TB twin of [[stratifiedSample]] — identical output (same
     * oracle), computed via [[Ranking.topKPerKey]]'s bounded per-key heaps
     * instead of a window. Spark 4's own WindowGroupLimit already bounds the

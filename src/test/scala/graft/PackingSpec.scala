@@ -120,6 +120,28 @@ class PackingSpec extends AnyFunSuite {
       2L -> ((3L, 0L, 0.0))))
   }
 
+  test("mixture sampling rebalances toward small sources, deterministically") {
+    // 900 docs of A, 100 of B; alpha=0.5, budget 50%:
+    //   w_A=30, w_B=10, W=40 → p_A = 0.5·1000·30/40/900 ≈ 0.4167,
+    //   p_B = 0.5·1000·10/40/100 = 1.25 → clamped to 1 (B kept whole)
+    val docs = ((0 until 900).map(i => (i.toLong, "A")) ++
+      (900 until 1000).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val kept = Sampling.mixtureSample(docs, "source", "doc_id", budgetFraction = 0.5)
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("B") == 100L, "a source with rate >= 1 must be kept whole")
+    // Bernoulli at p≈0.4167 over 900 keys: expect ~375, allow wide slack
+    assert(bySrc("A") > 280 && bySrc("A") < 470,
+      s"source A should be downsampled to ~0.42, kept ${bySrc("A")}")
+    // deterministic: same rows both times
+    val again = Sampling.mixtureSample(docs, "source", "doc_id", budgetFraction = 0.5)
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "source", "doc_id", budgetFraction = 0.0)
+    }
+  }
+
   test("hash sampling is deterministic and stratified quotas are exact") {
     val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
     val s1 = Sampling.hashSample(docs, "doc_id", "1999").collect().map(_.getLong(0)).sorted
