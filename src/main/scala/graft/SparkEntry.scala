@@ -333,6 +333,19 @@ object SparkEntry {
         _ => TextAnalysis.trainLanguageProfiles(docs))
       Curation.fullCurationProfile(docs, labels, profiles)
     }),
+    // the TRAINING-READY materialization: dedup survivors → decontaminate
+    // (anti-join) → temperature mixture sample → per-source accounting;
+    // labels computed on the TRAINING slice (benchmark slice excluded)
+    "q_pipeline_training_ready" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val labels = dedupLabels.computeIfAbsent(
+        s"${System.identityHashCode(s)}:textclean:$dir", _ =>
+          Dedup.nearDedupLabels(
+            corpus, Dedup.nearDuplicatePairs(corpus, n = 3, threshold = 0.7)))
+      Curation.trainingReadyCounts(corpus, bench, labels)
+    }),
     // ---- Beyond-reference: multimodal binary columns ---------------------
     // typed metadata over opaque binary payloads (oracle-checkable)
     "q_multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
@@ -1103,6 +1116,52 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5('s5:' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'""".stripMargin,
+    // training-ready composition: near-dup closure over the TRAINING slice,
+    // shingle decontamination against the benchmark slice, then the mixture
+    // arithmetic over the surviving clean set — one SQL replay end-to-end
+    "q_pipeline_training_ready" ->
+      s"""WITH RECURSIVE sh0 AS ($dedupShCte),
+         |sh AS (SELECT * FROM sh0 WHERE doc_id % 50 <> 0),
+         |pairs AS ($dedupNearBody),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         |canon AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0),
+         |surv AS (SELECT c.doc_id, c.source
+         |         FROM corpus c LEFT JOIN canon k USING (doc_id)
+         |         WHERE least(c.doc_id, coalesce(k.mn, c.doc_id)) = c.doc_id),
+         |bench AS (SELECT DISTINCT g
+         |          FROM (SELECT unnest(ss) AS g FROM sh0 WHERE doc_id % 50 = 0)),
+         |contam AS (SELECT DISTINCT c.doc_id
+         |           FROM (SELECT doc_id, unnest(ss) AS g FROM sh) c
+         |           JOIN bench b USING (g)),
+         |clean AS (SELECT s.doc_id, s.source FROM surv s
+         |          LEFT JOIN contam x USING (doc_id) WHERE x.doc_id IS NULL),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+         |       FROM clean GROUP BY source),
+         |w AS (SELECT source, n_s,
+         |             CAST(round(sqrt(CAST(n_s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_s
+         |      FROM st),
+         |t AS (SELECT source, n_s, w_s,
+         |             SUM(w_s) OVER () AS w_tot, SUM(n_s) OVER () AS n_tot
+         |      FROM w),
+         |thr AS (SELECT source,
+         |  CASE WHEN least(CAST(floor(0.5 * n_tot * CAST(w_s AS DOUBLE)
+         |                         / CAST(w_tot AS DOUBLE) / n_s * 65536) AS BIGINT),
+         |                  65536) = 65536
+         |       THEN 'g'
+         |       ELSE lpad(lower(hex(least(CAST(floor(0.5 * n_tot * CAST(w_s AS DOUBLE)
+         |                                        / CAST(w_tot AS DOUBLE) / n_s * 65536) AS BIGINT),
+         |                                 65536))), 4, '0') END AS thr
+         |  FROM t)
+         |SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |FROM clean c JOIN thr USING (source)
+         |WHERE substring(md5('mix:' || CAST(c.doc_id AS VARCHAR)), 1, 4) < thr.thr
+         |GROUP BY c.source""".stripMargin,
     // mixture sampling: identical arithmetic order (((f·N)·w)/W)/n, decimal
     // weight normalization, 4-hex-digit threshold quantization, 'g' sentinel
     "q_sample_mixture" ->

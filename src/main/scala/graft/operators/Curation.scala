@@ -92,4 +92,40 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
   }
+
+  /** The TRAINING-READY materialization — the last mile of the pipeline:
+    * keep one representative per near-dup component, drop every document
+    * that shares a shingle with the benchmark set (anti-join on the
+    * contamination flags), then temperature-rebalance what remains with
+    * [[Sampling.mixtureSample]] and account per source. Each stage is an
+    * individually-verified operator; the composition is oracle-checked
+    * end-to-end (closure + contamination + mixture replayed in one SQL
+    * query).
+    *
+    * Plan shape at scale: doc_id-keyed survivor join, broadcast-shingle
+    * anti-join, map-side mixture filter, final small aggregate — nothing
+    * widens beyond the input.
+    *
+    * Returns (source, n_kept).
+    *
+    * @param labels (doc_id, canonical_id) from [[Dedup.nearDedupLabels]]
+    *               computed over `corpus`
+    */
+  def trainingReadyCounts(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      labels: DataFrame,
+      budgetFraction: Double = 0.5): DataFrame = {
+    val survivors = corpus.join(
+      labels.filter(col("canonical_id") === col("doc_id")).select("doc_id"),
+      "doc_id")
+    val clean = survivors.join(
+      Dedup.contaminated(corpus, benchmark).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    Sampling
+      .mixtureSample(clean.select(col("doc_id"), col("source")),
+        "source", "doc_id", budgetFraction)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
 }
