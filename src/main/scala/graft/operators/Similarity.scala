@@ -295,6 +295,29 @@ object Similarity {
     assigned.groupBy("cell").agg(max(col("cang")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
 
+  /** The per-cell angular radii as a cacheable trained artifact (≤ k
+    * doubles) — like the centroids themselves, computed once per corpus and
+    * reused by every pruned-exact query (callers pass it back via the
+    * `radii` parameter of [[cosinePairsPruned]] / [[ivfExactTopK]]).
+    */
+  def trainCellRadii(
+      embeddings: DataFrame, centroids: Array[Array[Float]]): Map[Int, Double] =
+    cellRadii(assignCells(embeddings, centroids))
+
+  /** The per-query seed floors δ_q (k-th best probed score; −2 when a query
+    * has fewer than k seed candidates) as a cacheable trained artifact
+    * (|queries| doubles) — phase 1 of [[ivfExactTopK]], reusable across
+    * repeated runs over the same corpus/queries.
+    */
+  def trainSeedFloors(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Float]], nprobe: Int = 4): Map[Long, Double] =
+    ivfTopK(embeddings, queryIds, k, centroids, nprobe)
+      .groupBy("query_id")
+      .agg(min(col("score")).as("kth"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(2) >= k) r.getDouble(1) else -2.0)).toMap
+
   // pruning bounds inflate by this margin so double rounding can only ever
   // ADMIT extra candidates (re-checked exactly), never drop a true one
   private val PruneEps = 1e-6
@@ -314,11 +337,12 @@ object Similarity {
     */
   def cosinePairsPruned(
       embeddings: DataFrame, threshold: Double,
-      centroids: Array[Array[Float]]): DataFrame = {
+      centroids: Array[Array[Float]],
+      precomputedRadii: Option[Map[Int, Double]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val assigned = assignCells(embeddings, centroids)
-    val radii = cellRadii(assigned)
+    val radii = precomputedRadii.getOrElse(cellRadii(assigned))
     val theta = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     // directed admissible pairs: (i,j) AND (j,i) for i<j, (i,i) once —
     // after the join, vec_a < vec_b keeps each vector pair exactly once
@@ -372,17 +396,16 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       centroids: Array[Array[Float]],
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      precomputedRadii: Option[Map[Int, Double]] = None,
+      precomputedSeeds: Option[Map[Long, Double]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val assigned = assignCells(embeddings, centroids)
-    val radii = cellRadii(assigned)
+    val radii = precomputedRadii.getOrElse(cellRadii(assigned))
     // phase 1: per-query floor from the approximate probe (≤ |q| rows)
-    val seed = ivfTopK(embeddings, queryIds, k, centroids, nprobe)
-      .groupBy("query_id")
-      .agg(min(col("score")).as("kth"), count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) ->
-        (if (r.getLong(2) >= k) r.getDouble(1) else -2.0)).toMap
+    val seed = precomputedSeeds.getOrElse(
+      trainSeedFloors(embeddings, queryIds, k, centroids, nprobe))
     // query vectors driver-side (|q| × dim — bounded artifact)
     val qVecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding")).collect()
