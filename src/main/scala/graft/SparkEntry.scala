@@ -280,12 +280,13 @@ object SparkEntry {
     "q_similarity_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val annScored = Similarity.annScored(emb, qids)
       Similarity.recallAudit(
         Similarity.ivfExactTopK(emb, qids, k = 10, cents(dir, emb),
           precomputedRadii = Some(radii(dir, emb)),
           precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
-        Similarity.annTopK(emb, qids, k = 10),
-        Similarity.annScored(emb, qids), emb, qids, k = 10)
+        Similarity.topKPerQuery(annScored, 10),
+        annScored, emb, qids, k = 10)
     }),
     // IVF ANN recall audit: k-means cells (trained once per corpus, cached
     // like the lang profiles) + nprobe cell probing + exact re-rank — the
@@ -294,12 +295,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
       val c = cents(dir, emb)
+      // approx top-k and candidate count derive from ONE scored frame — the
+      // identical subtrees let AQE reuse the exchange instead of re-scoring
+      val scored = Similarity.ivfScored(emb, qids, c)
       Similarity.recallAudit(
         Similarity.ivfExactTopK(emb, qids, k = 10, c,
           precomputedRadii = Some(radii(dir, emb)),
           precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
-        Similarity.ivfTopK(emb, qids, k = 10, c),
-        Similarity.ivfScored(emb, qids, c), emb, qids, k = 10)
+        Similarity.topKPerQuery(scored, 10),
+        scored, emb, qids, k = 10)
     }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
