@@ -305,6 +305,15 @@ object SparkEntry {
         Similarity.topKPerQuery(scored, 10),
         scored, emb, qids, k = 10)
     }),
+    // exact self-KNN join (every vector's top-k neighbors — the SemDeDup /
+    // kNN-graph primitive): IVF own-cell seed floors + triangle-inequality
+    // cell pruning, both phases distributed; identical rows to brute force
+    // (oracle = brute-force SQL self-join)
+    "q_similarity_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnJoinExact(emb, k = 5, cents(dir, emb),
+        precomputedRadii = Some(radii(dir, emb)))
+    }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
     // term-rarity: the hot-key (stopword-skewed) term join — broadcast at
@@ -401,6 +410,10 @@ object SparkEntry {
     // ---- Beyond-reference: quality gate, sampling, packing, quantization --
     // Gopher-style rule columns + keep decision — pure map-side projection
     "q_text_quality" -> ((s, dir) => Quality.qualityRules(Tables.documents(s, dir))),
+    // corpus-relative gate: keep iff n_tokens reaches the source's p25 —
+    // one tiny per-source quantile aggregate broadcast-joined back
+    "q_quality_percentile_gate" -> ((s, dir) =>
+      Quality.percentileGate(Tables.documents(s, dir))),
     // deterministic Bernoulli sample (~10%) by md5 hex-prefix order — the
     // sample is reproducible across runs, partitionings, and engines
     "q_sample_hash" -> ((s, dir) =>
@@ -937,6 +950,21 @@ object SparkEntry {
          |                                   ORDER BY score DESC, neighbor_id) AS rn
          |      FROM s)
          |WHERE rn <= 10""".stripMargin,
+    // brute-force SELF-knn: every ordered pair scored with the shared norm
+    // CTE, row_number per query — the engine's pruned plan must match exactly
+    "q_similarity_knn" ->
+      s"""WITH n AS ($simNormCte),
+         |s AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, len(a.v)+1),
+         |            i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm), 6)
+         |      AS score
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+         |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY score DESC, neighbor_id) AS rn
+         |      FROM s)
+         |WHERE rn <= 5""".stripMargin,
     // cosine = dot(a,b) / (||a||*||b||) with norms computed once per vector —
     // the same scalar-norm formula as the engine's cosinePairs
     "q_similarity_pairs" ->
@@ -1143,6 +1171,16 @@ object SparkEntry {
         |           ELSE len(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / len(text)
         |      END AS sym_ratio
         |    FROM documents))""".stripMargin,
+    // per-source quantile_cont threshold (rounded to 6 dp — the portable
+    // cut), joined back for the keep verdict
+    "q_quality_percentile_gate" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |thr AS (SELECT source, round(quantile_cont(n_tokens, 0.25), 6) AS thr
+        |        FROM t GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_tokens, h.thr,
+        |       t.n_tokens >= h.thr AS keep
+        |FROM t JOIN thr h USING (source)""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5('s5:' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'""".stripMargin,

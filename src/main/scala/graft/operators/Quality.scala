@@ -65,4 +65,35 @@ object Quality {
       .withColumn("keep",
         col("r_tokens") && col("r_mean_len") && col("r_symbol") && col("r_stopword"))
   }
+
+  /** Corpus-RELATIVE quality gate: keep a document iff its token count
+    * reaches its own source's q-quantile — the adaptive "drop the shortest
+    * quartile per source" rule pipelines use when a fixed threshold (like
+    * [[qualityRules]]' minTokens) would over- or under-prune heterogeneous
+    * sources.
+    *
+    * Fully declarative two-pass shape: one hash aggregate computes the
+    * per-source interpolated quantile (ANSI quantile_cont semantics, same as
+    * `TextAnalysis.tokenDistribution`), and the resulting threshold table —
+    * one row per source, a bounded dimension — broadcast-joins back onto the
+    * map-side token counts. No driver-side scalar, no window over the corpus,
+    * no second shuffle of document rows.
+    *
+    * The keep decision compares against the 6-dp ROUNDED threshold: both
+    * engines interpolate the quantile in double and may differ in the last
+    * ulp, so the rounded value is the portable cut (the same rounding
+    * contract tokenDistribution's quantile columns already pin). At 100 TB
+    * swap `percentile` for `approx_percentile` at the same call shape.
+    *
+    * Returns (doc_id, source, n_tokens, thr, keep).
+    */
+  def percentileGate(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val thr = toks.groupBy("source")
+      .agg(round(percentile(col("n_tokens"), lit(q)), 6).as("thr"))
+    toks.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("thr"),
+        (col("n_tokens") >= col("thr")).as("keep"))
+  }
 }

@@ -430,6 +430,98 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact self-KNN join — the top-k cosine neighbors of EVERY corpus
+    * vector (the SemDeDup / kNN-graph primitive), with a fully distributed
+    * non-quadratic plan. Unlike [[ivfExactTopK]] (whose query set is small
+    * enough to collect floors driver-side), here every vector is a query, so
+    * both pruning phases stay in the engine:
+    *
+    *  1. seed floor: each vector scores only its OWN IVF cell's members
+    *     (equi-join on cell) and takes a bounded top-k; δ_v = its k-th best
+    *     seed score, or −2 when the cell has fewer than k other members.
+    *     δ_v is a lower bound on the true k-th best (seed candidates are a
+    *     subset of all candidates).
+    *  2. cell pruning: map-side, per vector, cell c is admissible iff its
+    *     best POSSIBLE score cos(max(0, angle(v, c_c) − r_c)) ≥ δ_v − ε
+    *     (angular triangle inequality, as in [[ivfExactTopK]]). The floor
+    *     rides back onto the corpus via one thin vec_id-keyed join; the
+    *     admissible (vector, cell) probes explode map-side and equi-join the
+    *     cell-assigned corpus for the EXACT re-score.
+    *
+    * Every true top-k neighbor's cell is admissible (its exact score ≥ the
+    * true k-th ≥ δ_v, and the bound over-approximates), so the result is
+    * IDENTICAL to the brute-force self-KNN — same 6-dp rounding, same
+    * (score desc, neighbor_id asc) tie-break; differential-tested in
+    * SimilaritySpec and served against a brute-force DuckDB oracle.
+    *
+    * Scale shape: seed join cost is Σ_c m_c² (per-cell quadratic — bounded
+    * by sizing cells, exactly the IVF knob), probe join is candidate-pruned;
+    * BOTH are cell-keyed equi-joins — partitionable, spillable,
+    * AQE-balanceable — and the top-k aggregates are size-capped, so the
+    * shuffle carries at most |corpus| × partitions × k candidate rows.
+    */
+  def knnJoinExact(
+      embeddings: DataFrame, k: Int,
+      centroids: Array[Array[Float]],
+      precomputedRadii: Option[Map[Int, Double]] = None): DataFrame = {
+    val assigned = assignCells(embeddings, centroids)
+    val radii = precomputedRadii.getOrElse(cellRadii(assigned))
+    val margin = 2e-6 // 6-dp rounding (5e-7) + float slack, admit-only
+    val nSide = assigned.select(col("vec_id").as("neighbor_id"),
+      col("v").as("nv"), col("nrm").as("nn"), col("cell"))
+    // phase 1: own-cell seed floor (distributed — no driver artifact)
+    val seedScored = assigned
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+      .join(nSide, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
+    val floors = topKPerQuery(seedScored, k)
+      .groupBy("query_id")
+      .agg(min(col("score")).as("kth"), count(lit(1)).as("nseed"))
+      .select(col("query_id").as("vec_id"),
+        when(col("nseed") >= k, col("kth")).otherwise(lit(-2.0)).as("floor"))
+    // phase 2: per-vector admissible cells, computed map-side over the
+    // (≤ #cells) centroid literals; empty cells keep radius 0 and simply
+    // join to nothing
+    val cnorms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+    val cellBest = array(centroids.indices.map { j =>
+      val best = cos(greatest(lit(0.0),
+        angleCol(dot(col("v"), typedlit(centroids(j))) /
+          (col("nrm") * lit(cnorms(j)))) - lit(radii.getOrElse(j, 0.0))))
+      struct(lit(j).as("cell"), best.as("best"))
+    }: _*)
+    val probes = assigned.join(floors, Seq("vec_id"), "left")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(filter(cellBest, s =>
+          s.getField("best") >= coalesce(col("floor"), lit(-2.0)) - lit(margin)))
+          .as("pc"))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cell").as("cell"))
+    val scored = probes.join(nSide, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Brute-force self-KNN — every pair scored via a cross join. Spec-side
+    * differential baseline for [[knnJoinExact]] ONLY (quadratic by
+    * construction; never registered as a serving plan).
+    */
+  def bruteForceKnnJoin(embeddings: DataFrame, k: Int): DataFrame = {
+    def side(idName: String, vName: String, nName: String) =
+      embeddings.select(col("vec_id").as(idName), col("embedding").as(vName),
+        sqrt(NativeExpressions.vecDot(col("embedding"), col("embedding"))).as(nName))
+    val scored = side("query_id", "qv", "qn")
+      .crossJoin(side("neighbor_id", "nv", "nn"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Symmetric max-abs int8 quantization of the embedding column — the
     * storage/bandwidth step a 100 TB vector corpus runs before indexing
     * (4 bytes/dim → 1): per vector, scale = max|x| / 127 and

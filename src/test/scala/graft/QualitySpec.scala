@@ -48,4 +48,33 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("mean_token_len") - 14.0 / 4) < 1e-9)
     assert(r.getAs[Int]("n_tokens") == 4)
   }
+
+  test("percentileGate: per-source interpolated quantile, inclusive at the cut") {
+    // source A token counts: 1,2,3,4 → p25 = 1 + 0.75·(2−1) = 1.75
+    // source B token counts: 10,20   → p25 = 10 + 0.25·(20−10) = 12.5
+    val docs = Seq(
+      (0L, "x", "A"), (1L, "x y", "A"), (2L, "x y z", "A"), (3L, "w x y z", "A"),
+      (10L, Seq.fill(10)("t").mkString(" "), "B"),
+      (11L, Seq.fill(20)("t").mkString(" "), "B")
+    ).toDF("doc_id", "text", "source")
+    val got = Quality.percentileGate(docs, q = 0.25)
+      .select("doc_id", "n_tokens", "thr", "keep")
+      .as[(Long, Int, Double, Boolean)].collect()
+      .map { case (id, n, t, k) => id -> (n, t, k) }.toMap
+    assert(got(0L) == ((1, 1.75, false)))  // below the source-A cut
+    assert(got(1L) == ((2, 1.75, true)))   // above it
+    assert(got(3L) == ((4, 1.75, true)))
+    assert(got(10L) == ((10, 12.5, false))) // source B has its own cut
+    assert(got(11L) == ((20, 12.5, true)))
+  }
+
+  test("percentileGate: exact quantile value is inclusive (>= thr keeps)") {
+    // counts 1,3 → p50 = 2; count exactly 2 must be kept (>=, not >)
+    val docs = Seq(
+      (0L, "x", "S"), (1L, "x y", "S"), (2L, "x y z", "S")
+    ).toDF("doc_id", "text", "source")
+    val got = Quality.percentileGate(docs, q = 0.5)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!got(0L) && got(1L) && got(2L))
+  }
 }

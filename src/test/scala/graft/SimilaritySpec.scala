@@ -194,6 +194,45 @@ class SimilaritySpec extends AnyFunSuite {
         s"missing=${brute -- got}, extra=${got -- brute}")
   }
 
+  test("knnJoinExact == bruteForceKnnJoin on the real corpus (plan is equi-join)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, k = 16, iters = 5)
+    val knn = Similarity.knnJoinExact(emb, k = 5, centroids)
+
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"exact self-KNN plan must not be all-pairs:\n$plan")
+
+    val brute = Similarity.bruteForceKnnJoin(emb, k = 5)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val got = knn
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == brute,
+      s"exact self-KNN must match brute force rank-for-rank: " +
+        s"missing=${brute -- got}, extra=${got -- brute}")
+  }
+
+  test("knnJoinExact: singleton-cell vectors (floor -2) still get exact neighbors") {
+    // two tight clusters + one isolated vector whose own cell holds < k
+    // other members, forcing the -2 floor path (all cells admissible for it)
+    val a = Seq(1f, 0f, 0f, 0f)
+    val b = Seq(0f, 1f, 0f, 0f)
+    val df = vecs(
+      (0L, a), (1L, a.map(_ * 2f)), (2L, a.map(_ * 3f)),
+      (10L, b), (11L, b.map(_ * 2f)), (12L, b.map(_ * 3f)),
+      (99L, Seq(0.7f, 0.7f, 0.1f, 0f))) // between clusters, likely alone
+    val centroids = Similarity.trainIvfCentroids(df, k = 3, iters = 3)
+    val brute = Similarity.bruteForceKnnJoin(df, k = 2)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val got = Similarity.knnJoinExact(df, k = 2, centroids)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == brute, s"missing=${brute -- got}, extra=${got -- brute}")
+  }
+
   test("int8 quantization bounds round-trip error and handles zero vectors") {
     val df = vecs(
       (0L, Seq(0.5f, -1.0f, 0.25f)),
