@@ -580,7 +580,17 @@ object SparkEntry {
     "q_sketch_vocab" -> ((s, dir) => Sketches.vocabAudit(Tables.documents(s, dir))),
     // Greenwald-Khanna audit of q_text_token_dist, same error-as-data move
     "q_sketch_token_dist" -> ((s, dir) =>
-      Sketches.tokenDistributionAudit(Tables.documents(s, dir)))
+      Sketches.tokenDistributionAudit(Tables.documents(s, dir))),
+    // Count-Min heavy-hitters audit — the one sketch whose ESTIMATE is
+    // engine-portable (md5-bucketed counter sums), so exact counts, CMS
+    // estimates, AND verdicts are all value-matched by the oracle
+    "q_sketch_cms" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(Tables.documents(s, dir))),
+    // deterministic train/validation/test assignment by salted hash cuts —
+    // reproducible across runs, partitionings, and engines; map-only
+    "q_split_dataset" -> ((s, dir) =>
+      Sampling.datasetSplit(
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1606,6 +1616,43 @@ object SparkEntry {
         |  round(quantile_cont(len(string_split(text, ' ')), 0.75), 6) AS p75,
         |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90,
         |  TRUE AS gk_within_bound
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+    // CMS replayed end-to-end in SQL: same md5 2-hex-char buckets, same
+    // depth-4 counter sums, same min-over-rows estimate, same bound
+    // arithmetic — every value must match, not just the verdict
+    "q_sketch_cms" ->
+      """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM terms),
+        |counters AS (
+        |  SELECT i, substring(md5(CAST(i AS VARCHAR) || ':' || term), 1, 2) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM terms CROSS JOIN range(4) r(i)
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM terms
+        |       GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 20),
+        |est AS (
+        |  SELECT e.term, e.exact_cnt, min(c.c) AS cms_est
+        |  FROM ex e
+        |  CROSS JOIN range(4) r(i)
+        |  JOIN counters c
+        |    ON c.i = r.i
+        |   AND c.bucket = substring(md5(CAST(r.i AS VARCHAR) || ':' || e.term), 1, 2)
+        |  GROUP BY 1, 2)
+        |SELECT term, exact_cnt, cms_est,
+        |  cms_est >= exact_cnt AS never_under,
+        |  cms_est <= exact_cnt + (SELECT n // 64 FROM tot) AS within_bound
+        |FROM est""".stripMargin,
+    // the engine's cut constants, single-sourced from splitThresholds
+    "q_split_dataset" -> {
+      val cuts = Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+      s"""SELECT doc_id, source,
+         |  CASE WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |            < '${cuts(0)}' THEN 'train'
+         |       WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |            < '${cuts(1)}' THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    }
   )
 }

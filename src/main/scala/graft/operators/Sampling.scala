@@ -129,4 +129,43 @@ object Sampling {
     Ranking.topKPerKey(df, Seq(stratumCol),
       Seq(keyHash(salt, col(keyCol)), col(keyCol)), quota)
       .withColumnRenamed("rank", "rk")
+
+  /** 4-hex-digit cut points for cumulative split fractions — one cut per
+    * boundary (len(fracs) − 1 cuts). Public so the SQL oracle interpolates
+    * the SAME constants the engine predicate compares against (single-sourced
+    * arithmetic, like the mixture thresholds).
+    */
+  def splitThresholds(fracs: Seq[Double]): Seq[String] = {
+    require(fracs.nonEmpty && fracs.forall(_ > 0) &&
+      math.abs(fracs.sum - 1.0) < 1e-9,
+      s"split fractions must be positive and sum to 1, got $fracs")
+    fracs.scanLeft(0.0)(_ + _).tail.dropRight(1)
+      .map(f => f"${math.floor(f * 65536).toLong}%04x")
+  }
+
+  /** Deterministic train/validation/test split: each row lands in exactly one
+    * named slice by its salted md5 hex prefix against the cumulative-fraction
+    * cut points — the assignment every training pipeline needs to be
+    * reproducible across runs, partitionings, and engines (same family as
+    * [[hashSample]]; a random split would leak validation rows into training
+    * on every re-run).
+    *
+    * Pure map-side projection — the when-chain is codegen'd, no shuffle, no
+    * state; splitting a 100 TB corpus costs one pass (and composes with scan
+    * pruning when only one slice is read downstream).
+    */
+  def datasetSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1),
+      salt: String = "split1"): DataFrame = {
+    require(splits.size >= 2, s"need at least 2 splits, got $splits")
+    val cuts = splitThresholds(splits.map(_._2))
+    val h = substring(keyHash(salt, col(keyCol)), 1, 4)
+    val assigned = splits.init.zip(cuts)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cut)) =>
+        Some(acc.map(_.when(h < lit(cut), name))
+          .getOrElse(when(h < lit(cut), name)))
+      }.get.otherwise(splits.last._1)
+    df.withColumn("split", assigned)
+  }
 }

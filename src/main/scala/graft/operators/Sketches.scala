@@ -138,4 +138,54 @@ object Sketches {
         first(col("p75")).as("p75"), first(col("p90")).as("p90"),
         ps.map { case (p, n) => rankOk(p, n) }.reduce(_ && _).as("gk_within_bound"))
   }
+
+  /** Count-Min heavy-hitters audit — the third sketch family, and the one
+    * whose ESTIMATE is itself engine-portable: the counter matrix is plain
+    * sums over md5-derived bucket keys (both build and probe are
+    * SQL-expressible), so unlike the HLL/GK audits the whole query — exact
+    * counts, sketch estimates, and bound verdicts — has a DuckDB twin that
+    * must match value-for-value.
+    *
+    * Sketch shape: `depth` hash rows × 256 buckets (the 2-hex-char prefix of
+    * md5(row ‖ ':' ‖ term)), counters = occurrence counts — ≤ depth×256 rows
+    * total, a bounded artifact. The hash-aggregate's map-side partials ARE
+    * the CMS merge (element-wise counter addition — commutative, so the
+    * result is partition-order independent). At 100 TB the shuffle carries
+    * ≤ depth×256 rows per partition, never the term dictionary — the whole
+    * point of CMS accounting.
+    *
+    * The audit takes the exact top-`topN` terms (count desc, term asc — the
+    * same deterministic cut as topTerms), probes each term's `depth` buckets
+    * against the broadcast counter matrix, estimates est = min over rows,
+    * and emits two verdicts: `never_under` (CMS's deterministic one-sided
+    * guarantee, est ≥ exact — always true) and `within_bound`
+    * (est ≤ exact + N/`tolDen`, the collision-slack check; N is the total
+    * term count, a bounded driver total like the collocation normalizers).
+    */
+  def cmsHeavyHitters(
+      docs: DataFrame, topN: Int = 20, depth: Int = 4,
+      tolDen: Long = 64): DataFrame = {
+    val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+    val n = terms.count() // bounded driver total — one long
+    def bucketArr: Column = array((0 until depth).map { i =>
+      struct(lit(i).as("i"),
+        substring(md5(concat(lit(s"$i:"), col("term"))), 1, 2).as("bucket"))
+    }: _*)
+    val counters = terms
+      .select(explode(bucketArr).as("rb"))
+      .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(topN)
+    exact
+      .select(col("term"), col("exact_cnt"), explode(bucketArr).as("rb"))
+      .select(col("term"), col("exact_cnt"),
+        col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy("term", "exact_cnt")
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("term"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("never_under"),
+        (col("cms_est") <= col("exact_cnt") + lit(n / tolDen)).as("within_bound"))
+  }
 }

@@ -166,4 +166,32 @@ class PackingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("hex"))
   }
+
+  test("dataset split: exhaustive, exclusive, reproducible, near the fractions") {
+    val docs = (0 until 1000).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
+    val s1 = Sampling.datasetSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = Sampling.datasetSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2, "split assignment must be reproducible")
+    assert(s1.size == 1000, "every row lands in exactly one slice")
+    val byImpl = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byImpl.keySet == Set("train", "validation", "test"))
+    // hash uniformity: 80/10/10 within a loose tolerance on 1000 keys
+    assert(math.abs(byImpl("train") - 800) < 60, s"train ${byImpl("train")}")
+    assert(math.abs(byImpl("validation") - 100) < 40, s"val ${byImpl("validation")}")
+
+    // a different salt reshuffles the assignment
+    val salted = Sampling.datasetSplit(docs, "doc_id", salt = "split2").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(salted != s1, "salt must change the assignment")
+  }
+
+  test("dataset split rejects malformed fraction sets loudly") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.datasetSplit(docs, "doc_id", splits = Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    assert(e.getMessage.contains("sum to 1"))
+  }
 }

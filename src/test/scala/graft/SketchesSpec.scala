@@ -58,4 +58,28 @@ class SketchesSpec extends AnyFunSuite {
         s"${r.getString(0)}: HLL estimate outside 15% of exact")
     }
   }
+
+  test("CMS audit: estimates never undercount and verdicts hold on the real corpus") {
+    val audit = Sketches.cmsHeavyHitters(docs).collect()
+    assert(audit.length == 20)
+    audit.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS undercounted $est < $exact")
+      assert(r.getBoolean(3), s"${r.getString(0)}: never_under column false")
+      assert(r.getBoolean(4),
+        s"${r.getString(0)}: estimate $est outside collision slack of exact $exact")
+    }
+  }
+
+  test("CMS audit: overcount appears exactly when buckets collide") {
+    import spark.implicits._
+    // single-word docs: exact counts 3×a, 2×b, 1×c; depth-1 sketch would
+    // collide sometimes, but depth-4 md5 buckets keep these three words
+    // collision-free in at least one row → estimates exactly equal counts
+    val docs = Seq(
+      (1L, "wa wa wa"), (2L, "wb wb"), (3L, "wc")).toDF("doc_id", "text")
+    val got = Sketches.cmsHeavyHitters(docs, topN = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("wa") == ((3L, 3L)) && got("wb") == ((2L, 2L)) && got("wc") == ((1L, 1L)))
+  }
 }
