@@ -18,6 +18,7 @@ FAMILIES = {
         "q_text_fingerprint", "q_multimodal_meta", "q_multimodal_frames",
         "q_embed_quantize", "q_text_repetition", "q_text_redact", "q_text_oov",
         "q_multimodal_resize", "q_multimodal_decode", "q_serde_roundtrip",
+        "q_split_dataset", "q_text_chunks",
     ],
     "hash aggregate (one shuffle)": [
         "q_aggregate", "q_aggregate_salted", "q_aggregate_typed",
@@ -25,11 +26,12 @@ FAMILIES = {
         "q_sketch_vocab", "q_sketch_token_dist", "q_text_token_dist",
         "q_text_top_terms", "q_text_terms_by_source", "q_text_rollup",
         "q_text_pivot", "q_embed_norms", "q_changelog_roundtrip",
-        "q_serde_vat_roundtrip",
+        "q_serde_vat_roundtrip", "q_sketch_cms", "q_text_inverted_index",
+        "q_quality_percentile_gate",
     ],
     "join (broadcast / co-located / temporal)": [
         "q_join_bucketed", "q_asof_join", "q_range_join", "q_multi_key",
-        "q_multi_key_large", "q_text_rarity_join",
+        "q_multi_key_large", "q_text_rarity_join", "q_text_collocations",
     ],
     "interactive queries (serving snapshot)": [
         "q_key_query", "q_range_both", "q_range_lower", "q_range_upper",
@@ -39,15 +41,17 @@ FAMILIES = {
     "dedup / decontamination": [
         "q_dedup_exact", "q_dedup_near", "q_dedup_survivors", "q_dedup_simhash",
         "q_dedup_incremental", "q_decontaminate", "q_decontaminate_bloom",
+        "q_dedup_containment", "q_decontaminate_score",
     ],
     "similarity (pruned exact + audits)": [
         "q_similarity_topk", "q_similarity_pairs", "q_similarity_dedup",
-        "q_similarity_ann", "q_similarity_ivf",
+        "q_similarity_ann", "q_similarity_ivf", "q_similarity_knn",
     ],
     "sampling / packing / curation / events": [
         "q_sample_stratified", "q_sample_stratified_bounded", "q_shuffle_epoch",
-        "q_pack_greedy", "q_pack_bins", "q_pack_payloads",
+        "q_pack_greedy", "q_pack_bins", "q_pack_payloads", "q_sample_mixture",
         "q_pipeline_curation", "q_pipeline_curation_full",
+        "q_pipeline_training_ready",
         "q_events_funnel", "q_events_retention", "q_events_props",
     ],
     "streaming twins (replay + state)": [

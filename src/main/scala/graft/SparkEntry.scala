@@ -59,6 +59,24 @@ object SparkEntry {
     ivfSeeds.computeIfAbsent(s"$dir|${qids.mkString(",")}|$k",
       _ => Similarity.trainSeedFloors(emb, qids, k, cents(dir, emb)))
 
+  /** Self-KNN index: the own-cell seed join costs Σ_c m_c² ≈ N²/cells, so
+    * the cell count must GROW with the corpus — ~√N cells keeps the seed
+    * phase ~N^1.5 and the radii tight enough to prune (a fixed small cell
+    * count degrades it toward N²). Trained/cached separately from the
+    * 16-cell index the few-query paths share.
+    */
+  private val knnIdx = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Float]], Map[Int, Double])]()
+
+  private def knnIndex(
+      dir: String, emb: DataFrame): (Array[Array[Float]], Map[Int, Double]) =
+    knnIdx.computeIfAbsent(dir, _ => {
+      val n = emb.count()
+      val cells = math.min(128, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+      val c = Similarity.trainIvfCentroids(emb, k = cells)
+      (c, Similarity.trainCellRadii(emb, c))
+    })
+
   /** Frequency vocabulary — a trained model artifact, built once per corpus. */
   private val vocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
@@ -227,6 +245,10 @@ object SparkEntry {
     // output is exactly the pairs with jaccard >= 0.7 (oracle: brute force)
     "q_dedup_near" -> ((s, dir) =>
       Dedup.nearDuplicatePairs(Tables.documents(s, dir), n = 3, threshold = 0.7)),
+    // directional (truncated-copy) containment — the axis Jaccard banding
+    // misses; PPJoin-style rarest-prefix candidates + exact re-check
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), n = 3, threshold = 0.6)),
     // near-dup survivor selection: connected components of the pair graph by
     // min-label propagation; canonical_id == doc_id picks the kept row
     "q_dedup_survivors" -> ((s, dir) =>
@@ -311,8 +333,8 @@ object SparkEntry {
     // (oracle = brute-force SQL self-join)
     "q_similarity_knn" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.knnJoinExact(emb, k = 5, cents(dir, emb),
-        precomputedRadii = Some(radii(dir, emb)))
+      val (c, r) = knnIndex(dir, emb)
+      Similarity.knnJoinExact(emb, k = 5, c, precomputedRadii = Some(r))
     }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
@@ -929,6 +951,15 @@ object SparkEntry {
         |      FROM documents)
         |WHERE rn = 1""".stripMargin,
     "q_dedup_near" -> s"WITH sh AS ($dedupShCte) $dedupNearBody",
+    // directional containment |A∩B|/|A| over the same string shingle sets —
+    // the prefix-filtered engine plan must list exactly the brute-force pairs
+    "q_dedup_containment" ->
+      s"""WITH sh AS ($dedupShCte)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss), 6)
+         |    AS containment
+         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss) >= 0.6""".stripMargin,
     // survivors: transitive closure of the near-dup graph (fine at oracle
     // scale; the engine's label propagation never materializes it)
     "q_dedup_survivors" ->

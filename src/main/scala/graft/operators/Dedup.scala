@@ -261,6 +261,90 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional containment pairs: (doc_a, doc_b) where
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold — doc_a is
+    * (near-)CONTAINED in doc_b. This is the dedup axis Jaccard-banded LSH
+    * structurally misses: a truncated copy (300-word excerpt of a 10k-word
+    * original) has containment ≈ 1 but Jaccard ≈ 0.03, so no Jaccard band
+    * fires; catching subset copies needs its own candidate generator.
+    *
+    * Candidates come from a PPJoin-style rarest-prefix filter, which is
+    * EXACT (never drops a true pair, by pigeonhole): if containment(a→b) ≥ t
+    * then |A∩B| ≥ ceil(t·|A|), while A minus its prefix (the
+    * |A| − ceil(t·|A|) + 1 globally-rarest shingles of A) has only
+    * ceil(t·|A|) − 1 elements — so at least one SHARED shingle lies in a's
+    * prefix, and the prefix ⋈ all-instances equi-join on the shingle hash
+    * emits the pair. Every candidate is then re-checked with the exact
+    * containment over the full shingle-hash sets.
+    *
+    * Scale shape: one document-frequency aggregate, one per-doc sort to rank
+    * shingles by global rarity (window keyed by doc — partition-bounded by
+    * the doc's own shingle count), then the candidate equi-join. The probe
+    * side carries only RAREST shingles — the prefix filter is also the skew
+    * guard, since high-df (stopword-like) shingles are exactly the ones the
+    * prefix excludes; the containing side must keep all instances
+    * (containment is directional). Candidate volume is Σ_h df_prefix(h) ·
+    * df(h) — bounded far below the Σ df² of a naive shingle self-join.
+    *
+    * Returns (doc_a, doc_b, containment), containment rounded to 6 dp and
+    * thresholded on the unrounded value (same contract as cosinePairs).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val withSz = shingled(docs, n, textCol, idCol)
+      .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    val exploded = withSz.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
+    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = exploded.join(dfreq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("h"))
+    val candidates = prefix
+      .join(exploded.select(col("id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id") =!= col("id_b"))
+      .select(col("id").as("doc_a"), col("id_b").as("doc_b"))
+      .distinct()
+    val sets = withSz.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("raw"))
+      .filter(col("raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("raw"), 6).as("containment"))
+  }
+
+  /** Brute-force containment — every ordered pair re-checked via a cross
+    * join. Spec-side differential baseline for [[containmentPairs]] ONLY
+    * (quadratic by construction; never registered as a serving plan).
+    */
+  def bruteForceContainmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sets = shingled(docs, n, textCol, idCol)
+    sets.select(col("id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("raw"))
+      .filter(col("raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("raw"), 6).as("containment"))
+  }
+
   /** Incremental (cross-snapshot) near-dedup: score an INCOMING batch against
     * an already-curated EXISTING corpus without re-deduplicating the corpus —
     * the shape every continuously-ingesting pipeline runs per batch. Each

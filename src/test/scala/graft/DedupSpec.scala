@@ -139,4 +139,38 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(banded == brute)
   }
+
+  test("containment: a truncated copy is caught even though its Jaccard is tiny") {
+    // doc 2 is the first quarter of doc 1: containment(2→1) = 1.0 but
+    // Jaccard ≈ 0.25 — invisible to the J=0.7 banding, the whole point
+    val full = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = corpus((1L, full), (2L, excerpt), (3L, other))
+    val got = Dedup.containmentPairs(docs, threshold = 0.9)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got.contains((2L, 1L)) && got((2L, 1L)) == 1.0,
+      s"excerpt must be contained in full: $got")
+    assert(!got.contains((1L, 2L)), "containment is directional")
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+
+    val jacc = Dedup.nearDuplicatePairs(docs, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(!jacc.contains((1L, 2L)) && !jacc.contains((2L, 1L)),
+      "sanity: the Jaccard path does NOT see the truncated copy")
+  }
+
+  test("prefix-filtered containment == brute force on the real corpus (plan is equi-join)") {
+    val docs = Tables.documents(spark, sfDir)
+    val pruned = Dedup.containmentPairs(docs, threshold = 0.6)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"containment serving plan must not be all-pairs:\n$plan")
+    val brute = Dedup.bruteForceContainmentPairs(docs, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = pruned.as[(Long, Long, Double)].collect().toSet
+    assert(got == brute, s"missing=${brute -- got}, extra=${got -- brute}")
+  }
 }

@@ -47,7 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_text_quality", "q_sample_hash", "q_text_stats", "q_text_langid",
       "q_text_fingerprint", "q_multimodal_meta", "q_multimodal_frames",
       "q_embed_quantize", "q_text_repetition", "q_text_redact", "q_text_oov",
-      "q_text_chunks")
+      "q_text_chunks", "q_split_dataset")
     mapOnly.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
