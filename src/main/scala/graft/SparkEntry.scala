@@ -261,6 +261,15 @@ object SparkEntry {
     // semantics pinned by DedupSpec instead
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 3)),
+    // span-level exact dedup: verbatim 8-word windows repeated across docs —
+    // portable rolling-window md5 fingerprints + one hash-aggregate, the
+    // distributed stand-in for a corpus suffix array
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), w = 8)),
+    // per-doc duplicated-span coverage: the curation signal — what fraction
+    // of each document is verbatim-repeated elsewhere in the corpus
+    "q_dedup_span_coverage" -> ((s, dir) =>
+      Dedup.spanCoverage(Tables.documents(s, dir), w = 8)),
     // ---- Beyond-reference: similarity search over `embeddings` -----------
     // exact cosine top-k for a small query set, served by the IVF-pruned
     // equi-join path (identical output to the brute-force baseline — the
@@ -652,6 +661,20 @@ object SparkEntry {
       |FROM documents
       |WHERE len(string_split(text,' ')) >= 3""".stripMargin
 
+  /** Span-window table oracle piece (q_dedup_spans / q_dedup_span_coverage):
+    * one row per 8-word sliding window, md5 of the window text — the \s+
+    * tokenization and single-space join mirror `Kernels.wordWindowMd5`, and
+    * md5 makes the hashes engine-portable by construction.
+    */
+  private val spanWinCte: String =
+    """SELECT doc_id,
+      |  unnest([md5(array_to_string(t[i:i+7], ' '))
+      |          for i in range(1, len(t) - 6)]) AS whash
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |      FROM documents)
+      |WHERE len(t) >= 8""".stripMargin
+
   private val dedupNearBody: String =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       len(list_intersect(a.ss, b.ss))::DOUBLE
@@ -960,6 +983,22 @@ object SparkEntry {
          |    AS containment
          |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
          |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss) >= 0.6""".stripMargin,
+    // span-level dedup: same window/md5 construction in SQL; duplicated =
+    // appears in >= 2 distinct docs
+    "q_dedup_spans" ->
+      s"""WITH w AS ($spanWinCte)
+         |SELECT whash AS span_hash, COUNT(DISTINCT doc_id) AS n_docs,
+         |       COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
+         |FROM w GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    "q_dedup_span_coverage" ->
+      s"""WITH w AS ($spanWinCte),
+         |d AS (SELECT whash FROM w GROUP BY whash
+         |      HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT w.doc_id, COUNT(*) AS n_windows,
+         |       COUNT(d.whash) AS n_dup_windows,
+         |       round(COUNT(d.whash)::DOUBLE / COUNT(*), 6) AS dup_ratio
+         |FROM w LEFT JOIN d ON w.whash = d.whash
+         |GROUP BY w.doc_id""".stripMargin,
     // survivors: transitive closure of the near-dup graph (fine at oracle
     // scale; the engine's label propagation never materializes it)
     "q_dedup_survivors" ->

@@ -75,6 +75,10 @@ object NativeFunctions {
     "repetition_ratios" -> { args: Seq[Expression] =>
       val Seq(t) = nArgs("repetition_ratios", 1, args)
       RepetitionRatiosExpr(t)
+    },
+    "word_window_md5" -> { args: Seq[Expression] =>
+      val Seq(t, w) = nArgs("word_window_md5", 2, args)
+      WordWindowMd5Expr(t, intArg("word_window_md5", 1, w))
     }
   )
 

@@ -407,6 +407,87 @@ object Kernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nTokens, topRatio(1), topRatio(2), topRatio(3)))
   }
+
+  // MessageDigest is stateful and not thread-safe; one per executor thread,
+  // reset implicitly by digest() between windows.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private final val HexDigits = "0123456789abcdef".getBytes
+
+  /** md5 hex (lowercase) of every `w`-word sliding window of `text`, in
+    * order — tokens are maximal runs of non-whitespace (Java regex `\s`
+    * class: space, \t, \n, \x0B, \f, \r), window text is the tokens joined
+    * by a single space. Equals `transform(sequence(0, n_tokens - w),
+    * i => md5(array_join(slice(tokens, i + 1, w), ' ')))` over
+    * `filter(split(text, '\\s+'), t -> t <> '')` — and, deliberately, what
+    * `md5(array_to_string(t[i:i+w-1], ' '))` computes in ANSI-ish SQL, so a
+    * SQL oracle can replicate the hashes exactly. Texts shorter than `w`
+    * tokens yield an empty array.
+    *
+    * md5 (not xxhash64) is the point: span hashes must be portable across
+    * engines, runs, and partitionings, like the sampling coordinates in
+    * [[graft.operators.Sampling]]. The digest cost is per WINDOW (bounded by
+    * tokens per doc), not per candidate pair — this feeds a hash-aggregate,
+    * never a join of raw text.
+    */
+  def wordWindowMd5(text: UTF8String, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    // count tokens (runs of non-ws bytes; UTF-8 continuation bytes are >= 0x80
+    // and never match the ASCII ws set, so byte scanning is code-point safe)
+    var tokens = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) tokens += 1
+      inTok = !ws
+      i += 1
+    }
+    if (tokens < w) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](tokens)
+    val ends = new Array[Int](tokens)
+    var t = 0
+    i = 0
+    inTok = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) { starts(t) = i; t += 1 }
+      if (ws && inTok) ends(t - 1) = i
+      inTok = !ws
+      i += 1
+    }
+    if (inTok) ends(tokens - 1) = n
+    val md = md5Local.get()
+    val space = Array(' '.toByte)
+    val windows = tokens - w + 1
+    val out = new Array[Any](windows)
+    var j = 0
+    while (j < windows) {
+      var k = j
+      while (k < j + w) {
+        md.update(bytes, starts(k), ends(k) - starts(k))
+        if (k < j + w - 1) md.update(space, 0, 1)
+        k += 1
+      }
+      val digest = md.digest() // 16 bytes; resets the digest
+      val hex = new Array[Byte](32)
+      var d = 0
+      while (d < 16) {
+        hex(2 * d) = HexDigits((digest(d) >> 4) & 0xF)
+        hex(2 * d + 1) = HexDigits(digest(d) & 0xF)
+        d += 1
+      }
+      out(j) = UTF8String.fromBytes(hex)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** One-pass multi-profile n-gram scorer backing `ProfileBestMatchExpr`: the

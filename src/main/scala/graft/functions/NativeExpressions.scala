@@ -256,6 +256,24 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** `array<string>` md5 hex of every `w`-word sliding window (see
+    * [[Kernels.wordWindowMd5]]) — portable span fingerprints for
+    * substring-level dedup.
+    */
+  case class WordWindowMd5Expr(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.wordWindowMd5(input.asInstanceOf[UTF8String], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.wordWindowMd5($c, $w)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------ Column API
 
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -289,6 +307,9 @@ object NativeExpressions {
 
   def bloomMightContain(h: Column, bloom: BloomRef): Column =
     ColumnBridge.column(BloomMightContainExpr(expr(h), bloom))
+
+  def wordWindowMd5(text: Column, w: Int): Column =
+    ColumnBridge.column(WordWindowMd5Expr(expr(text), w))
 
   def profileBestMatch(grams: Column, profiles: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(

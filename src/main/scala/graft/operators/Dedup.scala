@@ -535,4 +535,88 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** One (doc_id, whash) row per `w`-word sliding window — the exploded
+    * window-fingerprint table behind SPAN-level exact dedup (finding
+    * verbatim w-token passages repeated across documents, the
+    * substring-granularity complement of [[exact]] whole-doc dedup and the
+    * [[nearDuplicatePairs]] doc-level near-dup family; the classic
+    * single-node tool is a suffix array over the whole corpus, which does
+    * not distribute — sliding window hashes do).
+    *
+    * Shape at 100 TB: a map-side explode (×~tokens-per-doc rows, each a
+    * 32-byte hash — not text), feeding hash-partitioned aggregates. No join
+    * of raw text, no driver state; `w` sets the granularity/blowup
+    * trade-off. Window hashes are md5 of the window TEXT (portable across
+    * engines, like the Sampling coordinates), computed by the codegen'd
+    * [[NativeExpressions.wordWindowMd5]] kernel.
+    */
+  def spanWindows(
+      docs: DataFrame, w: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      explode(NativeExpressions.wordWindowMd5(col(textCol), w)).as("whash"))
+
+  /** Column-combinator twin of [[NativeExpressions.wordWindowMd5]] — the
+    * executable definition (differential-tested in NativeKernelsSpec): \s+
+    * tokens, windows of `w` joined by single spaces, md5 hex each.
+    */
+  def wordWindowMd5Composed(text: Column, w: Int): Column = {
+    val toks = filter(split(text, "\\s+"), t => t =!= lit(""))
+    // outer when: null text stays null (matching the native null-intolerant
+    // expression), not an empty window set
+    when(text.isNotNull,
+      when(size(toks) >= w,
+        transform(
+          sequence(lit(0), size(toks) - w),
+          i => md5(array_join(slice(toks, i + lit(1), lit(w)), " ")).cast("string")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Spans (w-word windows) appearing verbatim in at least `minDocs`
+    * DISTINCT documents: (span_hash, n_docs, n_occ, first_doc). One
+    * hash-aggregate over [[spanWindows]]; output is bounded by the
+    * duplicated-span count, so the driver-visible result stays small even
+    * when the window table is corpus-sized.
+    */
+  def duplicateSpans(
+      docs: DataFrame, w: Int, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    spanWindows(docs, w, textCol, idCol)
+      .groupBy(col("whash").as("span_hash"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-span coverage — the curation signal from
+    * span-level dedup: how much of each document is verbatim-repeated
+    * elsewhere in the corpus. Returns (doc_id, n_windows, n_dup_windows,
+    * dup_ratio) for every document of at least `w` tokens, where a window
+    * is "dup" when its hash occurs in >= 2 distinct documents.
+    *
+    * Shape at 100 TB: the window table is computed once and reused for both
+    * sides; the dup-hash side is an aggregate projected to the hash alone,
+    * and the flagging join is a hash equi-join on the 32-byte span hash
+    * (both sides partition by it — no broadcast assumption: the duplicated
+    * set is corpus-dependent and can be large).
+    */
+  def spanCoverage(
+      docs: DataFrame, w: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val win = spanWindows(docs, w, textCol, idCol)
+    val dup = win.groupBy(col("whash"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("whash"), lit(1).as("is_dup"))
+    win.join(dup, Seq("whash"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(col("is_dup")).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
 }

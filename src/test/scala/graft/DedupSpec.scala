@@ -33,6 +33,34 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad") // sha256("abc")
   }
 
+  test("duplicate spans: shared verbatim windows found, per-doc coverage exact") {
+    // docs 1 and 2 share the 8-word span "one two three four five six seven
+    // eight" (doc 2 embeds it mid-text); doc 3 shares nothing
+    val shared = "one two three four five six seven eight"
+    val docs = corpus(
+      (1L, s"$shared tail1 tail2"),
+      (2L, s"head1 head2 $shared"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    val spans = Dedup.duplicateSpans(docs, w = 8)
+      .select("n_docs", "n_occ", "first_doc").as[(Long, Long, Long)].collect()
+    // exactly one 8-window is common (the shared span itself; every other
+    // window crosses into doc-specific tokens)
+    assert(spans.toSeq == Seq((2L, 2L, 1L)))
+
+    val cov = Dedup.spanCoverage(docs, w = 8)
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_ratio")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // 10 tokens -> 3 windows per doc for docs 1 and 2; 9 tokens -> 2 for doc 3
+    assert(cov.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333), (3L, 2L, 0L, 0.0)))
+  }
+
+  test("span windows: doc shorter than the window emits no rows") {
+    val docs = corpus((1L, "a b c"), (2L, "one two three four five six seven eight"))
+    val win = Dedup.spanWindows(docs, w = 8)
+    assert(win.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("near-dup pairs: identical and near-identical docs found, distinct docs not") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearSame = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")

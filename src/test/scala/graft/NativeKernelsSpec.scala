@@ -130,6 +130,26 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordWindowMd5 == filter/slice/md5 combinator twin, docs corpus + fixtures") {
+    for (df <- Seq(docs.select("text"), fixturesDF.select("text")); w <- Seq(1, 3, 8)) {
+      val both = df.select(
+        Dedup.wordWindowMd5Composed(col("text"), w).as("slow"),
+        NativeExpressions.wordWindowMd5(col("text"), w).as("fast"))
+      assert(both.filter(not(col("slow") === col("fast"))).count() == 0,
+        s"w=$w window-md5 mismatch")
+    }
+    // hand-pinned: md5 of the joined window text, not of the raw byte span —
+    // doubled separators collapse to the single-space joined form
+    val one = Seq("a  b   c").toDF("text")
+      .select(NativeExpressions.wordWindowMd5(col("text"), 2))
+      .as[Seq[String]].head()
+    val exp = Seq("a b", "b c").map { s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(one == exp)
+  }
+
   test("bloomMightContain: no false negatives; contaminatedBloom == contaminated") {
     // direct expression probe: every inserted hash answers true
     val hashes = (1L to 2000L).map(_ * 2654435761L)
@@ -183,11 +203,14 @@ class NativeKernelsSpec extends AnyFunSuite {
         TextAnalysis.fingerprintSet(col("text"), 4, 3).as("s3"),
         NativeExpressions.winnowingFingerprints(col("text"), 4, 3).as("f3"),
         TextAnalysis.wordBigramsColumn(col("text")).as("s4"),
-        NativeExpressions.wordBigrams(col("text")).as("f4"))
+        NativeExpressions.wordBigrams(col("text")).as("f4"),
+        Dedup.wordWindowMd5Composed(col("text"), 3).as("s5"),
+        NativeExpressions.wordWindowMd5(col("text"), 3).as("f5"))
         .filter(not(col("s1") === col("f1")) or
           not(col("s2") === col("f2")) or
           not(col("s3") === col("f3")) or
-          not(col("s4") === col("f4")))
+          not(col("s4") === col("f4")) or
+          not(col("s5") === col("f5")))
         .count()
       bad == 0L
     }
