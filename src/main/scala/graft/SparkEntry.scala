@@ -491,6 +491,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }),
+    // span-level decontamination: verbatim 4-word benchmark windows located
+    // in corpus docs, with the longest contiguous matched run in tokens —
+    // leak LOCALIZATION, not just a shingle count (benchmark = doc_id % 10)
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminatedSpans(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
     // the Bloom-prefiltered twin: identical output (exact re-check join
     // behind the map-side bloom_might_contain prune), same oracle
     "q_decontaminate_bloom" -> ((s, dir) => {
@@ -1386,6 +1395,30 @@ object SparkEntry {
          |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_matched
          |FROM corp c JOIN bench b USING (g)
          |GROUP BY c.doc_id""".stripMargin,
+    // span decontamination: positional window hashes (struct comprehension),
+    // gaps-and-islands for the longest contiguous matched run; the engine's
+    // 0-based positions vs range's 1-based cancel inside pos - row_number()
+    "q_decontaminate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id,
+        |         unnest([{'pos': i, 'h': md5(array_to_string(t[i:i+3], ' '))}
+        |                 for i in range(1, len(t) - 2)]) AS u
+        |  FROM toks WHERE len(t) >= 4
+        |), w AS (SELECT doc_id, u.pos AS pos, u.h AS whash FROM wins),
+        |bench AS (SELECT DISTINCT whash FROM w WHERE doc_id % 10 = 0),
+        |m AS (SELECT c.doc_id, c.pos FROM w c JOIN bench b USING (whash)
+        |      WHERE c.doc_id % 10 <> 0),
+        |r AS (SELECT doc_id, pos,
+        |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM m),
+        |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM r GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_matched_windows,
+        |       CAST(MAX(run) + 3 AS BIGINT) AS longest_span_tokens
+        |FROM runs GROUP BY doc_id""".stripMargin,
     // int8 quantization audit columns: identical float→double widening,
     // round-half-away-from-zero, zero-vector → zeros with scale 0
     "q_embed_quantize" ->

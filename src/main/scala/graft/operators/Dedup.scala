@@ -619,4 +619,44 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
+
+  /** SPAN-level decontamination — [[contaminated]]'s shingle-count flag
+    * upgraded to leak LOCALIZATION: per corpus document, how many of its
+    * w-word windows appear verbatim in the benchmark set, and the LONGEST
+    * contiguous matched run in tokens. A 2-shingle incidental overlap and a
+    * 90-token verbatim benchmark leak are different curation decisions, and
+    * run length is what separates them.
+    *
+    * Shape at 100 TB: benchmark window hashes broadcast (distinct, 32 bytes
+    * each — benchmark sets are small by nature; swap in the Bloom-prefilter
+    * shape of [[contaminatedBloom]] at the same call shape if not); corpus
+    * side is one posexplode + broadcast-hash-join. The run computation
+    * (gaps-and-islands: pos − row_number over (doc, pos-order)) windows ONLY
+    * over matched rows, partitioned per document — per-partition cardinality
+    * is bounded by tokens-per-doc, never corpus-sized.
+    *
+    * Returns (doc_id, n_matched_windows, longest_span_tokens) for corpus
+    * docs with at least one matched window.
+    */
+  def decontaminatedSpans(
+      corpus: DataFrame, benchmark: DataFrame, w: Int = 4): DataFrame = {
+    val bench = broadcast(
+      benchmark
+        .select(explode(NativeExpressions.wordWindowMd5(col("text"), w)).as("whash"))
+        .distinct())
+    val matched = corpus
+      .select(col("doc_id"),
+        posexplode(NativeExpressions.wordWindowMd5(col("text"), w)).as(Seq("pos", "whash")))
+      .join(bench, Seq("whash"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    matched
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("run")).as("n_matched_windows"),
+        (max(col("run")) + lit(w - 1)).as("longest_span_tokens"))
+  }
 }

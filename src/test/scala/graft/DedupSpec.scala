@@ -55,6 +55,29 @@ class DedupSpec extends AnyFunSuite {
       (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333), (3L, 2L, 0L, 0.0)))
   }
 
+  test("span decontamination: verbatim benchmark passage located with exact run length") {
+    val bench = corpus((100L, "q w e r t y u i"))
+    val docs = corpus(
+      (1L, "a b q w e r t y u i c"), // embeds the full 8-token passage
+      (2L, "z q w e r z z z"), // exactly one matched 4-window: "q w e r"
+      (3L, "alpha beta gamma delta")) // clean -> absent
+    val out = Dedup.decontaminatedSpans(docs, bench, w = 4)
+      .select("doc_id", "n_matched_windows", "longest_span_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1: windows at pos 2..6 match -> run 5 -> 5 + (4-1) = 8 tokens,
+    // the exact passage length
+    assert(out.toSeq == Seq((1L, 5L, 8L), (2L, 1L, 4L)))
+  }
+
+  test("span decontamination: two disjoint leaks stay separate runs") {
+    val bench = corpus((100L, "a b c d"), (101L, "x y z w"))
+    val docs = corpus((1L, "a b c d gap1 gap2 x y z w"))
+    val out = Dedup.decontaminatedSpans(docs, bench, w = 4)
+      .select("n_matched_windows", "longest_span_tokens")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((2L, 4L))) // two runs of 1; longest span = 4 tokens
+  }
+
   test("span windows: doc shorter than the window emits no rows") {
     val docs = corpus((1L, "a b c"), (2L, "one two three four five six seven eight"))
     val win = Dedup.spanWindows(docs, w = 8)
