@@ -350,6 +350,11 @@ object SparkEntry {
     // term-rarity: the hot-key (stopword-skewed) term join — broadcast at
     // test scale, AQE skew-split when shuffled (JoinSkewSpec)
     "q_text_rarity_join" -> ((s, dir) => TextAnalysis.termRarity(Tables.documents(s, dir))),
+    // ranked retrieval: top-20 docs for a 3-term query, rarity-weighted
+    // (no-ln tf·N/df), deterministic (score desc, doc_id) tiebreak
+    "q_text_retrieval" -> ((s, dir) =>
+      TextAnalysis.retrieve(Tables.documents(s, dir),
+        Seq("window", "hash", "merge"), k = 20)),
     // fixed-window token chunking with overlap (training-sequence prep):
     // pure map-side row expansion, no shuffle
     "q_text_chunks" -> ((s, dir) =>
@@ -591,6 +596,10 @@ object SparkEntry {
     // per-label embedding-norm accounting (exercises the label column);
     // decimal-exact average so the whole profile is oracle-checkable
     "q_embed_norms" -> ((s, dir) => Similarity.normStats(Tables.embeddings(s, dir))),
+    // per-label embedding outliers: L2 distance to own-label decimal-exact
+    // centroid, flagged above the label's p90 cut (noise pruning signal)
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(Tables.embeddings(s, dir), q = 0.9)),
     // ---- Event-stream analytics over the raw events table -----------------
     // strict-sequence conversion funnel: view → click → purchase, each stage
     // strictly after the previous (chained per-user stage aggregates)
@@ -1613,6 +1622,31 @@ object SparkEntry {
         |  min(nrm) AS min_norm, max(nrm) AS max_norm,
         |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM n GROUP BY label""".stripMargin,
+    // per-label outliers: decimal-exact per-dimension centroid means (one
+    // exact decimal->double rounding + one IEEE division), then the SAME
+    // sequential array-order double accumulation as q_embed_norms for the
+    // per-row distance, IEEE sqrt, quantile_cont cut compared at 6 dp
+    "q_embed_outliers" ->
+      """WITH dims AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS d,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, d,
+        |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+        |           / COUNT(*) AS c
+        |  FROM dims GROUP BY 1, 2),
+        |cl AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+        |dist AS (
+        |  SELECT vec_id, label,
+        |         round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |           i -> (embedding[i]::DOUBLE - cv[i]) *
+        |                (embedding[i]::DOUBLE - cv[i])))), 6) AS dist
+        |  FROM embeddings JOIN cl USING (label)),
+        |cuts AS (SELECT label, round(quantile_cont(dist, 0.9), 6) AS cut
+        |         FROM dist GROUP BY 1)
+        |SELECT vec_id, label, dist, cut, dist > cut AS is_outlier
+        |FROM dist JOIN cuts USING (label)""".stripMargin,
     // exact vocabulary accounting
     "q_text_vocab" ->
       """SELECT source,
@@ -1687,6 +1721,25 @@ object SparkEntry {
         |    AS rarity_score
         |FROM tf JOIN df USING (term), n
         |GROUP BY doc_id""".stripMargin,
+    // ranked retrieval: df restricted to the query terms, same no-ln weight
+    // and decimal accumulation as the rarity join; LIMIT is deterministic
+    // because ties break on doc_id after the 6-dp rounded score
+    "q_text_retrieval" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |qt AS (SELECT doc_id, term FROM terms
+        |       WHERE term IN ('window', 'hash', 'merge')),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+        |  round(CAST(SUM(CAST(round(tf.tf * n.n_docs / df.df, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS score
+        |FROM tf JOIN df USING (term), n
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     // Sketch audits: the oracle recomputes the EXACT side and asserts the
     // within-bound verdict — the only SQL-portable claims a sketch can make
     "q_sketch_vocab" ->

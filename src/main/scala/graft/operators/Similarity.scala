@@ -701,4 +701,61 @@ object Similarity {
             (lit(queryIds.size) * (col("n_corpus") - 1)) + lit(0.1))
           .as("recall_beats_random"))
   }
+
+  /** Per-label embedding OUTLIER detection — the noise-pruning signal a
+    * curation pipeline runs before training on labeled embeddings: each
+    * vector's L2 distance to its OWN label's centroid, flagged when it
+    * exceeds the label's `q`-quantile distance.
+    *
+    * Engine-portability by construction, reusing the repo's proven moves:
+    * per-dimension centroid means accumulate in DECIMAL (order-independent,
+    * like [[trainIvfCentroids]]) and convert to double through one exact
+    * decimal→double rounding + one IEEE division; per-dimension squared
+    * diffs round to 12 dp and sum as DECIMAL(38,12) (order-independent);
+    * `sqrt` is IEEE-correctly-rounded everywhere (where `pow`/`ln` are
+    * not); the flag compares at the 6-dp rounded quantile cut.
+    *
+    * Shape at 100 TB: centroids are one hash-aggregate to ≤ labels rows
+    * (broadcast back), distances are map-only, the quantile aggregate is ≤
+    * labels rows (swap `percentile` → `approx_percentile` at the same call
+    * shape when exactness is not required); nothing shuffles the vectors
+    * themselves.
+    *
+    * Returns (vec_id, label, dist, cut, is_outlier).
+    */
+  def labelOutliers(embeddings: DataFrame, q: Double = 0.9): DataFrame = {
+    val probe = embeddings.select(size(col("embedding")).as("dim")).limit(1).collect()
+    require(probe.nonEmpty && !probe(0).isNullAt(0),
+      "labelOutliers: empty corpus or null embedding — rejected loudly")
+    val dim = probe(0).getInt(0)
+    // float widens to double BEFORE the decimal cast: engines disagree on
+    // float->decimal directly (a float's SHORTEST decimal representation has
+    // ~9 digits, and some engines quantize that instead of the exact value);
+    // via double, the 10-dp quantization is unambiguous everywhere
+    val cent = embeddings.groupBy("label").agg(
+      array((0 until dim).map { i =>
+        sum(col("embedding")(i).cast("double").cast("decimal(27,10)"))
+          .cast("double") / count(lit(1))
+      }: _*).as("centroid"))
+    // within-row accumulation over the dimension axis runs in ARRAY order on
+    // both engines (Spark `aggregate` and DuckDB `list_sum` are sequential),
+    // so plain double summation is already deterministic — decimal
+    // accumulation is only needed where rows meet (the centroid above)
+    val withDist = embeddings.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(
+          aggregate(
+            zip_with(col("embedding"), col("centroid"), (x, c) => {
+              val d = x.cast("double") - c
+              d * d
+            }),
+            lit(0.0),
+            (acc, v) => acc + v)), 6)
+          .as("dist"))
+    val cuts = withDist.groupBy("label")
+      .agg(round(percentile(col("dist"), lit(q)), 6).as("cut"))
+    withDist.join(broadcast(cuts), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist"), col("cut"),
+        (col("dist") > col("cut")).as("is_outlier"))
+  }
 }

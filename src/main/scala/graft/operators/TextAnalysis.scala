@@ -515,6 +515,45 @@ object TextAnalysis {
     *
     * Returns (doc_id, n_distinct_terms, rarity_score).
     */
+  /** Ranked retrieval — the SERVING-side complement of [[invertedIndex]]:
+    * top-k documents for a bag of query terms, scored by the same
+    * logarithm-free rarity weight as [[termRarity]] (tf · N / df — `ln` is
+    * not bit-identical across engines' libm, one integer multiply + one
+    * IEEE division is), per-term contributions rounded to 6 dp and
+    * accumulated as DECIMAL(18,6) for partition-order independence.
+    *
+    * Shape at 100 TB: the query-term `isin` filter collapses into the term
+    * scan BEFORE any aggregation (only matching postings are ever grouped
+    * or shuffled — the moral equivalent of reading k posting lists, not the
+    * corpus); df for the query terms is a broadcast-sized aggregate; the
+    * final top-k is a TakeOrdered (per-partition k, then k at the
+    * coordinator), never a full sort. Ties break on doc_id so the k-row
+    * result set is deterministic.
+    *
+    * Returns the top `k` of (doc_id, n_terms_hit, score).
+    */
+  def retrieve(docs: DataFrame, queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "empty retrieval query")
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size is a bounded driver-side artifact (one long), like the
+    // trained-model builds elsewhere
+    val nDocs = docs.count()
+    tf.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * lit(nDocs) / col("df"), 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("term")).as("n_terms_hit"),
+        round(sum(col("contrib")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def termRarity(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -286,4 +286,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("need k=4"), e3.getMessage)
   }
+
+  test("label outliers: distance to own-label centroid, p90 cut flags the far vector") {
+    // label 0: centroid (2.5, 0); dists 2.5, 2.5, 2.5, 7.5; interpolated p90
+    // = 2.5 + 0.7*(7.5-2.5) = 6.0 -> only the far vector exceeds the cut.
+    // label 1: all identical -> dist 0, cut 0, nothing flagged (strict >)
+    val df = Seq(
+      (0L, Seq(0f, 0f), 0), (1L, Seq(0f, 0f), 0), (2L, Seq(0f, 0f), 0),
+      (3L, Seq(10f, 0f), 0),
+      (4L, Seq(1f, 1f), 1), (5L, Seq(1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(df, q = 0.9)
+      .select("vec_id", "dist", "cut", "is_outlier")
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(2.5, 2.5, 2.5, 7.5, 0.0, 0.0))
+    assert(out.map(_._3).toSeq == Seq(6.0, 6.0, 6.0, 6.0, 0.0, 0.0))
+    assert(out.map(_._4).toSeq == Seq(false, false, false, true, false, false))
+  }
+
+  test("label outliers on the real corpus: every label flags ~10% of its vectors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.labelOutliers(emb, q = 0.9)
+    assert(out.count() == emb.count())
+    val rates = out.groupBy("label")
+      .agg((sum(when(col("is_outlier"), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("rate"))
+      .select("rate").as[Double].collect()
+    // with continuous (tie-free) distances, strict > of the interpolated p90
+    // flags floor(0.1*(n-1)) + 1 vectors at most — for the ~45-60-vector
+    // labels here that is bounded by 13% and bounded away from 0
+    assert(rates.forall(r => r > 0.0 && r <= 0.13), rates.mkString(","))
+  }
 }

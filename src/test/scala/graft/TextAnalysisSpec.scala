@@ -155,4 +155,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(idx("beta") == ((2L, "3,5"))) // within-doc dup counted once
     assert(idx("gamma") == ((1L, "9")))
   }
+
+  test("retrieval: rarity weighting ranks rare-term matches first, ties break on doc_id") {
+    import org.apache.spark.sql.functions.col
+    // corpus of 4 docs; "rare" appears in 1, "common" in all 4
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common common"),
+      (3L, "common"),
+      (4L, "common common common")).toDF("doc_id", "text")
+    val out = TextAnalysis.retrieve(docs, Seq("rare", "common"), k = 3)
+      .select("doc_id", "n_terms_hit", "score")
+      .as[(Long, Long, Double)].collect()
+    // contributions: rare -> 1*4/1 = 4; common -> tf*4/4 = tf
+    // doc1: 4 + 1 = 5 (2 terms); doc4: 3; doc2: 2 -> doc3 (score 1) cut by k
+    assert(out.toSeq == Seq((1L, 2L, 5.0), (4L, 1L, 3.0), (2L, 1L, 2.0)))
+    // determinism of the k-th row under ties: two docs at score 1 -> lower id
+    val tied = Seq(
+      (1L, "common rare"), (2L, "common"), (3L, "common"))
+      .toDF("doc_id", "text")
+    val last = TextAnalysis.retrieve(tied, Seq("rare", "common"), k = 2)
+      .select(col("doc_id")).as[Long].collect()
+    assert(last.toSeq == Seq(1L, 2L)) // doc 2 beats doc 3 on the tiebreak
+  }
 }
