@@ -32,6 +32,7 @@ FAMILIES = {
     "join (broadcast / co-located / temporal)": [
         "q_join_bucketed", "q_asof_join", "q_range_join", "q_multi_key",
         "q_multi_key_large", "q_text_rarity_join", "q_text_collocations",
+        "q_text_retrieval",
     ],
     "interactive queries (serving snapshot)": [
         "q_key_query", "q_range_both", "q_range_lower", "q_range_upper",
@@ -41,11 +42,14 @@ FAMILIES = {
     "dedup / decontamination": [
         "q_dedup_exact", "q_dedup_near", "q_dedup_survivors", "q_dedup_simhash",
         "q_dedup_incremental", "q_decontaminate", "q_decontaminate_bloom",
-        "q_dedup_containment", "q_decontaminate_score",
+        "q_dedup_containment", "q_decontaminate_score", "q_dedup_spans",
+        "q_dedup_span_coverage", "q_dedup_spans_incremental",
+        "q_decontaminate_spans",
     ],
     "similarity (pruned exact + audits)": [
         "q_similarity_topk", "q_similarity_pairs", "q_similarity_dedup",
         "q_similarity_ann", "q_similarity_ivf", "q_similarity_knn",
+        "q_embed_outliers",
     ],
     "sampling / packing / curation / events": [
         "q_sample_stratified", "q_sample_stratified_bounded", "q_shuffle_epoch",
