@@ -270,6 +270,14 @@ object SparkEntry {
     // of each document is verbatim-repeated elsewhere in the corpus
     "q_dedup_span_coverage" -> ((s, dir) =>
       Dedup.spanCoverage(Tables.documents(s, dir), w = 8)),
+    // incremental span coverage: incoming (odd) docs scored against the
+    // existing (even) corpus's distinct window hashes, cross-side only
+    "q_dedup_spans_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalSpanCoverage(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), w = 8)
+    }),
     // ---- Beyond-reference: similarity search over `embeddings` -----------
     // exact cosine top-k for a small query set, served by the IVF-pruned
     // equi-join path (identical output to the brute-force baseline — the
@@ -1016,6 +1024,17 @@ object SparkEntry {
          |       COUNT(d.whash) AS n_dup_windows,
          |       round(COUNT(d.whash)::DOUBLE / COUNT(*), 6) AS dup_ratio
          |FROM w LEFT JOIN d ON w.whash = d.whash
+         |GROUP BY w.doc_id""".stripMargin,
+    // incremental span coverage: same window construction, known = distinct
+    // hashes of the even (existing) half, scored over the odd (incoming) half
+    "q_dedup_spans_incremental" ->
+      s"""WITH w AS ($spanWinCte),
+         |known AS (SELECT DISTINCT whash FROM w WHERE doc_id % 2 = 0)
+         |SELECT w.doc_id, COUNT(*) AS n_windows,
+         |       COUNT(k.whash) AS n_known_windows,
+         |       round(COUNT(k.whash)::DOUBLE / COUNT(*), 6) AS known_ratio
+         |FROM w LEFT JOIN known k ON w.whash = k.whash
+         |WHERE w.doc_id % 2 = 1
          |GROUP BY w.doc_id""".stripMargin,
     // survivors: transitive closure of the near-dup graph (fine at oracle
     // scale; the engine's label propagation never materializes it)

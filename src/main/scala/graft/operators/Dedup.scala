@@ -620,6 +620,39 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** Incremental SPAN coverage — the continuous-ingest twin of
+    * [[spanCoverage]], the same move [[incrementalNearDedup]] makes for
+    * doc-level near-dup: for each INCOMING document, what fraction of its
+    * w-word windows already exists verbatim anywhere in the EXISTING
+    * corpus (the "how much of this crawl batch is old text" signal that
+    * decides whether a batch is worth keeping).
+    *
+    * Shape at 100 TB: candidates are CROSS-SIDE only — per-batch cost
+    * scales with the batch, never batch². The corpus side reduces to its
+    * DISTINCT 32-byte window hashes once (incrementally maintainable as an
+    * append-only hash table), and the flagging join is hash-partitioned on
+    * the window hash — never broadcast, the corpus-side hash set is
+    * corpus-scale.
+    *
+    * Returns (doc_id, n_windows, n_known_windows, known_ratio) for every
+    * incoming doc of at least `w` tokens.
+    */
+  def incrementalSpanCoverage(
+      existing: DataFrame, incoming: DataFrame, w: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val known = spanWindows(existing, w, textCol, idCol)
+      .select(col("whash")).distinct()
+      .withColumn("known", lit(1))
+    spanWindows(incoming, w, textCol, idCol)
+      .join(known, Seq("whash"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(col("known")).as("n_known_windows"))
+      .withColumn("known_ratio",
+        round(col("n_known_windows").cast("double") / col("n_windows"), 6))
+  }
+
   /** SPAN-level decontamination — [[contaminated]]'s shingle-count flag
     * upgraded to leak LOCALIZATION: per corpus document, how many of its
     * w-word windows appear verbatim in the benchmark set, and the LONGEST

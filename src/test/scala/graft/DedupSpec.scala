@@ -78,6 +78,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 4L))) // two runs of 1; longest span = 4 tokens
   }
 
+  test("incremental span coverage: incoming docs scored against the existing corpus only") {
+    val existing = corpus(
+      (2L, "one two three four five six seven eight"),
+      (4L, "a a a a a a a a"))
+    val incoming = corpus(
+      (1L, "one two three four five six seven eight tail"), // 2 windows, 1 known
+      (3L, "fresh words only here nothing matches at all"), // 0 known
+      (5L, "a a a a a a a a")) // identical to existing doc 4 -> fully known
+    val out = Dedup.incrementalSpanCoverage(existing, incoming, w = 8)
+      .select("doc_id", "n_windows", "n_known_windows", "known_ratio")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0), (5L, 1L, 1L, 1.0)))
+    // cross-side only: incoming docs sharing spans with EACH OTHER but not
+    // with the corpus score 0
+    val twins = corpus(
+      (7L, "x y z w p q r s"), (9L, "x y z w p q r s"))
+    val o2 = Dedup.incrementalSpanCoverage(existing, twins, w = 8)
+      .select("n_known_windows").as[Long].collect()
+    assert(o2.toSeq == Seq(0L, 0L))
+  }
+
   test("span windows: doc shorter than the window emits no rows") {
     val docs = corpus((1L, "a b c"), (2L, "one two three four five six seven eight"))
     val win = Dedup.spanWindows(docs, w = 8)

@@ -55,6 +55,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("limited top-k queries plan TakeOrdered, never a global sort") {
+    // a k-row answer must cost per-partition k + coordinator k; a full
+    // Sort+Exchange before the limit is the scale regression this guards
+    val topK = Seq("q_text_retrieval")
+    topK.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name should plan TakeOrderedAndProject:\n$plan")
+    }
+  }
+
   test("every query with an oracle entry is registered, and vice versa where required") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
