@@ -59,6 +59,17 @@ object SparkEntry {
     ivfSeeds.computeIfAbsent(s"$dir|${qids.mkString(",")}|$k",
       _ => Similarity.trainSeedFloors(emb, qids, k, cents(dir, emb)))
 
+  /** Deterministic Lloyd k-means centroids — a trained model artifact like
+    * the IVF index, built once per corpus and shared by the clustering
+    * assignment + profile queries.
+    */
+  private val kmeansCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def kcents(dir: String, emb: DataFrame): Array[Array[Double]] =
+    kmeansCentroids.computeIfAbsent(dir,
+      _ => Similarity.trainKmeans(emb, k = 8, iters = 3))
+
   /** Self-KNN index: the own-cell seed join costs Σ_c m_c² ≈ N²/cells, so
     * the cell count must GROW with the corpus — ~√N cells keeps the seed
     * phase ~N^1.5 and the radii tight enough to prune (a fixed small cell
@@ -608,6 +619,23 @@ object SparkEntry {
     // centroid, flagged above the label's p90 cut (noise pruning signal)
     "q_embed_outliers" -> ((s, dir) =>
       Similarity.labelOutliers(Tables.embeddings(s, dir), q = 0.9)),
+    // deterministic Lloyd k-means over the embedding corpus — clustering as
+    // a first-class curation primitive (mixture balancing / SemDeDup-style
+    // grouping); the ASSIGNMENTS themselves are oracle-checked: the DuckDB
+    // oracle replays the identical seeded iterations (decimal centroid
+    // means, sequential double distance folds, ties to the lowest cell)
+    "q_embed_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.kmeansAssignments(emb, k = 8, iters = 3,
+        precomputedCentroids = Some(kcents(dir, emb)))
+    }),
+    // per-cluster curation profile: size, majority label (ties to lowest),
+    // purity, decimal-exact mean distance-to-centroid
+    "q_embed_cluster_profile" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.kmeansProfile(emb, k = 8, iters = 3,
+        precomputedCentroids = Some(kcents(dir, emb)))
+    }),
     // ---- Event-stream analytics over the raw events table -----------------
     // strict-sequence conversion funnel: view → click → purchase, each stage
     // strictly after the previous (chained per-user stage aggregates)
@@ -678,6 +706,46 @@ object SparkEntry {
       |                                i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
       | * sqrt(list_sum(list_transform(range(1, len(qv)+1),
       |                                i -> qv[i]::DOUBLE * qv[i]::DOUBLE))))""".stripMargin
+
+  /** Unrolled Lloyd k-means oracle chain (q_embed_clusters /
+    * q_embed_cluster_profile): replays [[Similarity.trainKmeans]] in SQL —
+    * seeds = the k lowest-vec_id vectors (float widened to double),
+    * per-dimension DECIMAL(27,10) means → one exact decimal→double rounding
+    * + one IEEE division, sequential double distance folds (`list_sum` is
+    * left-to-right, like Spark `aggregate`), argmin ties to the lowest
+    * cell, empty cells keep the previous centroid. Ends with `afin`
+    * (vec_id, cell, d2) — the assignment against the trained centroids.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def d2(cAlias: String) =
+      s"""list_sum(list_transform(range(1, len(e.embedding)+1),
+         |          i -> (e.embedding[i]::DOUBLE - $cAlias.cv[i])
+         |             * (e.embedding[i]::DOUBLE - $cAlias.cv[i])))""".stripMargin
+    def assign(name: String, centTable: String) =
+      s"""$name AS (SELECT vec_id, cell, d2 FROM (
+         |  SELECT vec_id, cell, d2,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM (SELECT e.vec_id, c.cell, ${d2("c")} AS d2
+         |        FROM e, $centTable c)) WHERE rn = 1)""".stripMargin
+    val head =
+      s"""e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |       FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s"""${assign(s"a$t", s"c$t")},
+         |m$t AS (SELECT a.cell, d.i,
+         |          CAST(SUM(CAST(CAST(d.v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+         |            / COUNT(*) AS c
+         |        FROM a$t a JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                                unnest(embedding) AS v FROM e) d USING (vec_id)
+         |        GROUP BY 1, 2),
+         |c${t + 1} AS (SELECT p.cell, coalesce(mc.cv, p.cv) AS cv
+         |            FROM c$t p LEFT JOIN (SELECT cell, list(c ORDER BY i) AS cv
+         |                                  FROM m$t GROUP BY cell) mc USING (cell))""".stripMargin
+    }
+    (Seq(head) ++ steps ++ Seq(assign("afin", s"c$iters"))).mkString(",\n")
+  }
 
   /** Near-dup oracle pieces, shared by q_dedup_near and q_dedup_survivors. */
   private val dedupShCte: String =
@@ -1666,6 +1734,29 @@ object SparkEntry {
         |         FROM dist GROUP BY 1)
         |SELECT vec_id, label, dist, cut, dist > cut AS is_outlier
         |FROM dist JOIN cuts USING (label)""".stripMargin,
+    // k-means assignments: the full seeded Lloyd replay (kmeansCtes), then
+    // the final assignment joined back for the label and 6-dp distance
+    "q_embed_clusters" ->
+      s"""WITH ${kmeansCtes(8, 3)}
+         |SELECT a.vec_id, e.label, a.cell, round(sqrt(a.d2), 6) AS dist
+         |FROM afin a JOIN e USING (vec_id)""".stripMargin,
+    // per-cluster profile from the same replay: majority by (n DESC, label)
+    // row_number mirrors Spark max_by(label, struct(n, -label))
+    "q_embed_cluster_profile" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+         |fd AS (SELECT a.cell, e.label, round(sqrt(a.d2), 6) AS dist
+         |       FROM afin a JOIN e USING (vec_id)),
+         |bl AS (SELECT cell, label, COUNT(*) AS n FROM fd GROUP BY 1, 2),
+         |mj AS (SELECT cell, label AS majority_label, n AS n_majority FROM (
+         |         SELECT cell, label, n,
+         |                row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn
+         |         FROM bl) WHERE rn = 1)
+         |SELECT f.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       mj.majority_label, CAST(mj.n_majority AS BIGINT) AS n_majority,
+         |       round(CAST(mj.n_majority AS DOUBLE) / COUNT(*), 6) AS purity,
+         |       round(CAST(SUM(CAST(f.dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dist
+         |FROM fd f JOIN mj USING (cell)
+         |GROUP BY f.cell, mj.majority_label, mj.n_majority""".stripMargin,
     // exact vocabulary accounting
     "q_text_vocab" ->
       """SELECT source,

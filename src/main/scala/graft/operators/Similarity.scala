@@ -758,4 +758,115 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("dist"), col("cut"),
         (col("dist") > col("cut")).as("is_outlier"))
   }
+
+  /** Squared L2 distance of an embedding column to a constant centroid,
+    * accumulated left-to-right in double over the dimension axis — the same
+    * sequential within-row arithmetic as [[labelOutliers]], so the value is
+    * bit-reproducible against a DuckDB `list_sum(list_transform(...))` twin.
+    */
+  private def dist2To(v: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(c.toIndexedSeq.map(lit): _*), (x, cc) => {
+        val d = x.cast("double") - cc
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Deterministic Lloyd k-means centroids over the embedding corpus —
+    * clustering as a first-class curation primitive (mixture balancing,
+    * per-cluster quality accounting, SemDeDup-style semantic grouping),
+    * not just the internal IVF pruning artifact [[trainIvfCentroids]] is.
+    *
+    * Engine-portable by construction, so cluster ASSIGNMENTS (not just
+    * derived audits) hash-match an independent replay of the same algorithm:
+    * seeds are the k lowest-vec_id vectors; per-dimension centroid means
+    * accumulate in DECIMAL across rows (order-independent) and convert to
+    * double via one exact decimal→double rounding + one IEEE division
+    * (the [[labelOutliers]] move); assignment distances fold sequentially
+    * in double within each row; argmin ties resolve to the lowest cell id.
+    * Empty cells keep their previous centroid.
+    *
+    * Shape at 100 TB: each Lloyd iteration is one broadcast-literal map-side
+    * assignment + one hash-aggregate down to k×dim cells — no joins, nothing
+    * shuffles the vectors; the centroid set is a bounded (k×dim) driver
+    * artifact, trained on a sample at real scale.
+    */
+  private[graft] def trainKmeans(
+      embeddings: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val probe = embeddings.select(size(col("embedding")).as("dim")).limit(1).collect()
+    require(probe.nonEmpty && !probe(0).isNullAt(0),
+      "trainKmeans: empty corpus or null embedding — rejected loudly")
+    val dim = probe(0).getInt(0)
+    val seedRows = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
+    require(seedRows.forall(!_.isNullAt(0)),
+      "trainKmeans: null embedding in corpus — null vectors are rejected loudly")
+    require(seedRows.length == k,
+      s"trainKmeans: corpus has only ${seedRows.length} vectors, need k=$k seeds")
+    var cents: Array[Array[Double]] =
+      seedRows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = embeddings.select(
+        col("embedding"), nearestByDist2(col("embedding"), cents).as("cell"))
+      val rows = assigned
+        .groupBy("cell")
+        .agg(array((0 until dim).map { i =>
+          sum(col("embedding")(i).cast("double").cast("decimal(27,10)"))
+            .cast("double") / count(lit(1))
+        }: _*).as("mean"))
+        .collect()
+      val means = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
+    }
+    cents
+  }
+
+  /** Argmin cell by full (x−c)² fold distance, first (lowest) cell wins
+    * ties — `array_position` returns the FIRST index equal to the min, and
+    * the compared doubles are the identical expressions, so the tie-break
+    * is exact, not epsilon-fuzzy.
+    */
+  private def nearestByDist2(v: Column, cents: Array[Array[Double]]): Column = {
+    val dists = array(cents.toIndexedSeq.map(c => dist2To(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Per-vector k-means cluster assignment: (vec_id, label, cell, dist)
+    * with dist the L2 distance to the final centroid, rounded to 6 dp at
+    * the very end (nothing downstream consumes the rounded value).
+    */
+  def kmeansAssignments(
+      embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = precomputedCentroids.getOrElse(trainKmeans(embeddings, k, iters))
+    val dists = array(cents.toIndexedSeq.map(c => dist2To(col("embedding"), c)): _*)
+    embeddings.select(
+      col("vec_id"), col("label"),
+      (array_position(dists, array_min(dists)) - 1).cast("int").as("cell"),
+      round(sqrt(array_min(dists)), 6).as("dist"))
+  }
+
+  /** Per-cluster curation profile over the final k-means assignment:
+    * size, majority label (ties to the lowest label), purity, and the
+    * decimal-exact mean distance-to-centroid — the "is this cluster one
+    * coherent topic or a junk drawer" signal a mixture-balancing pipeline
+    * reads before sampling per cluster. One (cell,label) hash-aggregate +
+    * one k-row reduction; empty cells simply have no row.
+    */
+  def kmeansProfile(
+      embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val a = kmeansAssignments(embeddings, k, iters, precomputedCentroids)
+    val byLabel = a.groupBy("cell", "label").agg(
+      count(lit(1)).as("n"),
+      sum(col("dist").cast("decimal(18,6)")).as("dist_sum"))
+    byLabel.groupBy("cell").agg(
+      sum(col("n")).as("n_vecs"),
+      max_by(col("label"), struct(col("n"), (-col("label")).as("negl"))).as("majority_label"),
+      max(col("n")).as("n_majority"),
+      round(sum(col("dist_sum")).cast("double") / sum(col("n")), 6).as("avg_dist"))
+      .withColumn("purity",
+        round(col("n_majority").cast("double") / col("n_vecs"), 6))
+      .select("cell", "n_vecs", "majority_label", "n_majority", "purity", "avg_dist")
+  }
 }

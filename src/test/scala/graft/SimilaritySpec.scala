@@ -317,4 +317,62 @@ class SimilaritySpec extends AnyFunSuite {
     // labels here that is bounded by 13% and bounded away from 0
     assert(rates.forall(r => r > 0.0 && r <= 0.13), rates.mkString(","))
   }
+
+  private def lvecs(rows: (Long, Int, Seq[Float])*) =
+    rows.toDF("vec_id", "label", "embedding")
+
+  test("kmeans: two separated blobs with k=2 separate perfectly") {
+    val df = lvecs(
+      (0L, 0, Seq(10f, 10f)), (2L, 0, Seq(11f, 10f)), (4L, 0, Seq(10f, 11f)),
+      (1L, 1, Seq(-10f, -10f)), (3L, 1, Seq(-11f, -10f)), (5L, 1, Seq(-10f, -11f)))
+    val out = Similarity.kmeansAssignments(df, k = 2, iters = 3)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    // seeds: vec 0 (blob A) -> cell 0, vec 1 (blob B) -> cell 1
+    assert(Seq(0L, 2L, 4L).forall(out(_) == 0), out.toSeq.sorted)
+    assert(Seq(1L, 3L, 5L).forall(out(_) == 1), out.toSeq.sorted)
+  }
+
+  test("kmeans: assignments invariant under repartitioning (decimal means)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.kmeansAssignments(emb, k = 4, iters = 2)
+      .select("vec_id", "cell", "dist").as[(Long, Int, Double)].collect().toSet
+    val b = Similarity.kmeansAssignments(emb.repartition(7), k = 4, iters = 2)
+      .select("vec_id", "cell", "dist").as[(Long, Int, Double)].collect().toSet
+    assert(a == b)
+    assert(a.size == emb.count())
+  }
+
+  test("kmeans: a duplicate seed's empty cell keeps its centroid and revives") {
+    // vec 0 and 1 are identical, so seeds 0 and 1 coincide; in iteration 1
+    // every point tie-breaks to the LOWER cell and cell 1 goes empty — it
+    // must survive the mean step (previous centroid retained, no NaN). In
+    // iteration 2 cell 0's centroid has drifted toward vec 2, so the
+    // retained cell-1 centroid (still exactly (1,1)) wins vecs 0 and 1
+    // back — the retained centroid REVIVES, textbook Lloyd
+    val df = lvecs(
+      (0L, 0, Seq(1f, 1f)), (1L, 0, Seq(1f, 1f)), (2L, 0, Seq(1.5f, 1f)))
+    val out = Similarity.kmeansAssignments(df, k = 2, iters = 2)
+      .select("vec_id", "cell", "dist").as[(Long, Int, Double)].collect()
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1, 1, 0), out.toSeq)
+    assert(out.forall(r => !r._3.isNaN), out.toSeq)
+  }
+
+  test("kmeans profile: size, majority label (ties to lowest), purity") {
+    val df = lvecs(
+      (0L, 7, Seq(10f, 10f)), (2L, 7, Seq(11f, 10f)), (4L, 3, Seq(10f, 11f)),
+      (1L, 5, Seq(-10f, -10f)), (3L, 5, Seq(-11f, -10f)))
+    val p = Similarity.kmeansProfile(df, k = 2, iters = 2)
+      .select("cell", "n_vecs", "majority_label", "n_majority", "purity")
+      .as[(Int, Long, Int, Long, Double)].collect().sortBy(_._1)
+    assert(p.toSeq == Seq((0, 3L, 7, 2L, 0.666667), (1, 2L, 5, 2L, 1.0)))
+
+    // exact two-way label tie inside one cluster -> lowest label wins
+    val tied = lvecs(
+      (0L, 9, Seq(1f, 0f)), (2L, 4, Seq(1f, 0.1f)),
+      (4L, 9, Seq(1f, -0.1f)), (6L, 4, Seq(1f, 0.2f)))
+    val mj = Similarity.kmeansProfile(tied, k = 1, iters = 1)
+      .select("majority_label").as[Int].collect()
+    assert(mj.toSeq == Seq(4))
+  }
 }
