@@ -289,6 +289,11 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), w = 8)
     }),
+    // cross-source span-overlap matrix: shared distinct w-window hashes +
+    // Jaccard per source pair — the mirror/scrape provenance signal (exact
+    // content hashes find NOTHING cross-source in this corpus; spans do)
+    "q_dedup_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir), w = 8)),
     // ---- Beyond-reference: similarity search over `embeddings` -----------
     // exact cosine top-k for a small query set, served by the IVF-pruned
     // equi-join path (identical output to the brute-force baseline — the
@@ -635,6 +640,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.kmeansProfile(emb, k = 8, iters = 3,
         precomputedCentroids = Some(kcents(dir, emb)))
+    }),
+    // cluster-balanced curation sample: cap every semantic cluster at a
+    // fixed quota by deterministic md5 rank (bounded per-cell heaps, no
+    // partition-wide sort) — the diversity-preserving downsample a
+    // mixture-balancing pipeline takes AFTER clustering; small cells
+    // survive whole, dominant cells are capped
+    "q_sample_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = Similarity.kmeansAssignments(emb, k = 8, iters = 3,
+        precomputedCentroids = Some(kcents(dir, emb)))
+        .select("vec_id", "label", "cell")
+      Sampling.stratifiedSampleBounded(asg, "cell", "vec_id", quota = 24)
     }),
     // ---- Event-stream analytics over the raw events table -----------------
     // strict-sequence conversion funnel: view → click → purchase, each stage
@@ -1104,6 +1121,26 @@ object SparkEntry {
          |FROM w LEFT JOIN known k ON w.whash = k.whash
          |WHERE w.doc_id % 2 = 1
          |GROUP BY w.doc_id""".stripMargin,
+    // cross-source overlap: same window/md5 construction carrying source;
+    // distinct (source, whash) sets, pair join on whash, Jaccard at 6 dp
+    "q_dedup_source_overlap" ->
+      """WITH w AS (SELECT source,
+        |  unnest([md5(array_to_string(t[i:i+7], ' '))
+        |          for i in range(1, len(t) - 6)]) AS whash
+        |FROM (SELECT source,
+        |        list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |      FROM documents)
+        |WHERE len(t) >= 8),
+        |hs AS (SELECT DISTINCT source, whash FROM w),
+        |ps AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |       CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+        |       round(COUNT(*)::DOUBLE / (pa.n + pb.n - COUNT(*)), 6) AS jaccard
+        |FROM hs a JOIN hs b ON a.whash = b.whash AND a.source < b.source
+        |JOIN ps pa ON pa.source = a.source
+        |JOIN ps pb ON pb.source = b.source
+        |GROUP BY 1, 2, pa.n, pb.n""".stripMargin,
     // survivors: transitive closure of the near-dup graph (fine at oracle
     // scale; the engine's label propagation never materializes it)
     "q_dedup_survivors" ->
@@ -1757,6 +1794,17 @@ object SparkEntry {
          |       round(CAST(SUM(CAST(f.dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dist
          |FROM fd f JOIN mj USING (cell)
          |GROUP BY f.cell, mj.majority_label, mj.n_majority""".stripMargin,
+    // cluster-balanced sample: the Lloyd replay's final assignment, then the
+    // same salted-md5 per-cell rank the stratified samplers use
+    "q_sample_clusters" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+         |asg AS (SELECT a.vec_id, e.label, a.cell FROM afin a JOIN e USING (vec_id))
+         |SELECT vec_id, label, cell, CAST(rk AS INT) AS rk FROM (
+         |  SELECT vec_id, label, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY md5('s5:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM asg)
+         |WHERE rk <= 24""".stripMargin,
     // exact vocabulary accounting
     "q_text_vocab" ->
       """SELECT source,

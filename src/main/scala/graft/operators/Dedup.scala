@@ -692,4 +692,42 @@ object Dedup {
         sum(col("run")).as("n_matched_windows"),
         (max(col("run")) + lit(w - 1)).as("longest_span_tokens"))
   }
+
+  /** Cross-source overlap matrix over span fingerprints: for every unordered
+    * source pair, how many distinct w-word-window hashes the two sources
+    * share, plus the Jaccard of their span-fingerprint sets — the
+    * mirror/scrape detection signal a provenance-aware pipeline reads to
+    * decide which source to demote before document-level dedup (exact
+    * content hashes miss this entirely: a mirror that rewraps or truncates
+    * shares no full-document hash but thousands of spans).
+    *
+    * Shape at 100 TB: distinct (source, whash) is one hash-aggregate over
+    * the exploded windows; the pair join is an equi-join on `whash` where
+    * each hash matches at most #sources rows (the distinct step bounds
+    * per-hash fan-out — a boilerplate span in every source contributes
+    * sources² pairs, not occurrences²); per-source totals are a tiny
+    * broadcast. Output ≤ sources² rows.
+    */
+  def sourceOverlap(
+      docs: DataFrame, w: Int = 8,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val hs = docs
+      .select(col(sourceCol).as("source"),
+        explode(NativeExpressions.wordWindowMd5(col(textCol), w)).as("whash"))
+      .distinct()
+    val perSource = hs.groupBy("source").agg(count(lit(1)).as("n_spans"))
+    hs.as("a")
+      .join(hs.as("b"),
+        col("a.whash") === col("b.whash") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSource.select(
+        col("source").as("source_a"), col("n_spans").as("n_a"))), Seq("source_a"))
+      .join(broadcast(perSource.select(
+        col("source").as("source_b"), col("n_spans").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
 }

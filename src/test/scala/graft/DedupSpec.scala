@@ -246,4 +246,39 @@ class DedupSpec extends AnyFunSuite {
     val got = pruned.as[(Long, Long, Double)].collect().toSet
     assert(got == brute, s"missing=${brute -- got}, extra=${got -- brute}")
   }
+
+  test("source overlap: shared spans counted once per pair, Jaccard exact") {
+    // srcA and srcB share one 8-word span (via different docs); srcC shares
+    // nothing; the shared span occurring TWICE in srcB must count once
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta", "srcA"),
+      (2L, s"intro words here then $shared and a tail", "srcB"),
+      (3L, s"second borrower text $shared closing words here now", "srcB"),
+      (4L, "totally unrelated content nine ten eleven twelve thirteen fourteen", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, w = 8)
+      .select("source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 1, got.toSeq)
+    val (a, b, nShared, nA, nB, jacc) = got.head
+    assert((a, b) == ("srcA", "srcB"))
+    assert(nShared == 1L)
+    // srcA doc 1: 15 tokens -> 8 windows; srcB: docs 2 and 3 are 15 tokens
+    // -> 8 windows each, overlapping ONLY in the shared span -> 15 distinct
+    assert((nA, nB) == (8L, 15L), (nA, nB))
+    assert(jacc == 0.045455, jacc) // round(1 / (8 + 15 - 1), 6)
+  }
+
+  test("source overlap: a span in every source yields pairs, not a blow-up") {
+    val boiler = "common boilerplate header words repeated across all sources"
+    val docs = (0 until 4).flatMap { s =>
+      Seq((s * 10L, s"$boiler unique$s tail$s words$s here$s", s"src$s"),
+        (s * 10L + 1, s"$boiler second$s copy$s inside$s source$s", s"src$s"))
+    }.toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, w = 8)
+      .select("source_a", "source_b").as[(String, String)].collect().toSet
+    // all C(4,2)=6 unordered pairs, each exactly once
+    assert(got.size == 6, got)
+  }
 }

@@ -375,4 +375,24 @@ class SimilaritySpec extends AnyFunSuite {
       .select("majority_label").as[Int].collect()
     assert(mj.toSeq == Seq(4))
   }
+
+  test("cluster-balanced sample: quota caps each cell, small cells kept whole") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val asg = Similarity.kmeansAssignments(emb, k = 4, iters = 2)
+      .select("vec_id", "label", "cell")
+    val cellSizes = asg.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val quota = 10
+    val sample = graft.operators.Sampling
+      .stratifiedSampleBounded(asg, "cell", "vec_id", quota)
+    val sampled = sample.select("cell", "vec_id").as[(Int, Long)].collect()
+    val perCell = sampled.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCell.keySet == cellSizes.keySet)
+    perCell.foreach { case (cell, n) =>
+      assert(n == math.min(cellSizes(cell), quota.toLong), s"cell $cell: $n")
+    }
+    // membership consistency: every sampled row is a real assignment
+    val asgSet = asg.select("cell", "vec_id").as[(Int, Long)].collect().toSet
+    assert(sampled.forall(asgSet.contains))
+  }
 }
