@@ -662,6 +662,9 @@ object SparkEntry {
     "q_events_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
     // JSON props ($.k) accounting per event type — exact long arithmetic
     "q_events_props" -> ((s, dir) => EventAnalytics.propsAccounting(Tables.events(s, dir))),
+    // per-user z-score anomalies: decimal-exact moments, broadcast join back
+    "q_events_anomaly" -> ((s, dir) =>
+      EventAnalytics.valueAnomalies(Tables.events(s, dir), zThreshold = 2.5)),
     // the SAME funnel through the streaming twin: CEP-style keyed state
     // machine (flatMapGroupsWithState) over the time-ordered replay — the
     // final snapshot must equal the batch funnel (same oracle)
@@ -1735,6 +1738,23 @@ object SparkEntry {
         |  CAST(coalesce(max(k), -1) AS BIGINT) AS k_max
         |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
         |GROUP BY event_type""".stripMargin,
+    // per-user anomaly z-scores: DECIMAL-exact moments, then an identical
+    // IEEE double op sequence (mean = s/n; var = ss/n - mean*mean, clamped)
+    // so the quotient bit-matches; the threshold tests the UNROUNDED z
+    "q_events_anomaly" ->
+      """WITH v AS (SELECT event_id, user_id,
+        |             CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+        |m AS (SELECT user_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+        |      FROM v GROUP BY user_id),
+        |st AS (SELECT user_id, CAST(s AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(CAST(ss AS DOUBLE) / n
+        |           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+        |       FROM m)
+        |SELECT v.event_id, v.user_id, CAST(v.v AS DOUBLE) AS value,
+        |  round((CAST(v.v AS DOUBLE) - st.mean) / st.std, 6) AS z
+        |FROM v JOIN st USING (user_id)
+        |WHERE st.std > 0
+        |  AND abs((CAST(v.v AS DOUBLE) - st.mean) / st.std) >= 2.5""".stripMargin,
     // per-label norm accounting: same sequential per-row norm arithmetic as
     // the similarity oracles; the mean sums DECIMAL(18,6)-cast rounded norms
     "q_embed_norms" ->

@@ -18,21 +18,31 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]); read it as a long and rebuild a proper
-    * microsecond timestamp column. Epoch math on the long is exact, so this
-    * is deterministic and engine-portable.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some driver
+    * substrates (Spark's reader rejects that type outright unless read as a
+    * long via `nanosAsLong`) and as TIMESTAMP(MICROS, no tz) in others
+    * (which Spark reads as TIMESTAMP_NTZ). Normalize BOTH to the same
+    * session-UTC instant column so every downstream query is
+    * encoding-agnostic:
+    *   - nanos-as-long → `timestamp_micros(ts div 1000)` (exact epoch math);
+    *   - anything timestamp-shaped → cast to TIMESTAMP (the session zone is
+    *     UTC in every builder this repo owns, so the NTZ reinterpretation is
+    *     the identity DuckDB's `epoch_us` applies).
     *
-    * The `nanosAsLong` conf is also set in every session builder this repo
-    * owns (Verify/Bench/tests); it is additionally set here because the
-    * driver's smoke check calls [[SparkEntry.entry]] with a session we did
-    * not build. The flag only affects TIMESTAMP(NANOS) columns, which exist
-    * nowhere else in the test substrate, so no other read changes behavior.
+    * The `nanosAsLong` conf is set here (not only in the repo's own session
+    * builders) because the driver's smoke check calls [[SparkEntry.entry]]
+    * with a session we did not build; the flag only affects TIMESTAMP(NANOS)
+    * columns, which exist nowhere else in the test substrate.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)"))
+    val raw = load(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -80,6 +80,49 @@ object EventAnalytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Per-user value-anomaly detection: flag events whose `value` deviates
+    * from that user's own mean by more than `zThreshold` population standard
+    * deviations — the metering/abuse-detection primitive (a user suddenly
+    * emitting 100× their usual spend) that a per-corpus global threshold
+    * would miss entirely.
+    *
+    * Exactness discipline: raw doubles summed in shuffle order are
+    * run-dependent, so the moments are accumulated as DECIMAL — `value`
+    * rounds to DECIMAL(18,6) per row, Σv and Σv² sum exactly (v² is
+    * DECIMAL(37,12); no precision loss, overflow far out of range), and only
+    * the final mean/variance division drops to double, an identical IEEE
+    * op sequence in any engine. Variance clamps at 0 before the sqrt —
+    * `E[v²]−mean²` can land a few ulps negative for a constant series.
+    *
+    * Scale shape: one hash aggregate over the event log (map-side combined)
+    * produces per-USER moments — a tiny table at any corpus size — which
+    * broadcast-joins back onto the log; no window sort, no second shuffle of
+    * the raw events.
+    *
+    * Returns (event_id, user_id, value, z) for flagged events only, value
+    * rounded to 6, z rounded to 6 after the threshold test on the unrounded
+    * quotient.
+    */
+  def valueAnomalies(events: DataFrame, zThreshold: Double = 2.5): DataFrame = {
+    val e = events.select(
+      col("event_id"), col("user_id"),
+      round(col("value"), 6).cast("decimal(18,6)").as("v"))
+    val stats = e.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s"),
+      sum(col("v") * col("v")).as("ss"))
+    val mean = col("s").cast("double") / col("n")
+    val std = sqrt(greatest(
+      col("ss").cast("double") / col("n") - mean * mean, lit(0.0)))
+    val withZ = e.join(broadcast(stats), "user_id")
+      .withColumn("zraw", (col("v").cast("double") - mean) / std)
+      .filter(std > 0 && abs(col("zraw")) >= zThreshold)
+    withZ.select(
+      col("event_id"), col("user_id"),
+      col("v").cast("double").as("value"),
+      round(col("zraw"), 6).as("z"))
+  }
+
   /** JSON-property accounting: extract `$.k` from the props JSON per event
     * (the reference's JSONPath heritage applied to the raw stream) and
     * aggregate exactly per event type — long arithmetic only, one hash

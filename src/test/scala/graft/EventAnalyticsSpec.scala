@@ -52,6 +52,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r == Seq((0, 0, 2L), (0, 1, 1L), (0, 2, 1L), (1, 0, 1L)))
   }
 
+  test("valueAnomalies: flags only the per-user outlier, exact z") {
+    // user 1: nine 10s and one 100 -> mean 19, var 729, std 27,
+    // z(100) = 3.0 (>= 2.5, flagged), z(10) = -1/3 (not flagged);
+    // user 2: constant series -> std 0 -> clamp path, never flagged
+    val rows = (1L to 9L).map(i => (i, 1L, 10.0)) :+ (10L, 1L, 100.0)
+    val df = (rows ++ Seq((11L, 2L, 5.0), (12L, 2L, 5.0)))
+      .toDF("event_id", "user_id", "value")
+    val r = EventAnalytics.valueAnomalies(df, zThreshold = 2.5).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("event_id") == 10L)
+    assert(r(0).getAs[Double]("value") == 100.0)
+    assert(r(0).getAs[Double]("z") == 3.0)
+  }
+
+  test("valueAnomalies: threshold is inclusive and two-sided") {
+    // symmetric pair around the mean: both tails flag at |z| = threshold
+    val df = Seq((1L, 1L, 0.0), (2L, 1L, 10.0), (3L, 1L, 5.0), (4L, 1L, 5.0))
+      .toDF("event_id", "user_id", "value")
+    // mean 5, var = (25+25)/4 = 12.5, std ~3.5355; z(0) ~= -1.414
+    val flagged = EventAnalytics.valueAnomalies(df, zThreshold = 1.414)
+      .collect().map(_.getAs[Long]("event_id")).sorted
+    assert(flagged.toSeq == Seq(1L, 2L))
+  }
+
   test("propsAccounting: missing keys counted, excluded from the sums") {
     val df = Seq(
       (1L, 10L, "view", """{"k": 5}"""),
