@@ -103,6 +103,12 @@ object SparkEntry {
   private val dedupLabels =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Global (min,max) per z-order dimension — a 4-scalar driver artifact
+    * from one column-pruned scan, cached per corpus like the IVF centroids.
+    */
+  private val layoutBounds =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Int)]()
+
   private def windowedAgg(s: SparkSession, dir: String): DataFrame = {
     val w = StockAggregation.aggregateWindowed(txnsTs(s, dir), "1 hour")
     w.select(
@@ -277,6 +283,10 @@ object SparkEntry {
     // distributed stand-in for a corpus suffix array
     "q_dedup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(Tables.documents(s, dir), w = 8)),
+    // storage-style fixed-size chunk dedup: 64-codepoint blocks recurring
+    // across distinct docs — the content-addressed-store redundancy audit
+    "q_dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkDedup(Tables.documents(s, dir), chunkChars = 64)),
     // per-doc duplicated-span coverage: the curation signal — what fraction
     // of each document is verbatim-repeated elsewhere in the corpus
     "q_dedup_span_coverage" -> ((s, dir) =>
@@ -609,6 +619,20 @@ object SparkEntry {
     "q_shuffle_epoch" -> ((s, dir) =>
       Sampling.epochShuffle(
         Tables.documents(s, dir).select("doc_id"), "doc_id", epoch = 1)),
+    // Z-order layout: Morton-key orders on (custkey, order day), emit the
+    // per-file zone maps a file-skipping reader prunes with — every file
+    // bounded in BOTH dimensions (the write path is repartitionByRange on
+    // the key; the 4-scalar bounds are a cached driver artifact)
+    "q_layout_zorder" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val x = col("o_custkey")
+      val y = expr(
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS INT)")
+      val (xMin, xMax, yMin, yMax) = layoutBounds.computeIfAbsent(dir,
+        _ => Layout.boundsOf(orders, x, y))
+      Layout.zorderZoneMap(orders, x, y, xMin, xMax, yMin, yMax,
+        bits = 10, files = 64)
+    }),
     // incremental (cross-snapshot) near-dedup: odd-id batch scored against
     // the even-id corpus — candidates cross-side only, exact Jaccard re-check
     "q_dedup_incremental" -> ((s, dir) => {
@@ -665,6 +689,14 @@ object SparkEntry {
     // per-user z-score anomalies: decimal-exact moments, broadcast join back
     "q_events_anomaly" -> ((s, dir) =>
       EventAnalytics.valueAnomalies(Tables.events(s, dir), zThreshold = 2.5)),
+    // per-(user, day) rate limit: first 5 events in arrival order, via the
+    // bounded top-k rows aggregate (no partition-wide window sorts)
+    "q_events_rate_limit" -> ((s, dir) =>
+      EventAnalytics.rateLimit(Tables.events(s, dir), perDay = 5)),
+    // the ONLINE form: keyed-state admission counter over the time-ordered
+    // replay — union of per-batch emissions equals the batch rate limit
+    "q_streaming_rate_limit" -> ((s, dir) =>
+      StreamingState.rateLimitEmissions(s, dir, perDay = 5)),
     // the SAME funnel through the streaming twin: CEP-style keyed state
     // machine (flatMapGroupsWithState) over the time-ordered replay — the
     // final snapshot must equal the batch funnel (same oracle)
@@ -854,6 +886,21 @@ object SparkEntry {
        |                   len(list_intersect(d.grams, p.tgs)) AS matched
        |            FROM $gramsRel d CROSS JOIN prof p))
        |WHERE rn = 1 AND matched > 0""".stripMargin
+
+  /** Rate-limit oracle (shared by the batch bounded-aggregate form and the
+    * streaming admission-counter form): the plain SQL window ranking both
+    * must equal exactly.
+    */
+  private val rateLimitOracle: String =
+    """SELECT event_id, user_id, CAST(day AS INT) AS day, us,
+      |  CAST(rn AS INT) AS rank
+      |FROM (SELECT event_id, user_id,
+      |        epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS us,
+      |        row_number() OVER (
+      |          PARTITION BY user_id, epoch_us(ts) // 86400000000
+      |          ORDER BY epoch_us(ts), event_id) AS rn
+      |      FROM events)
+      |WHERE rn <= 5""".stripMargin
 
   /** Incremental near-dedup oracle (shared by the batch and streaming
     * forms): brute-force cross-side Jaccard, best match = max jaccard with
@@ -1104,6 +1151,20 @@ object SparkEntry {
          |SELECT whash AS span_hash, COUNT(DISTINCT doc_id) AS n_docs,
          |       COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
          |FROM w GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    // fixed-size chunk dedup: codepoint slicing agrees across engines, so
+    // the md5 inputs (each chunk's UTF-8 bytes) match exactly
+    "q_dedup_chunks" ->
+      """WITH c AS (SELECT doc_id,
+        |    md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS chunk_md5
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range((length(text) + 63) // 64)) AS i
+        |        FROM documents))
+        |SELECT chunk_md5,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS example_doc_id
+        |FROM c GROUP BY chunk_md5
+        |HAVING count(DISTINCT doc_id) > 1""".stripMargin,
     "q_dedup_span_coverage" ->
       s"""WITH w AS ($spanWinCte),
          |d AS (SELECT whash FROM w GROUP BY whash
@@ -1687,6 +1748,26 @@ object SparkEntry {
         |    PARTITION BY substring(md5('e1-shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
         |    ORDER BY md5('e1-pos:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
         |FROM documents""".stripMargin,
+    // z-order zone maps: identical integer bucket/interleave/shift pipeline
+    // in SQL (floor division on non-negative ints; the Morton key is the
+    // same unrolled shift/mask sum the engine generates)
+    "q_layout_zorder" ->
+      s"""WITH d AS (SELECT o_custkey AS xv,
+         |    epoch_us(o_orderdate) // 86400000000 AS yv FROM orders),
+         |b AS (SELECT min(xv) AS xmn, max(xv) AS xmx,
+         |             min(yv) AS ymn, max(yv) AS ymx FROM d),
+         |p AS (SELECT CAST(d.xv AS INT) AS xv, CAST(d.yv AS INT) AS yv,
+         |        CAST(((d.xv - b.xmn) * 1024) // (b.xmx - b.xmn + 1) AS INT) AS bx,
+         |        CAST(((d.yv - b.ymn) * 1024) // (b.ymx - b.ymn + 1) AS INT) AS by
+         |      FROM d, b),
+         |z AS (SELECT xv, yv,
+         |        CAST((${Layout.mortonKeySql("bx", "by", 10)}) >> 14 AS INT)
+         |          AS file_id
+         |      FROM p)
+         |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(xv) AS x_min, max(xv) AS x_max,
+         |  min(yv) AS y_min, max(yv) AS y_max
+         |FROM z GROUP BY file_id""".stripMargin,
     // incremental near-dedup: brute-force cross-side Jaccard at oracle scale
     // (the engine's LSH candidates are cross-side only); best match = max
     // jaccard, ties to the lowest existing id; sentinels for new docs
@@ -1755,6 +1836,10 @@ object SparkEntry {
         |FROM v JOIN st USING (user_id)
         |WHERE st.std > 0
         |  AND abs((CAST(v.v AS DOUBLE) - st.mean) / st.std) >= 2.5""".stripMargin,
+    // rate limit: the engine's bounded aggregate must equal the SQL window
+    "q_events_rate_limit" -> rateLimitOracle,
+    // the streaming admission counter unions to the identical admitted set
+    "q_streaming_rate_limit" -> rateLimitOracle,
     // per-label norm accounting: same sequential per-row norm arithmetic as
     // the similarity oracles; the mean sums DECIMAL(18,6)-cast rounded norms
     "q_embed_norms" ->

@@ -730,4 +730,46 @@ object Dedup {
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
   }
+
+  /** Storage-style fixed-size chunk dedup: slice every document into
+    * `chunkChars`-codepoint chunks (the last one ragged), md5 each chunk,
+    * and report the chunks that recur across DISTINCT documents — the
+    * "which 64-char blocks does the corpus store more than once"
+    * accounting a content-addressed store or a copy-provenance audit runs,
+    * complementary to [[duplicateSpans]] (word windows catch rephrased
+    * overlap; fixed chunks catch byte-for-byte storage redundancy and give
+    * the dedup RATIO a chunked store would achieve).
+    *
+    * Chunk boundaries are CODEPOINT offsets, not byte offsets — both
+    * engines slice strings by codepoint, so the md5 inputs (the chunk's
+    * UTF-8 bytes) agree exactly.
+    *
+    * Scale shape: explode is map-side (rows × len/chunkChars, each row a
+    * 32-hex string + id), the aggregate hash-shuffles once on chunk_md5;
+    * the distinct-doc count is the standard two-phase distinct aggregate.
+    * No joins, no windows — at 100 TB this is the same shape as exact
+    * dedup, just on a finer grain.
+    *
+    * Returns (chunk_md5, n_occurrences, n_docs, example_doc_id) for chunks
+    * seen in more than one distinct document.
+    */
+  def chunkDedup(docs: DataFrame, chunkChars: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val c = chunkChars
+    docs
+      .select(col(idCol).as("doc_id"),
+        col(textCol).as("text"),
+        expr(s"CAST((length($textCol) + ${c - 1}) DIV $c AS INT)").as("n_chunks"))
+      .filter(col("n_chunks") > 0) // sequence(0, -1) would step DOWN
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
+      .select(col("doc_id"),
+        md5(expr(s"CAST(substring(text, i * $c + 1, $c) AS BINARY)")).as("chunk_md5"))
+      .groupBy("chunk_md5")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("example_doc_id"))
+      .filter(col("n_docs") > 1)
+  }
 }

@@ -123,6 +123,30 @@ object EventAnalytics {
       round(col("zraw"), 6).as("z"))
   }
 
+  /** Ingest rate limiting / throttle sampling: keep only the first `perDay`
+    * events per (user, epoch day), in exact arrival order — the standard
+    * "cap any single producer's contribution" curation gate (a runaway bot
+    * or bulk importer otherwise dominates a training corpus).
+    *
+    * Exactly `row_number() OVER (PARTITION BY user, day ORDER BY ts,
+    * event_id) <= perDay`, but computed as ONE bounded hash aggregate
+    * ([[Ranking.topKPerKey]]) — O(perDay) state per open group and no
+    * partition-wide sorts, where the window form would sort every
+    * partition twice just to discard everything past rank `perDay`.
+    *
+    * Returns (event_id, user_id, day, us, rank), rank 1-based within the
+    * (user, day) group.
+    */
+  def rateLimit(events: DataFrame, perDay: Int = 5): DataFrame = {
+    val e = events.select(
+      col("event_id"), col("user_id"),
+      expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+        " DIV 86400000000 AS INT)").as("day"),
+      unix_micros(col("ts")).as("us"))
+    Ranking.topKPerKey(e, Seq("user_id", "day"),
+      Seq(col("us"), col("event_id")), perDay)
+  }
+
   /** JSON-property accounting: extract `$.k` from the props JSON per event
     * (the reference's JSONPath heritage applied to the raw stream) and
     * aggregate exactly per event type — long arithmetic only, one hash

@@ -497,6 +497,92 @@ object StreamingState {
         max(col("stage3_us")).as("stage3_us"))
   }
 
+  /** A day-keyed event for the streaming rate limiter. */
+  final case class DayEvent(event_id: Long, user_id: Long, day: Int, us: Long)
+
+  /** One admitted event emitted by the streaming rate limiter. */
+  final case class RateLimitEmit(
+      event_id: Long, user_id: Long, day: Int, us: Long, rank: Int)
+
+  private val rateLimitRuns = new ConcurrentHashMap[String, String]()
+
+  /** Streaming twin of [[graft.operators.EventAnalytics.rateLimit]]: admit
+    * only the first `perDay` events per (user, epoch day) AS THEY ARRIVE —
+    * the online ingest-throttle, where the batch form is the retrospective
+    * one. Keyed state is a single running count per (user, day); an event is
+    * admitted iff the count is still below the cap, and admitted events are
+    * emitted immediately (Append mode) with their admission rank.
+    *
+    * The replay is staged in time-ordered chunks and each group's batch
+    * slice sorts by (us, event_id) before the scan, so admission order is
+    * exactly the batch form's `ORDER BY us, event_id` — the union of
+    * emissions across batches equals the batch result row-for-row (same
+    * DuckDB oracle).
+    *
+    * Scale: O(1) state per open (user, day) group — on a real continuous
+    * ingest, pair with a state TTL one day past the watermark so closed days
+    * evict (the [[streamingDedupBounded]] move); emission volume is capped
+    * at `perDay` rows per group by construction.
+    */
+  def rateLimitEmissions(spark: SparkSession, sfDir: String, perDay: Int = 5): DataFrame = {
+    val out = rateLimitRuns.computeIfAbsent(s"$sfDir|$perDay", _ => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.expressions.Window
+      val root = workDir(sfDir).resolve(s"ratelimit_$perDay")
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val staged = Tables.events(spark, sfDir).select(
+        col("event_id"), col("user_id"),
+        expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " DIV 86400000000 AS INT)").as("day"),
+        unix_micros(col("ts")).as("us"),
+        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+          .cast("int").as("chunk"))
+      stageChunks(staged, root, staging)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val source = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("day", IntegerType), StructField("us", LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .as[DayEvent]
+
+      val emissions = source
+        .groupByKey(e => (e.user_id, e.day))
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: (Long, Int), rows: Iterator[DayEvent], state: GroupState[Int]) =>
+            var n = state.getOption.getOrElse(0)
+            // materialize + sort BEFORE state.update (lazy output iterator)
+            val admitted = rows.toArray.sortBy(e => (e.us, e.event_id))
+              .iterator.takeWhile(_ => n < perDay).map { e =>
+                n += 1
+                RateLimitEmit(e.event_id, e.user_id, e.day, e.us, n)
+              }.toArray
+            state.update(n)
+            admitted.iterator
+        }
+
+      val outDir = root.resolve("out")
+      val query = emissions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("day"), col("us"),
+        col("rank"))
+  }
+
   private val incDedupRuns = new ConcurrentHashMap[String, String]()
 
   /** CONTINUOUS-INGESTION near-dedup — the streaming twin of

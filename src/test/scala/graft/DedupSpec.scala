@@ -270,6 +270,35 @@ class DedupSpec extends AnyFunSuite {
     assert(jacc == 0.045455, jacc) // round(1 / (8 + 15 - 1), 6)
   }
 
+  test("chunk dedup: cross-doc chunks reported, within-doc repeats are not") {
+    val block = "x" * 64 // one full chunk, boundary-aligned
+    val docs = corpus(
+      (1L, block + "tail one"),
+      (2L, block + "tail two"),          // shares chunk 0 with doc 1
+      (3L, "y" * 64 + "y" * 64),         // same chunk TWICE in one doc only
+      (4L, "short"))                     // single ragged chunk, unique
+    val r = Dedup.chunkDedup(docs, chunkChars = 64).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_occurrences") == 2L)
+    assert(r(0).getAs[Long]("n_docs") == 2L)
+    assert(r(0).getAs[Long]("example_doc_id") == 1L)
+  }
+
+  test("chunk dedup: boundaries are codepoints, ragged tails compare equal") {
+    // 2-char chunks over multibyte text: chunks are "é€", "é€", "z"
+    val docs = corpus((1L, "é€é€z"), (2L, "zzé€"))
+    val r = Dedup.chunkDedup(docs, chunkChars = 2).collect()
+    // shared chunks across docs: "é€" (in both) and... doc 2 chunks: "zz","é€"
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_occurrences") == 3L)
+    assert(r(0).getAs[Long]("n_docs") == 2L)
+  }
+
+  test("chunk dedup: empty text emits no rows") {
+    val docs = corpus((1L, ""), (2L, ""))
+    assert(Dedup.chunkDedup(docs, chunkChars = 64).isEmpty)
+  }
+
   test("source overlap: a span in every source yields pairs, not a blow-up") {
     val boiler = "common boilerplate header words repeated across all sources"
     val docs = (0 until 4).flatMap { s =>

@@ -76,6 +76,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(1L, 2L))
   }
 
+  test("rateLimit: caps each (user, day) at k events in arrival order") {
+    val day = 86400000000L
+    // user 1: seven same-day events (ids shuffled vs time), two next-day
+    val rows = Seq(
+      (107L, 1L, 700L), (101L, 1L, 100L), (105L, 1L, 500L), (102L, 1L, 200L),
+      (104L, 1L, 400L), (106L, 1L, 600L), (103L, 1L, 300L),
+      (201L, 1L, day + 10), (202L, 1L, day + 20),
+      (301L, 2L, 50L))
+    val df = rows.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val r = EventAnalytics.rateLimit(df, perDay = 5)
+      .orderBy("user_id", "day", "rank").collect()
+    assert(r.length == 8) // 5 + 2 + 1
+    val day0 = r.filter(x => x.getAs[Long]("user_id") == 1L && x.getAs[Int]("day") == 0)
+    assert(day0.map(_.getAs[Long]("event_id")).toSeq ==
+      Seq(101L, 102L, 103L, 104L, 105L))
+    assert(day0.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("rateLimit: ties on ts break by event_id, deterministically") {
+    val df = Seq((9L, 1L, 100L), (3L, 1L, 100L), (5L, 1L, 100L))
+      .toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val kept = EventAnalytics.rateLimit(df, perDay = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(kept == Seq(3L, 5L))
+  }
+
   test("propsAccounting: missing keys counted, excluded from the sums") {
     val df = Seq(
       (1L, 10L, "view", """{"k": 5}"""),
