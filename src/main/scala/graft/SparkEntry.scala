@@ -697,6 +697,26 @@ object SparkEntry {
     // replay — union of per-batch emissions equals the batch rate limit
     "q_streaming_rate_limit" -> ((s, dir) =>
       StreamingState.rateLimitEmissions(s, dir, perDay = 5)),
+    // hourly active users, exact + HLL audit per tumbling window — the
+    // mergeable-rollup contract checked window-by-window
+    "q_sketch_window_users" -> ((s, dir) =>
+      Sketches.windowUsersAudit(Tables.events(s, dir), "1 hour")),
+    // right-to-be-forgotten sweep: broadcast anti-join erasure of the
+    // tombstoned users' events (tombstones: user_id % 37 = 0)
+    "q_curation_forget" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Curation.forgetUsers(ev, ev.filter(col("user_id") % 37 === 0))
+    }),
+    // cross-table referential-integrity audit: per relation, child rows and
+    // orphan count (one equi-join shuffle each; emits the zero on purpose)
+    "q_quality_referential" -> ((s, dir) =>
+      Quality.referentialAudit(Seq(
+        ("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        ("orders->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        ("customer->nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey")))),
     // the SAME funnel through the streaming twin: CEP-style keyed state
     // machine (flatMapGroupsWithState) over the time-ordered replay — the
     // final snapshot must equal the batch funnel (same oracle)
@@ -1840,6 +1860,38 @@ object SparkEntry {
     "q_events_rate_limit" -> rateLimitOracle,
     // the streaming admission counter unions to the identical admitted set
     "q_streaming_rate_limit" -> rateLimitOracle,
+    // hourly active users: oracle recomputes the exact side per tumbling
+    // window and asserts the within-bound verdict (the sketch audit move)
+    "q_sketch_window_users" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  TRUE AS hll_within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    // erasure sweep: survivors = events whose user is NOT tombstoned
+    "q_curation_forget" ->
+      """SELECT user_id, event_id FROM events
+        |WHERE user_id NOT IN
+        |  (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0)""".stripMargin,
+    // referential audit: LEFT-join orphan counts per declared relation
+    "q_quality_referential" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+        |FROM orders od LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON od.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (n.n_nationkey IS NULL) AS BIGINT)
+        |FROM customer cu LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |  ON cu.c_nationkey = n.n_nationkey""".stripMargin,
     // per-label norm accounting: same sequential per-row norm arithmetic as
     // the similarity oracles; the mean sums DECIMAL(18,6)-cast rounded norms
     "q_embed_norms" ->

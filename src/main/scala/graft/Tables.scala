@@ -49,6 +49,7 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
 
   /** Canonical `events` → transaction-stream mapping:
     *   symbol        = 'U' || lpad(user_id, 6, '0')   (string key; lexicographic

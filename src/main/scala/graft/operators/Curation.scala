@@ -128,4 +128,22 @@ object Curation {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"))
   }
+
+  /** Right-to-be-forgotten sweep: drop every event belonging to a user on
+    * the tombstone list — the erasure pass a training pipeline must run over
+    * its immutable event log before each corpus build (deleting in place is
+    * not how append-only stores work; re-materializing MINUS the tombstones
+    * is).
+    *
+    * Scale shape: the tombstone list is tiny next to the log (users who
+    * filed erasure requests), so this is a broadcast LEFT ANTI join — the
+    * 100 TB side streams through map tasks untouched by any shuffle, each
+    * row probed against the broadcast hash set.
+    *
+    * Returns the surviving (user_id, event_id) rows.
+    */
+  def forgetUsers(events: DataFrame, tombstones: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"))
+      .join(broadcast(tombstones.select(col("user_id")).distinct()),
+        Seq("user_id"), "left_anti")
 }

@@ -96,4 +96,32 @@ object Quality {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("thr"),
         (col("n_tokens") >= col("thr")).as("keep"))
   }
+
+  /** Referential-integrity audit: for each (child, parent) key relation,
+    * one summary row (relation, n_child, n_orphans) — the cross-table
+    * consistency check a multi-table ingest runs before anything joins on
+    * those keys (an orphan rate that is zero today and nonzero tomorrow is
+    * an upstream breakage alarm, which is why the audit emits the zero).
+    *
+    * Shape per relation: LEFT join child keys onto the DISTINCT parent keys
+    * with a hit marker, then one aggregate counts rows and null-marker
+    * orphans — a single equi-join shuffle on the key, no row-level output;
+    * a 1-row-per-side count crossJoin (the naive two-aggregates form) would
+    * plan a nested-loop join instead.
+    */
+  def referentialAudit(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "referentialAudit: no relations")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val p = parent.select(col(parentKey).as("k")).distinct()
+        .withColumn("_hit", lit(1))
+      child.select(col(childKey).as("k"))
+        .join(p, Seq("k"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          coalesce(sum(when(col("_hit").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+    }.reduce(_.union(_))
+  }
 }

@@ -95,6 +95,41 @@ object Sketches {
         (abs(col("hll") - col("n_distinct_terms")).cast("double") <=
           lit(tolRel) * col("n_distinct_terms")).as("hll_within_bound"))
 
+  /** Time-windowed HLL++ audit: distinct active users per tumbling window,
+    * exact AND sketched in one aggregation pass, with the within-bound
+    * verdict as data — the continuously-maintained "hourly active users"
+    * board every event pipeline keeps. At 100 TB the exact side is the
+    * expensive one (a distinct per window); the HLL column is the mergeable
+    * sketch a pre-aggregated rollup would carry instead, and this audit is
+    * the proof it can ([[vocabAudit]]'s contract applied per window).
+    *
+    * The bound needs a small-cardinality FLOOR the corpus-level
+    * [[vocabAudit]] doesn't: a quiet window with 5 distinct users sits in
+    * HLL's linear-counting regime, where an estimate off by one is a 20%
+    * relative error — so the verdict is `err <= max(tolRel*n, absFloor)`
+    * (measured across both test substrates: max abs err 3 at n<=28, max rel
+    * err 10.8% at n~139; floor 6 holds both with headroom. HLL++ is
+    * hash-deterministic, so the verdicts are stable per dataset).
+    *
+    * Returns (window_start_s, n_users, n_events, hll_within_bound).
+    */
+  def windowUsersAudit(
+      events: DataFrame, windowDur: String = "1 hour",
+      rsd: Double = 0.05, tolRel: Double = 0.15, absFloor: Double = 6.0): DataFrame =
+    events
+      .select(window(col("ts"), windowDur).as("w"), col("user_id"))
+      .groupBy(col("w"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("hll"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_s"),
+        col("n_users"), col("n_events"),
+        (abs(col("hll") - col("n_users")).cast("double") <=
+          greatest(lit(tolRel) * col("n_users"), lit(absFloor)))
+          .as("hll_within_bound"))
+
   /** GK audit of [[graft.operators.TextAnalysis.tokenDistribution]]:
     * exact interpolated quantiles plus `gk_within_bound`. The bound is GK's
     * REAL guarantee, which lives in RANK space, not value space: the sketch

@@ -207,4 +207,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     val r = Dedup.incrementalNearDedup(existing, incoming).head()
     assert(r.getAs[Long]("matched_id") == -1L)
   }
+
+  // --------------------------------------------------------- erasure sweep
+
+  test("forgetUsers: every tombstoned user's events vanish, others all survive") {
+    val events = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))
+      .toDF("event_id", "user_id")
+    val tombstones = Seq(10L, 10L, 99L).toDF("user_id") // dupes + unknown ok
+    val r = graft.operators.Curation.forgetUsers(events, tombstones)
+      .orderBy("event_id").collect()
+    assert(r.map(_.getAs[Long]("event_id")).toSeq == Seq(3L, 4L))
+    assert(r.map(_.getAs[Long]("user_id")).toSeq == Seq(20L, 30L))
+  }
 }

@@ -49,6 +49,20 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_tokens") == 4)
   }
 
+  test("referentialAudit: orphan counts per relation, zeros emitted") {
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
+    val parent = Seq((10L, "a"), (11L, "b")).toDF("pk", "v")
+    val r = Quality.referentialAudit(Seq(
+      ("child->parent", child, "fk", parent, "pk"),
+      ("parent->parent", parent, "pk", parent, "pk")))
+      .orderBy("relation").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[String]("relation") == "child->parent")
+    assert(r(0).getAs[Long]("n_child") == 3L)
+    assert(r(0).getAs[Long]("n_orphans") == 1L) // fk=99 has no parent
+    assert(r(1).getAs[Long]("n_orphans") == 0L) // the zero is data too
+  }
+
   test("percentileGate: per-source interpolated quantile, inclusive at the cut") {
     // source A token counts: 1,2,3,4 → p25 = 1 + 0.75·(2−1) = 1.75
     // source B token counts: 10,20   → p25 = 10 + 0.25·(20−10) = 12.5

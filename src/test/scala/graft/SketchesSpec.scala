@@ -59,6 +59,26 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("window users audit: exact distincts per hour, verdicts all true") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two hourly windows: h0 has users {1,2} over 3 events, h1 has {1}
+    val df = Seq(
+      (1L, 0L), (2L, 60L * 1000000L), (1L, 120L * 1000000L),
+      (1L, 3600L * 1000000L))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val r = Sketches.windowUsersAudit(df, "1 hour")
+      .orderBy("window_start_s").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("window_start_s") == 0L)
+    assert(r(0).getAs[Long]("n_users") == 2L)
+    assert(r(0).getAs[Long]("n_events") == 3L)
+    assert(r(1).getAs[Long]("window_start_s") == 3600L)
+    assert(r(1).getAs[Long]("n_users") == 1L)
+    assert(r.forall(_.getAs[Boolean]("hll_within_bound")))
+  }
+
   test("CMS audit: estimates never undercount and verdicts hold on the real corpus") {
     val audit = Sketches.cmsHeavyHitters(docs).collect()
     assert(audit.length == 20)
