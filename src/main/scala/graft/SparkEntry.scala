@@ -701,6 +701,18 @@ object SparkEntry {
     // mergeable-rollup contract checked window-by-window
     "q_sketch_window_users" -> ((s, dir) =>
       Sketches.windowUsersAudit(Tables.events(s, dir), "1 hour")),
+    // per-window trending event types: counts aggregate, then the bounded
+    // top-k heap ranks per window (no partition-wide window sorts)
+    "q_events_trending" -> ((s, dir) =>
+      EventAnalytics.trendingTypes(Tables.events(s, dir), "1 hour", k = 3)),
+    // first-order Markov transition matrix over per-user event timelines
+    "q_events_transitions" -> ((s, dir) =>
+      EventAnalytics.typeTransitions(Tables.events(s, dir))),
+    // chunk-overlap near-dup pairs: equi-join candidates on shared chunk
+    // fingerprints with a posting-list cap — frame-fingerprint dedup's shape
+    "q_dedup_chunk_overlap" -> ((s, dir) =>
+      Dedup.chunkOverlapPairs(Tables.documents(s, dir),
+        chunkChars = 64, minShared = 2, maxPostings = 50)),
     // right-to-be-forgotten sweep: broadcast anti-join erasure of the
     // tombstoned users' events (tombstones: user_id % 37 = 0)
     "q_curation_forget" -> ((s, dir) => {
@@ -1868,6 +1880,45 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  TRUE AS hll_within_bound
         |FROM events GROUP BY 1""".stripMargin,
+    // trending: rank per window by count desc, name asc — the same total
+    // order the bounded heap's (-n_events, event_type) struct encodes
+    "q_events_trending" ->
+      """SELECT window_start_s, event_type, n_events, CAST(rn AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY window_start_s
+        |        ORDER BY n_events DESC, event_type) AS rn
+        |      FROM (SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+        |              event_type, CAST(count(*) AS BIGINT) AS n_events
+        |            FROM events GROUP BY 1, 2))
+        |WHERE rn <= 3""".stripMargin,
+    // transitions: lead over the same (us, event_id) per-user order
+    "q_events_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  round(c.n::DOUBLE / t.n_from, 6) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+    // chunk-overlap pairs: identical chunk CTE, identical posting cap
+    "q_dedup_chunk_overlap" ->
+      """WITH h AS (SELECT DISTINCT doc_id,
+        |    md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS chunk_md5
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range((length(text) + 63) // 64)) AS i
+        |        FROM documents)),
+        |u AS (SELECT chunk_md5 FROM h GROUP BY chunk_md5
+        |      HAVING count(*) > 1 AND count(*) <= 50),
+        |hf AS (SELECT h.doc_id, h.chunk_md5 FROM h JOIN u USING (chunk_md5))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM hf a JOIN hf b
+        |  ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // erasure sweep: survivors = events whose user is NOT tombstoned
     "q_curation_forget" ->
       """SELECT user_id, event_id FROM events

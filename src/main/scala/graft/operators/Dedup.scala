@@ -754,6 +754,19 @@ object Dedup {
     * seen in more than one distinct document.
     */
   def chunkDedup(docs: DataFrame, chunkChars: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    chunkHashes(docs, chunkChars, textCol, idCol)
+      .groupBy("chunk_md5")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("example_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** The (doc_id, chunk_md5) expansion behind [[chunkDedup]] and
+    * [[chunkOverlapPairs]]: one md5 per `chunkChars`-codepoint slice,
+    * map-side only. */
+  def chunkHashes(docs: DataFrame, chunkChars: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val c = chunkChars
     docs
@@ -765,11 +778,37 @@ object Dedup {
         explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
       .select(col("doc_id"),
         md5(expr(s"CAST(substring(text, i * $c + 1, $c) AS BINARY)")).as("chunk_md5"))
-      .groupBy("chunk_md5")
-      .agg(
-        count(lit(1)).as("n_occurrences"),
-        count_distinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("example_doc_id"))
-      .filter(col("n_docs") > 1)
+  }
+
+  /** Asset/document near-dup by SHARED CHUNK COUNT: pairs of documents
+    * sharing at least `minShared` distinct chunk fingerprints — the
+    * chunk-level analogue of frame-fingerprint video dedup (two encodes of
+    * the same footage share most frames; two docs sharing many 64-char
+    * blocks are partial copies even when neither contains the other).
+    *
+    * Candidate discipline (the LSH move, applied to chunks): pairs are
+    * generated ONLY through an equi-join on chunk_md5, and chunks shared by
+    * more than `maxPostings` distinct documents are dropped first — a
+    * boilerplate chunk in d documents would otherwise fan out C(d,2) pairs
+    * (the posting-list cap every prefix-filter join uses; the cap is part
+    * of the operator's contract so the oracle applies it identically).
+    *
+    * Returns (doc_a, doc_b, n_shared), doc_a < doc_b.
+    */
+  def chunkOverlapPairs(docs: DataFrame, chunkChars: Int = 64,
+      minShared: Int = 2, maxPostings: Int = 50): DataFrame = {
+    val h = chunkHashes(docs, chunkChars).distinct()
+    val usable = h.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1 && col("nd") <= maxPostings)
+      .select("chunk_md5")
+    val hf = h.join(usable, "chunk_md5")
+    hf.as("a")
+      .join(hf.as("b"),
+        col("a.chunk_md5") === col("b.chunk_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

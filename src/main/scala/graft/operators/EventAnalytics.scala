@@ -147,6 +147,58 @@ object EventAnalytics {
       Seq(col("us"), col("event_id")), perDay)
   }
 
+  /** Trending event types: per tumbling window, the top `k` event types by
+    * count (ties broken by name for determinism) — the "what moved this
+    * hour" board. Two-stage: one hash aggregate to (window, type) counts
+    * (map-side combined — the only pass over the raw log), then
+    * [[Ranking.topKPerKey]] takes the per-window top k with O(k) state
+    * instead of a window sort. Descending count is encoded as its negation
+    * in the ranking struct (the bounded heap orders ascending).
+    *
+    * Returns (window_start_s, event_type, n_events, rank).
+    */
+  def trendingTypes(events: DataFrame, windowDur: String = "1 hour", k: Int = 3): DataFrame = {
+    val counts = events
+      .select(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start_s"),
+        col("event_type"), col("n_events"))
+    Ranking.topKPerKey(counts, Seq("window_start_s"),
+      Seq(-col("n_events"), col("event_type")), k)
+  }
+
+  /** Behavioral transition matrix: for each consecutive pair of events in a
+    * user's timeline, count the (from_type → to_type) transition and
+    * row-normalize into the first-order Markov matrix — the
+    * next-action-model / anomalous-flow signal.
+    *
+    * Adjacency needs per-user event ORDER, so this is the one event
+    * operator that legitimately uses a window (`lead` over user_id) — the
+    * sort is per-user, after a shuffle on user_id, and each user's slice is
+    * tiny relative to the log. The transition counts then hash-aggregate
+    * map-side; probabilities join the per-from totals back via broadcast
+    * (rows = |type|², a constant).
+    *
+    * Returns (from_type, to_type, n, n_from, p) with p = n/n_from at 6dp.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+  }
+
   /** JSON-property accounting: extract `$.k` from the props JSON per event
     * (the reference's JSONPath heritage applied to the raw stream) and
     * aggregate exactly per event type — long arithmetic only, one hash

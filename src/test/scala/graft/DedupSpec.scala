@@ -294,6 +294,20 @@ class DedupSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("n_docs") == 2L)
   }
 
+  test("chunk overlap pairs: shared-chunk count per pair, boilerplate capped") {
+    val b1 = "p" * 64; val b2 = "q" * 64; val boiler = "r" * 64
+    val docs = corpus(
+      (1L, b1 + b2 + "tail one"),
+      (2L, b1 + b2 + "tail two"),   // shares 2 chunks with doc 1
+      (3L, b1 + "other"),           // shares only 1 chunk -> below minShared
+      (4L, boiler), (5L, boiler), (6L, boiler), (7L, boiler)) // 4 docs > cap
+    val r = Dedup.chunkOverlapPairs(docs, chunkChars = 64,
+      minShared = 2, maxPostings = 3).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("doc_a") == 1L && r(0).getAs[Long]("doc_b") == 2L)
+    assert(r(0).getAs[Long]("n_shared") == 2L)
+  }
+
   test("chunk dedup: empty text emits no rows") {
     val docs = corpus((1L, ""), (2L, ""))
     assert(Dedup.chunkDedup(docs, chunkChars = 64).isEmpty)

@@ -104,6 +104,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(kept == Seq(3L, 5L))
   }
 
+  test("trendingTypes: top-k by count desc, name-asc ties, per window") {
+    // h0: a=3, b=2, c=2, d=1 -> top3 = a, b, c (b before c on the tie)
+    val rows = Seq(
+      ("a", 0L), ("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L), ("d", 7L),
+      ("z", 3600L * 1000000L)) // h1: z alone
+    val df = rows.zipWithIndex.map { case ((t, us), i) => (i.toLong, 1L, t, us) }
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val r = EventAnalytics.trendingTypes(df, "1 hour", k = 3)
+      .orderBy("window_start_s", "rank").collect()
+    assert(r.map(x => (x.getAs[Long]("window_start_s"), x.getAs[String]("event_type"),
+      x.getAs[Long]("n_events"), x.getAs[Int]("rank"))).toSeq ==
+      Seq((0L, "a", 3L, 1), (0L, "b", 2L, 2), (0L, "c", 2L, 3),
+        (3600L, "z", 1L, 1)))
+  }
+
+  test("typeTransitions: counts follow per-user order, rows normalize") {
+    // user 1: a -> b -> a ; user 2: a -> b   => a->b: 2, b->a: 1
+    val rows = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "a", 30L),
+      (4L, 2L, "a", 10L), (5L, 2L, "b", 20L))
+    val df = rows.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val r = EventAnalytics.typeTransitions(df)
+      .orderBy("from_type", "to_type").collect()
+    assert(r.map(x => (x.getAs[String]("from_type"), x.getAs[String]("to_type"),
+      x.getAs[Long]("n"), x.getAs[Long]("n_from"), x.getAs[Double]("p"))).toSeq ==
+      Seq(("a", "b", 2L, 2L, 1.0), ("b", "a", 1L, 1L, 1.0)))
+  }
+
   test("propsAccounting: missing keys counted, excluded from the sums") {
     val df = Seq(
       (1L, 10L, "view", """{"k": 5}"""),
