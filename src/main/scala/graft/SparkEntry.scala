@@ -719,6 +719,26 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       Curation.forgetUsers(ev, ev.filter(col("user_id") % 37 === 0))
     }),
+    // per-source chunk-store savings: 1 - distinct/total chunk slots
+    "q_dedup_ratio" -> ((s, dir) =>
+      Dedup.chunkDedupRatio(Tables.documents(s, dir), chunkChars = 64)),
+    // per-dimension embedding health: decimal-exact moments + range per dim
+    "q_embed_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir))),
+    // rank-normalized quality blend: per-source percentile ranks of three
+    // signals fused into one score (round-before-rank, doc_id-totalized)
+    "q_quality_blend" -> ((s, dir) =>
+      Quality.rankBlend(Tables.documents(s, dir))),
+    // split hygiene: verbatim 4-word spans of TEST docs located inside
+    // TRAIN docs (the deterministic split composed with span decontam —
+    // broadcast side is the small test split)
+    "q_split_leakage" -> ((s, dir) => {
+      val withSplit = Sampling.datasetSplit(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+      Dedup.decontaminatedSpans(
+        withSplit.filter(col("split") === "train"),
+        withSplit.filter(col("split") === "test"), w = 4)
+    }),
     // cross-table referential-integrity audit: per relation, child rows and
     // orphan count (one equi-join shuffle each; emits the zero on purpose)
     "q_quality_referential" -> ((s, dir) =>
@@ -2166,15 +2186,98 @@ object SparkEntry {
         |  cms_est <= exact_cnt + (SELECT n // 64 FROM tot) AS within_bound
         |FROM est""".stripMargin,
     // the engine's cut constants, single-sourced from splitThresholds
-    "q_split_dataset" -> {
-      val cuts = Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
-      s"""SELECT doc_id, source,
-         |  CASE WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
-         |            < '${cuts(0)}' THEN 'train'
-         |       WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
-         |            < '${cuts(1)}' THEN 'validation'
-         |       ELSE 'test' END AS split
-         |FROM documents""".stripMargin
-    }
+    "q_split_dataset" ->
+      s"SELECT doc_id, source, $splitCaseSql AS split FROM documents",
+    // per-source chunk-store savings: same chunk CTE, one rollup
+    "q_dedup_ratio" ->
+      """WITH c AS (SELECT doc_id,
+        |    md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS chunk_md5
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range((length(text) + 63) // 64)) AS i
+        |        FROM documents))
+        |SELECT d.source,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT c.chunk_md5) AS BIGINT) AS n_distinct,
+        |  round(1.0 - count(DISTINCT c.chunk_md5)::DOUBLE / count(*), 6)
+        |    AS saved_ratio
+        |FROM c JOIN documents d USING (doc_id)
+        |GROUP BY d.source""".stripMargin,
+    // per-dimension embedding moments: same decimal accumulation, same
+    // final IEEE double sequence; embedding[d+1] is 1-indexed list access
+    "q_embed_dim_stats" ->
+      """WITH x AS (SELECT CAST(d AS INT) AS dim,
+        |    CAST(round(CAST(embedding[CAST(d + 1 AS BIGINT)] AS DOUBLE), 6)
+        |         AS DECIMAL(18,6)) AS v
+        |  FROM (SELECT embedding, unnest(range(len(embedding))) AS d
+        |        FROM embeddings)),
+        |m AS (SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss,
+        |        min(v) AS mn, max(v) AS mx
+        |      FROM x GROUP BY dim)
+        |SELECT dim, CAST(n AS BIGINT) AS n_vectors,
+        |  round(CAST(s AS DOUBLE) / n, 6) AS mean,
+        |  round(sqrt(greatest(CAST(ss AS DOUBLE) / n
+        |    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)), 6) AS std,
+        |  CAST(mn AS DOUBLE) AS v_min, CAST(mx AS DOUBLE) AS v_max
+        |FROM m""".stripMargin,
+    // rank blend: round-before-rank signals, doc_id-totalized row_number,
+    // pr = (rn-1)/(n-1), blend averaged from the UNROUNDED prs
+    "q_quality_blend" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |          / len(string_split(text, ' ')), 6) AS ttr,
+        |    round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |          / len(string_split(text, ' ')), 6) AS mlen
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) - 1 AS r1,
+        |    row_number() OVER (PARTITION BY source ORDER BY ttr, doc_id) - 1 AS r2,
+        |    row_number() OVER (PARTITION BY source ORDER BY mlen, doc_id) - 1 AS r3,
+        |    greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS d
+        |  FROM s)
+        |SELECT doc_id, source,
+        |  round(r1 / CAST(d AS DOUBLE), 6) AS pr_tokens,
+        |  round(r2 / CAST(d AS DOUBLE), 6) AS pr_ttr,
+        |  round(r3 / CAST(d AS DOUBLE), 6) AS pr_mlen,
+        |  round((r1 / CAST(d AS DOUBLE) + r2 / CAST(d AS DOUBLE)
+        |         + r3 / CAST(d AS DOUBLE)) / 3, 6) AS blend
+        |FROM r""".stripMargin,
+    // split leakage: the split CASE composed with the w=4 span-run oracle —
+    // TEST spans located inside TRAIN docs
+    "q_split_leakage" ->
+      s"""WITH sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents
+         |), wins AS (
+         |  SELECT doc_id,
+         |         unnest([{'pos': i, 'h': md5(array_to_string(t[i:i+3], ' '))}
+         |                 for i in range(1, len(t) - 2)]) AS u
+         |  FROM toks WHERE len(t) >= 4
+         |), w AS (SELECT doc_id, u.pos AS pos, u.h AS whash FROM wins),
+         |bench AS (SELECT DISTINCT whash FROM w JOIN sp USING (doc_id)
+         |          WHERE sp.split = 'test'),
+         |m AS (SELECT c.doc_id, c.pos
+         |      FROM w c JOIN sp USING (doc_id) JOIN bench b USING (whash)
+         |      WHERE sp.split = 'train'),
+         |r AS (SELECT doc_id, pos,
+         |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM m),
+         |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM r GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_matched_windows,
+         |       CAST(MAX(run) + 3 AS BIGINT) AS longest_span_tokens
+         |FROM runs GROUP BY doc_id""".stripMargin
   )
+
+  /** The deterministic split assignment in SQL — shared by the split oracle
+    * and the split-leakage composition. */
+  private lazy val splitCaseSql: String = {
+    val cuts = Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+    s"""CASE WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |          < '${cuts(0)}' THEN 'train'
+       |     WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |          < '${cuts(1)}' THEN 'validation'
+       |     ELSE 'test' END""".stripMargin
+  }
 }

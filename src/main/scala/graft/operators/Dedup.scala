@@ -763,22 +763,44 @@ object Dedup {
         min(col("doc_id")).as("example_doc_id"))
       .filter(col("n_docs") > 1)
 
-  /** The (doc_id, chunk_md5) expansion behind [[chunkDedup]] and
-    * [[chunkOverlapPairs]]: one md5 per `chunkChars`-codepoint slice,
-    * map-side only. */
+  /** The (doc_id, chunk_md5) expansion behind [[chunkDedup]],
+    * [[chunkOverlapPairs]] and [[chunkDedupRatio]]: one md5 per
+    * `chunkChars`-codepoint slice, map-side only. `carryCols` ride along
+    * unchanged (e.g. `source` for per-source rollups). */
   def chunkHashes(docs: DataFrame, chunkChars: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val c = chunkChars
+    val carry = carryCols.map(col)
     docs
-      .select(col(idCol).as("doc_id"),
-        col(textCol).as("text"),
-        expr(s"CAST((length($textCol) + ${c - 1}) DIV $c AS INT)").as("n_chunks"))
+      .select(col(idCol).as("doc_id") +: col(textCol).as("text") +:
+        expr(s"CAST((length($textCol) + ${c - 1}) DIV $c AS INT)").as("n_chunks") +:
+        carry: _*)
       .filter(col("n_chunks") > 0) // sequence(0, -1) would step DOWN
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
-      .select(col("doc_id"),
-        md5(expr(s"CAST(substring(text, i * $c + 1, $c) AS BINARY)")).as("chunk_md5"))
+      .select(col("doc_id") +: col("text") +:
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("i") +: carry: _*)
+      .select(col("doc_id") +:
+        md5(expr(s"CAST(substring(text, i * $c + 1, $c) AS BINARY)")).as("chunk_md5") +:
+        carry: _*)
   }
+
+  /** The headline a content-addressed store quotes: per source, how many
+    * chunk slots it would store vs how many distinct chunks actually exist —
+    * `saved_ratio = 1 - distinct/total` is the fraction of chunk WRITES
+    * dedup eliminates. One hash aggregate over the map-side chunk expansion
+    * (the distinct is the standard two-phase distinct-agg).
+    *
+    * Returns (source, n_chunks, n_distinct, saved_ratio).
+    */
+  def chunkDedupRatio(docs: DataFrame, chunkChars: Int = 64): DataFrame =
+    chunkHashes(docs, chunkChars, carryCols = Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count_distinct(col("chunk_md5")).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 6)
+          .as("saved_ratio"))
 
   /** Asset/document near-dup by SHARED CHUNK COUNT: pairs of documents
     * sharing at least `minShared` distinct chunk fingerprints — the

@@ -97,6 +97,44 @@ object Quality {
         (col("n_tokens") >= col("thr")).as("keep"))
   }
 
+  /** Rank-normalized quality blend: fuse incommensurable per-doc signals
+    * (token count, type-token ratio, mean token length) by each one's
+    * PERCENTILE RANK within the doc's source, then average the ranks — the
+    * standard score-fusion move when raw scales can't be compared (a
+    * 0-10000 length and a 0-1 ratio average to noise; their ranks don't).
+    * Sources are ranked separately so a verbose source doesn't monopolize
+    * the top of the blended order.
+    *
+    * Determinism: signals round to 6dp BEFORE ranking (so both engines
+    * group ties identically), the rank order is totalized by doc_id, and
+    * pr = (row_number - 1)/(n - 1) is an exact small rational. Three
+    * per-source sort windows — this is a scoring pass over doc-level rows
+    * (already aggregated far below corpus size), not the raw log.
+    *
+    * Returns (doc_id, source, pr_tokens, pr_ttr, pr_mlen, blend).
+    */
+  def rankBlend(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(split(col("text"), " ")).cast("long")
+    val sig = docs.select(col("doc_id"), col("source"),
+      toks.as("n_tokens"),
+      round(size(array_distinct(split(col("text"), " "))).cast("double") / toks, 6)
+        .as("ttr"),
+      round((length(col("text")).cast("long") - (toks - 1)).cast("double") / toks, 6)
+        .as("mlen"))
+    val bySrc = Window.partitionBy("source")
+    def pr(c: Column): Column =
+      (row_number().over(bySrc.orderBy(c, col("doc_id"))) - 1).cast("double") /
+        greatest(count(lit(1)).over(bySrc) - 1, lit(1L)).cast("double")
+    val p = sig.select(col("doc_id"), col("source"),
+      pr(col("n_tokens")).as("p1"), pr(col("ttr")).as("p2"), pr(col("mlen")).as("p3"))
+    p.select(col("doc_id"), col("source"),
+      round(col("p1"), 6).as("pr_tokens"),
+      round(col("p2"), 6).as("pr_ttr"),
+      round(col("p3"), 6).as("pr_mlen"),
+      round((col("p1") + col("p2") + col("p3")) / lit(3.0), 6).as("blend"))
+  }
+
   /** Referential-integrity audit: for each (child, parent) key relation,
     * one summary row (relation, n_child, n_orphans) — the cross-table
     * consistency check a multi-table ingest runs before anything joins on

@@ -869,4 +869,41 @@ object Similarity {
         round(col("n_majority").cast("double") / col("n_vecs"), 6))
       .select("cell", "n_vecs", "majority_label", "n_majority", "purity", "avg_dist")
   }
+
+  /** Embedding-space health check: per DIMENSION, the population moments
+    * and range across the whole corpus — dead dimensions (std ≈ 0),
+    * mean-shifted dimensions, and blown-up ranges are the standard symptoms
+    * of a broken encoder export, and they're invisible to any per-vector
+    * audit.
+    *
+    * The same exactness discipline as the anomaly moments: each float
+    * widens to double, rounds to DECIMAL(18,6), Σv and Σv² accumulate
+    * exactly, and only the final mean/variance division drops to double
+    * (identical IEEE sequence in the oracle). `posexplode` is map-side;
+    * one hash aggregate on the dim key (a constant-size result: one row per
+    * dimension).
+    *
+    * Returns (dim, n_vectors, mean, std, v_min, v_max).
+    */
+  def dimStats(embeddings: DataFrame): DataFrame = {
+    val e = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("dim"),
+        round(col("f").cast("double"), 6).cast("decimal(18,6)").as("v"))
+    val m = e.groupBy("dim").agg(
+      count(lit(1)).as("n_vectors"),
+      sum(col("v")).as("s"),
+      sum(col("v") * col("v")).as("ss"),
+      min(col("v")).as("mn"),
+      max(col("v")).as("mx"))
+    val mean = col("s").cast("double") / col("n_vectors")
+    m.select(
+      col("dim"), col("n_vectors"),
+      round(mean, 6).as("mean"),
+      round(sqrt(greatest(
+        col("ss").cast("double") / col("n_vectors") - mean * mean,
+        lit(0.0))), 6).as("std"),
+      col("mn").cast("double").as("v_min"),
+      col("mx").cast("double").as("v_max"))
+  }
 }

@@ -308,6 +308,22 @@ class DedupSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("n_shared") == 2L)
   }
 
+  test("chunkDedupRatio: per-source distinct vs total chunk accounting") {
+    val b = "m" * 64
+    val docs = Seq(
+      (1L, b + b, "A"),      // 2 chunk slots, 1 distinct
+      (2L, b, "A"),          // +1 slot, same chunk
+      (3L, "unique text", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup.chunkDedupRatio(docs, chunkChars = 64)
+      .orderBy("source").collect()
+    assert(r(0).getAs[Long]("n_chunks") == 3L)
+    assert(r(0).getAs[Long]("n_distinct") == 1L)
+    assert(r(0).getAs[Double]("saved_ratio") ==
+      math.rint((1.0 - 1.0 / 3) * 1e6) / 1e6)
+    assert(r(1).getAs[Double]("saved_ratio") == 0.0)
+  }
+
   test("chunk dedup: empty text emits no rows") {
     val docs = corpus((1L, ""), (2L, ""))
     assert(Dedup.chunkDedup(docs, chunkChars = 64).isEmpty)

@@ -49,6 +49,27 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_tokens") == 4)
   }
 
+  test("rankBlend: per-source percentile ranks, blend is their mean") {
+    // source A: three docs with strictly increasing token counts; ttr and
+    // mlen constant -> pr_ttr/pr_mlen rank purely by doc_id
+    val docs = Seq(
+      (1L, "a b", "A"), (2L, "a b c d", "A"), (3L, "a b c d e f", "A"),
+      (4L, "x", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Quality.rankBlend(docs).orderBy("doc_id").collect()
+    // A: n=3, denom=2 -> pr_tokens = 0, 0.5, 1
+    assert(r(0).getAs[Double]("pr_tokens") == 0.0)
+    assert(r(1).getAs[Double]("pr_tokens") == 0.5)
+    assert(r(2).getAs[Double]("pr_tokens") == 1.0)
+    // ttr = 1.0 and mlen = 1.0 for all of A -> ties resolved by doc_id
+    assert(r(0).getAs[Double]("pr_ttr") == 0.0 && r(2).getAs[Double]("pr_ttr") == 1.0)
+    // blend is the mean of the three prs
+    assert(r(1).getAs[Double]("blend") ==
+      math.rint((0.5 + 0.5 + 0.5) / 3 * 1e6) / 1e6)
+    // singleton source: denom clamps to 1, all prs 0
+    assert(r(3).getAs[Double]("blend") == 0.0)
+  }
+
   test("referentialAudit: orphan counts per relation, zeros emitted") {
     val child = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
     val parent = Seq((10L, "a"), (11L, "b")).toDF("pk", "v")

@@ -395,4 +395,17 @@ class SimilaritySpec extends AnyFunSuite {
     val asgSet = asg.select("cell", "vec_id").as[(Int, Long)].collect().toSet
     assert(sampled.forall(asgSet.contains))
   }
+
+  test("dimStats: exact moments per dimension, dead dim has std 0") {
+    // dim 0: values 1, 3 -> mean 2, var 1, std 1; dim 1: constant 5 -> std 0
+    val df = vecs((0L, Seq(1f, 5f)), (1L, Seq(3f, 5f)))
+    val r = Similarity.dimStats(df).orderBy("dim").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_vectors") == 2L)
+    assert(r(0).getAs[Double]("mean") == 2.0)
+    assert(r(0).getAs[Double]("std") == 1.0)
+    assert(r(0).getAs[Double]("v_min") == 1.0 && r(0).getAs[Double]("v_max") == 3.0)
+    assert(r(1).getAs[Double]("std") == 0.0) // the dead-dimension signal
+    assert(r(1).getAs[Double]("mean") == 5.0)
+  }
 }
