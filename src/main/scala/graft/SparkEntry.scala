@@ -729,6 +729,19 @@ object SparkEntry {
     // signals fused into one score (round-before-rank, doc_id-totalized)
     "q_quality_blend" -> ((s, dir) =>
       Quality.rankBlend(Tables.documents(s, dir))),
+    // top-5 per source by blended quality — the curation shortlist, via the
+    // bounded top-k heap over the blend output
+    "q_quality_topk" -> ((s, dir) =>
+      Ranking.topKPerKey(Quality.rankBlend(Tables.documents(s, dir)),
+        Seq("source"), Seq(-col("blend"), col("doc_id")), 5)),
+    // TPC-H Q1-shaped pricing rollup: predicate-pushed scan + one hash agg
+    "q_olap_pricing" -> ((s, dir) =>
+      Olap.pricingSummary(Tables.lineitem(s, dir), "2000-01-01")),
+    // TPC-H Q3-shaped shipping priority: broadcast customer filter,
+    // pre-filtered lineitem join, TakeOrderedAndProject top-10
+    "q_olap_priority" -> ((s, dir) =>
+      Olap.shippingPriority(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), "BUILDING", "1998-06-01", k = 10)),
     // split hygiene: verbatim 4-word spans of TEST docs located inside
     // TRAIN docs (the deterministic split composed with span decontam —
     // broadcast side is the small test split)
@@ -2221,27 +2234,55 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // rank blend: round-before-rank signals, doc_id-totalized row_number,
     // pr = (rn-1)/(n-1), blend averaged from the UNROUNDED prs
-    "q_quality_blend" ->
-      """WITH s AS (SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
-        |          / len(string_split(text, ' ')), 6) AS ttr,
-        |    round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
-        |          / len(string_split(text, ' ')), 6) AS mlen
-        |  FROM documents),
-        |r AS (SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) - 1 AS r1,
-        |    row_number() OVER (PARTITION BY source ORDER BY ttr, doc_id) - 1 AS r2,
-        |    row_number() OVER (PARTITION BY source ORDER BY mlen, doc_id) - 1 AS r3,
-        |    greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS d
-        |  FROM s)
-        |SELECT doc_id, source,
-        |  round(r1 / CAST(d AS DOUBLE), 6) AS pr_tokens,
-        |  round(r2 / CAST(d AS DOUBLE), 6) AS pr_ttr,
-        |  round(r3 / CAST(d AS DOUBLE), 6) AS pr_mlen,
-        |  round((r1 / CAST(d AS DOUBLE) + r2 / CAST(d AS DOUBLE)
-        |         + r3 / CAST(d AS DOUBLE)) / 3, 6) AS blend
-        |FROM r""".stripMargin,
+    "q_quality_blend" -> qualityBlendSql,
+    // top-5 per source by blend: same CTE + a window rank the engine
+    // computes as a bounded heap
+    "q_quality_topk" ->
+      s"""WITH blend AS ($qualityBlendSql)
+         |SELECT * FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |      PARTITION BY source ORDER BY blend DESC, doc_id) AS INT) AS rank
+         |  FROM blend)
+         |WHERE rank <= 5""".stripMargin,
+    // Q1-shaped pricing rollup: identical per-row double chains, DECIMAL
+    // accumulation, cutoff pushed to the scan
+    "q_olap_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(disc_price) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(charge) AS DOUBLE) AS sum_charge,
+        |  round(CAST(SUM(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(SUM(price) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |        CAST(round(l_quantity, 6) AS DECIMAL(18,6)) AS qty,
+        |        CAST(round(l_extendedprice, 6) AS DECIMAL(18,6)) AS price,
+        |        CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |             AS DECIMAL(18,6)) AS disc_price,
+        |        CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6)
+        |             AS DECIMAL(18,6)) AS charge
+        |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01')
+        |GROUP BY 1, 2""".stripMargin,
+    // Q3-shaped priority: filtered joins, decimal revenue, top-10 total order
+    "q_olap_priority" ->
+      """WITH cust AS (SELECT c_custkey FROM customer
+         |             WHERE c_mktsegment = 'BUILDING'),
+        |ord AS (SELECT o_orderkey, o_custkey,
+        |          epoch_us(o_orderdate) // 1000000 AS o_orderdate_s,
+        |          o_orderpriority
+        |        FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+        |li AS (SELECT l_orderkey,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |              AS DECIMAL(18,6)) AS dp
+        |       FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01')
+        |SELECT o_orderkey, CAST(SUM(dp) AS DOUBLE) AS revenue,
+        |  o_orderdate_s, o_orderpriority
+        |FROM li JOIN ord ON l_orderkey = o_orderkey
+        |        JOIN cust ON ord.o_custkey = cust.c_custkey
+        |GROUP BY o_orderkey, o_orderdate_s, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate_s, o_orderkey
+        |LIMIT 10""".stripMargin,
     // split leakage: the split CASE composed with the w=4 span-run oracle —
     // TEST spans located inside TRAIN docs
     "q_split_leakage" ->
@@ -2269,6 +2310,30 @@ object SparkEntry {
          |       CAST(MAX(run) + 3 AS BIGINT) AS longest_span_tokens
          |FROM runs GROUP BY doc_id""".stripMargin
   )
+
+  /** Rank-blend oracle body — shared by the blend query and its top-k
+    * composition so the signal definitions cannot drift. */
+  private lazy val qualityBlendSql: String =
+    """WITH s AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |          / len(string_split(text, ' ')), 6) AS ttr,
+      |    round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+      |          / len(string_split(text, ' ')), 6) AS mlen
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) - 1 AS r1,
+      |    row_number() OVER (PARTITION BY source ORDER BY ttr, doc_id) - 1 AS r2,
+      |    row_number() OVER (PARTITION BY source ORDER BY mlen, doc_id) - 1 AS r3,
+      |    greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS d
+      |  FROM s)
+      |SELECT doc_id, source,
+      |  round(r1 / CAST(d AS DOUBLE), 6) AS pr_tokens,
+      |  round(r2 / CAST(d AS DOUBLE), 6) AS pr_ttr,
+      |  round(r3 / CAST(d AS DOUBLE), 6) AS pr_mlen,
+      |  round((r1 / CAST(d AS DOUBLE) + r2 / CAST(d AS DOUBLE)
+      |         + r3 / CAST(d AS DOUBLE)) / 3, 6) AS blend
+      |FROM r""".stripMargin
 
   /** The deterministic split assignment in SQL — shared by the split oracle
     * and the split-leakage composition. */

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classic OLAP reporting over the TPC-H-shaped tables — the warehouse
+  * queries (pricing rollup, revenue top-k) a lakehouse serves next to the
+  * reference's interactive key/range lookups. Written with the same
+  * engine-portability discipline as everything else: per-row money
+  * arithmetic happens in double (identical IEEE sequence in any engine),
+  * rounds to 6dp, and accumulates as DECIMAL so shuffle order can't move a
+  * ULP.
+  */
+object Olap {
+
+  /** TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) over
+    * lineitems shipped up to `cutoff` (inclusive, 'YYYY-MM-DD'), the
+    * quantity/price/discounted/charged sums, averages, and row count.
+    *
+    * One predicate-pushed scan + one hash aggregate (map-side combined) —
+    * the canonical "is the engine's scan-agg path healthy" query; the group
+    * count is tiny (|flags|×|statuses|) at any scale.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) =
+      round(c, 6).cast("decimal(18,6)")
+    val dp = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val rows = lineitem
+      .filter(col("l_shipdate").cast("timestamp") <=
+        lit(cutoff).cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice")).as("price"),
+        dec(dp).as("disc_price"),
+        dec(dp * (lit(1.0) + col("l_tax"))).as("charge"))
+    rows
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("qty")).as("sq"), sum(col("price")).as("sp"),
+        sum(col("disc_price")).as("sd"), sum(col("charge")).as("sc"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sp").cast("double").as("sum_base_price"),
+        col("sd").cast("double").as("sum_disc_price"),
+        col("sc").cast("double").as("sum_charge"),
+        round(col("sq").cast("double") / col("count_order"), 6).as("avg_qty"),
+        round(col("sp").cast("double") / col("count_order"), 6).as("avg_price"),
+        col("count_order"))
+  }
+
+  /** TPC-H Q3-shaped shipping priority: the `k` highest-revenue orders from
+    * customers in `segment`, ordered before `cutoff`, with at least one
+    * lineitem shipped after it.
+    *
+    * Shape: the customer filter broadcasts onto orders; lineitem (the big
+    * side) is filtered BEFORE its one shuffle join; revenue is one hash
+    * aggregate keyed by order; and the global top-k is `orderBy + limit`,
+    * which Spark plans as TakeOrderedAndProject — a per-partition bounded
+    * heap merged at the driver, never a full sort. The order is totalized
+    * by (revenue desc, orderdate, orderkey).
+    *
+    * Returns (o_orderkey, revenue, o_orderdate_s, o_orderpriority).
+    */
+  def shippingPriority(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String, cutoff: String, k: Int = 10): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = orders
+      .filter(col("o_orderdate").cast("timestamp") < cut)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+    val li = lineitem
+      .filter(col("l_shipdate").cast("timestamp") > cut)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("dp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate_us"), col("o_orderpriority"))
+      .agg(sum(col("dp")).as("rev"))
+      .select(col("o_orderkey"), col("rev").cast("double").as("revenue"),
+        (col("o_orderdate_us") / 1000000L).cast("long").as("o_orderdate_s"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate_s"), col("o_orderkey"))
+      .limit(k)
+  }
+}
