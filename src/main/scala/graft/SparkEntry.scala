@@ -737,6 +737,13 @@ object SparkEntry {
     // TPC-H Q1-shaped pricing rollup: predicate-pushed scan + one hash agg
     "q_olap_pricing" -> ((s, dir) =>
       Olap.pricingSummary(Tables.lineitem(s, dir), "2000-01-01")),
+    // per-priority daily intake + running backlog: two-phase window-over-agg
+    "q_olap_backlog" -> ((s, dir) =>
+      Olap.orderBacklog(Tables.orders(s, dir))),
+    // fixed-width integer-cent value histogram per event type
+    "q_events_histogram" -> ((s, dir) =>
+      EventAnalytics.valueHistogram(Tables.events(s, dir),
+        bucketWidth = 50.0, nBuckets = 10)),
     // TPC-H Q3-shaped shipping priority: broadcast customer filter,
     // pre-filtered lineitem join, TakeOrderedAndProject top-10
     "q_olap_priority" -> ((s, dir) =>
@@ -2264,6 +2271,27 @@ object SparkEntry {
         |             AS DECIMAL(18,6)) AS charge
         |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01')
         |GROUP BY 1, 2""".stripMargin,
+    // backlog: same two-phase rollup + running window over the aggregate
+    "q_olap_backlog" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    CAST(epoch_us(o_orderdate) // 86400000000 AS INT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, day, n_orders,
+        |  CAST(sum(n_orders) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders
+        |FROM daily""".stripMargin,
+    // histogram: identical cents rounding, integer floor-divide bucketing
+    "q_events_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS INT)
+        |    AS bucket,
+        |  round(CAST(least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS INT)
+        |        * 50.0, 6) AS bucket_lo,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // Q3-shaped priority: filtered joins, decimal revenue, top-10 total order
     "q_olap_priority" ->
       """WITH cust AS (SELECT c_custkey FROM customer

@@ -199,6 +199,31 @@ object EventAnalytics {
         round(col("n").cast("double") / col("n_from"), 6).as("p"))
   }
 
+  /** Fixed-width value histogram per event type: integer-cent bucketing
+    * (`value` → cents → bucket = cents DIV width, capped at the last
+    * bucket) — the distribution profile a metering pipeline keeps per
+    * metric. All arithmetic after the one `round(value*100)` is integer,
+    * so the histogram is bit-identical in any engine; the whole thing is a
+    * map-side projection plus one hash aggregate, no bounds pre-scan.
+    *
+    * Returns (event_type, bucket, bucket_lo, n_events); `bucket_lo` is the
+    * bucket's inclusive lower bound in value units.
+    */
+  def valueHistogram(
+      events: DataFrame, bucketWidth: Double = 50.0, nBuckets: Int = 10): DataFrame = {
+    val widthCents = math.round(bucketWidth * 100)
+    val rawBucket =
+      expr(s"CAST(CAST(round(value * 100) AS BIGINT) DIV $widthCents AS INT)")
+    events
+      .select(col("event_type"),
+        least(rawBucket, lit(nBuckets - 1)).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("bucket"),
+        round(col("bucket") * lit(bucketWidth), 6).as("bucket_lo"),
+        col("n_events"))
+  }
+
   /** JSON-property accounting: extract `$.k` from the props JSON per event
     * (the reference's JSONPath heritage applied to the raw stream) and
     * aggregate exactly per event type — long arithmetic only, one hash

@@ -25,9 +25,12 @@ object Olap {
     def dec(c: org.apache.spark.sql.Column) =
       round(c, 6).cast("decimal(18,6)")
     val dp = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // cast the LITERAL to the column's own type (not the column to the
+    // literal's): a cast wrapped around l_shipdate would block predicate
+    // pushdown, and at 100 TB a post-scan cutoff reads the whole fact table
+    val cut = lit(cutoff).cast(lineitem.schema("l_shipdate").dataType)
     val rows = lineitem
-      .filter(col("l_shipdate").cast("timestamp") <=
-        lit(cutoff).cast("timestamp"))
+      .filter(col("l_shipdate") <= cut)
       .select(col("l_returnflag"), col("l_linestatus"),
         dec(col("l_quantity")).as("qty"),
         dec(col("l_extendedprice")).as("price"),
@@ -49,6 +52,29 @@ object Olap {
         col("count_order"))
   }
 
+  /** Order-intake running totals: per priority, daily order counts and the
+    * cumulative count to date — the backlog board. The running total is the
+    * textbook case for the TWO-PHASE shape: aggregate the fact table down
+    * to (priority × day) first (one map-side-combined hash aggregate over
+    * the only full-size input), THEN window over the aggregate — the
+    * cumulative sort touches |priorities| × |days| rows, a constant next to
+    * the fact table, where a direct row-level window would sort the world.
+    *
+    * Returns (o_orderpriority, day, n_orders, cum_orders).
+    */
+  def orderBacklog(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = expr(
+      "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS INT)")
+    val daily = orders
+      .select(col("o_orderpriority"), day.as("day"))
+      .groupBy("o_orderpriority", "day")
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_orders", sum(col("n_orders")).over(w))
+  }
+
   /** TPC-H Q3-shaped shipping priority: the `k` highest-revenue orders from
     * customers in `segment`, ordered before `cutoff`, with at least one
     * lineitem shipped after it.
@@ -65,17 +91,18 @@ object Olap {
   def shippingPriority(
       customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
       segment: String, cutoff: String, k: Int = 10): DataFrame = {
-    val cut = lit(cutoff).cast("timestamp")
+    val ordCut = lit(cutoff).cast(orders.schema("o_orderdate").dataType)
+    val liCut = lit(cutoff).cast(lineitem.schema("l_shipdate").dataType)
     val cust = customer.filter(col("c_mktsegment") === segment)
       .select(col("c_custkey"))
     val ord = orders
-      .filter(col("o_orderdate").cast("timestamp") < cut)
+      .filter(col("o_orderdate") < ordCut)
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
         col("o_orderpriority"))
     val li = lineitem
-      .filter(col("l_shipdate").cast("timestamp") > cut)
+      .filter(col("l_shipdate") > liCut)
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .cast("decimal(18,6)").as("dp"))

@@ -137,6 +137,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Seq(("a", "b", 2L, 2L, 1.0), ("b", "a", 1L, 1L, 1.0)))
   }
 
+  test("valueHistogram: integer-cent buckets, top bucket capped") {
+    val df = Seq(
+      (1L, "m", 0.01),   // bucket 0
+      (2L, "m", 49.99),  // bucket 0 (4999 // 5000)
+      (3L, "m", 50.0),   // bucket 1
+      (4L, "m", 9999.0)) // bucket 199 -> capped at 9
+      .toDF("event_id", "event_type", "value")
+    val r = EventAnalytics.valueHistogram(df, bucketWidth = 50.0, nBuckets = 10)
+      .orderBy("bucket").collect()
+    assert(r.map(x => (x.getAs[Int]("bucket"), x.getAs[Double]("bucket_lo"),
+      x.getAs[Long]("n_events"))).toSeq ==
+      Seq((0, 0.0, 2L), (1, 50.0, 1L), (9, 450.0, 1L)))
+  }
+
   test("propsAccounting: missing keys counted, excluded from the sums") {
     val df = Seq(
       (1L, 10L, "view", """{"k": 5}"""),

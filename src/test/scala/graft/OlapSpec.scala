@@ -31,6 +31,19 @@ class OlapSpec extends AnyFunSuite {
     assert(r.getAs[Double]("avg_price") == 150.0)
   }
 
+  test("orderBacklog: daily counts and per-priority running totals") {
+    val day = 86400000000L
+    val ord = Seq(
+      (1L, "1-URGENT", 0L), (2L, "1-URGENT", 0L), (3L, "1-URGENT", 2 * day),
+      (4L, "2-HIGH", day))
+      .toDF("o_orderkey", "o_orderpriority", "us")
+      .withColumn("o_orderdate", timestamp_micros(col("us")))
+    val r = Olap.orderBacklog(ord).orderBy("o_orderpriority", "day").collect()
+    assert(r.map(x => (x.getAs[String]("o_orderpriority"), x.getAs[Int]("day"),
+      x.getAs[Long]("n_orders"), x.getAs[Long]("cum_orders"))).toSeq ==
+      Seq(("1-URGENT", 0, 2L, 2L), ("1-URGENT", 2, 1L, 3L), ("2-HIGH", 1, 1L, 1L)))
+  }
+
   test("shippingPriority: segment + date filters, revenue order, top-k cap") {
     val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (3L, "BUILDING"))
       .toDF("c_custkey", "c_mktsegment")

@@ -58,12 +58,31 @@ class PlanAuditSpec extends AnyFunSuite {
   test("limited top-k queries plan TakeOrdered, never a global sort") {
     // a k-row answer must cost per-partition k + coordinator k; a full
     // Sort+Exchange before the limit is the scale regression this guards
-    val topK = Seq("q_text_retrieval")
+    val topK = Seq("q_text_retrieval", "q_olap_priority")
     topK.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"),
         s"$name should plan TakeOrderedAndProject:\n$plan")
     }
+  }
+
+  test("erasure sweep plans a broadcast anti-join, not a shuffled one") {
+    // the tombstone list must broadcast so the event log never shuffles
+    val plan = SparkEntry.queries("q_curation_forget")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"q_curation_forget should broadcast-anti-join the tombstones:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_curation_forget shuffled the big side:\n$plan")
+  }
+
+  test("pricing rollup pushes the shipdate cutoff into the parquet scan") {
+    // the cutoff must reach PushedFilters — a post-scan filter reads the
+    // whole fact table at 100 TB
+    val qe = SparkEntry.queries("q_olap_pricing")(spark, sfDir).queryExecution
+    val scan = qe.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"),
+      s"q_olap_pricing scan lost the shipdate pushdown:\n$scan")
   }
 
   test("every query with an oracle entry is registered, and vice versa where required") {
