@@ -740,6 +740,12 @@ object SparkEntry {
     // per-priority daily intake + running backlog: two-phase window-over-agg
     "q_olap_backlog" -> ((s, dir) =>
       Olap.orderBacklog(Tables.orders(s, dir))),
+    // three-level revenue rollup in one Expand+aggregate pass
+    "q_olap_rollup" -> ((s, dir) =>
+      Olap.revenueRollup(Tables.lineitem(s, dir))),
+    // weekly-rhythm heatmap: (dow, hour) counts, integer epoch math
+    "q_events_heatmap" -> ((s, dir) =>
+      EventAnalytics.activityHeatmap(Tables.events(s, dir))),
     // fixed-width integer-cent value histogram per event type
     "q_events_histogram" -> ((s, dir) =>
       EventAnalytics.valueHistogram(Tables.events(s, dir),
@@ -2283,6 +2289,23 @@ object SparkEntry {
         |    PARTITION BY o_orderpriority ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders
         |FROM daily""".stripMargin,
+    // rollup: GROUP BY ROLLUP with the same 'ALL' sentinel coalescing
+    "q_olap_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(SUM(dp) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |        CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |             AS DECIMAL(18,6)) AS dp
+        |      FROM lineitem)
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // heatmap: same +3 Monday-zero rotation, same integer hour math
+    "q_events_heatmap" ->
+      """SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
+        |  CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // histogram: identical cents rounding, integer floor-divide bucketing
     "q_events_histogram" ->
       """SELECT event_type,

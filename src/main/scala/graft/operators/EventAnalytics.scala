@@ -224,6 +224,22 @@ object EventAnalytics {
         col("n_events"))
   }
 
+  /** Activity heatmap: event counts per (day-of-week, hour-of-day) — the
+    * weekly-rhythm matrix behind every ops dashboard. Pure integer epoch
+    * math (1970-01-01 was a Thursday = day 3 of a Monday-zero week, hence
+    * the +3 rotation), map-side projection + one hash aggregate into at
+    * most 7×24 rows.
+    *
+    * Returns (dow, hour, n_events), dow 0 = Monday.
+    */
+  def activityHeatmap(events: DataFrame): DataFrame =
+    events
+      .select(
+        expr("CAST(pmod(unix_micros(ts) DIV 86400000000 + 3, 7) AS INT)").as("dow"),
+        expr("CAST(pmod(unix_micros(ts) DIV 3600000000, 24) AS INT)").as("hour"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"))
+
   /** JSON-property accounting: extract `$.k` from the props JSON per event
     * (the reference's JSONPath heritage applied to the raw stream) and
     * aggregate exactly per event type — long arithmetic only, one hash

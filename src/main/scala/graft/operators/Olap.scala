@@ -52,6 +52,29 @@ object Olap {
         col("count_order"))
   }
 
+  /** Multi-level revenue rollup: discounted revenue at (returnflag,
+    * linestatus), per-flag subtotal, and grand total in ONE pass —
+    * Spark's `rollup` plans a single Expand + hash aggregate, so the
+    * three levels cost one scan instead of three unioned queries. Subtotal
+    * rows surface with the 'ALL' sentinel (not NULL) so the result is
+    * join- and sort-friendly downstream.
+    *
+    * Returns (l_returnflag, l_linestatus, revenue, n_items) — revenue is
+    * the DECIMAL-accumulated discounted price, cast back to double.
+    */
+  def revenueRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("dp"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("dp")).as("rev"), count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("rev").cast("double").as("revenue"),
+        col("n_items"))
+
   /** Order-intake running totals: per priority, daily order counts and the
     * cumulative count to date — the backlog board. The running total is the
     * textbook case for the TWO-PHASE shape: aggregate the fact table down

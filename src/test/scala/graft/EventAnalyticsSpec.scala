@@ -137,6 +137,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Seq(("a", "b", 2L, 2L, 1.0), ("b", "a", 1L, 1L, 1.0)))
   }
 
+  test("activityHeatmap: Monday-zero day-of-week, UTC hour") {
+    // 1970-01-01 (epoch 0) was a Thursday -> dow 3; epoch 4 days = Monday
+    val df = Seq(
+      0L,                       // Thu 00:00 -> (3, 0)
+      4L * 86400000000L + 3600000000L * 5) // Mon 05:00 -> (0, 5)
+      .toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    val r = EventAnalytics.activityHeatmap(df).orderBy("dow", "hour").collect()
+    assert(r.map(x => (x.getAs[Int]("dow"), x.getAs[Int]("hour"),
+      x.getAs[Long]("n_events"))).toSeq == Seq((0, 5, 1L), (3, 0, 1L)))
+  }
+
   test("valueHistogram: integer-cent buckets, top bucket capped") {
     val df = Seq(
       (1L, "m", 0.01),   // bucket 0

@@ -31,6 +31,20 @@ class OlapSpec extends AnyFunSuite {
     assert(r.getAs[Double]("avg_price") == 150.0)
   }
 
+  test("revenueRollup: three levels in one pass, ALL sentinels") {
+    val li = Seq(
+      ("A", "F", 100.0, 0.0), ("A", "O", 200.0, 0.5), ("R", "F", 50.0, 0.0))
+      .toDF("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
+    val r = Olap.revenueRollup(li)
+      .orderBy("l_returnflag", "l_linestatus").collect()
+      .map(x => (x.getAs[String]("l_returnflag"), x.getAs[String]("l_linestatus"),
+        x.getAs[Double]("revenue"), x.getAs[Long]("n_items"))).toSeq
+    assert(r == Seq(
+      ("A", "ALL", 200.0, 2L), ("A", "F", 100.0, 1L), ("A", "O", 100.0, 1L),
+      ("ALL", "ALL", 250.0, 3L),
+      ("R", "ALL", 50.0, 1L), ("R", "F", 50.0, 1L)))
+  }
+
   test("orderBacklog: daily counts and per-priority running totals") {
     val day = 86400000000L
     val ord = Seq(
