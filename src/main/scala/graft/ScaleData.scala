@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   *   - `embeddings`: vec_id shifts, vectors copy verbatim — every vector
   *     gains 9 exact duplicates (cosine 1.0), the densest possible ε-graph,
   *     an adversarial stress for the pair listing.
+  *   - `orders`/`lineitem`: orderkey shifts per replica (custkey stays, so
+  *     the customer dimension keeps its size and the orders-per-customer
+  *     fan-out grows — the realistic fact/dimension asymmetry); lineitem
+  *     rides the same orderkey shift so referential integrity holds by
+  *     construction at every factor.
+  *   - `customer`/`nation`/`region`/`supplier`/`part`: copied verbatim —
+  *     dimensions don't scale with the fact tables.
   *
   * Usage: ScaleData <srcSfDir> <destDir> <factor>
   */
@@ -74,6 +81,22 @@ object ScaleData {
       d.select((col("vec_id") + lit(i) * vecN).as("vec_id"),
         col("embedding"), col("label"))
     }.write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val ordN = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    replicate(ord) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i) * ordN)
+    }.write.mode("overwrite").parquet(s"$dest/orders.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    replicate(li) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i) * ordN)
+    }.write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+
+    Seq("customer", "nation", "region", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    }
 
     println(s"staged ${factor}x of $src at $dest")
     spark.stop()
