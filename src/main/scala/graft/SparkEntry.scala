@@ -746,6 +746,10 @@ object SparkEntry {
     // weekly-rhythm heatmap: (dow, hour) counts, integer epoch math
     "q_events_heatmap" -> ((s, dir) =>
       EventAnalytics.activityHeatmap(Tables.events(s, dir))),
+    // value↔hour Pearson correlation per type: integer-exact moments,
+    // DECIMAL(38,0) cross terms, one identical final double quotient
+    "q_events_correlation" -> ((s, dir) =>
+      EventAnalytics.valueHourCorrelation(Tables.events(s, dir))),
     // fixed-width integer-cent value histogram per event type
     "q_events_histogram" -> ((s, dir) =>
       EventAnalytics.valueHistogram(Tables.events(s, dir),
@@ -2306,6 +2310,29 @@ object SparkEntry {
         |  CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // correlation: integer moment sums, decimal cross terms, same quotient
+    "q_events_correlation" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS y
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |        SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n AS n_events,
+        |  round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS r
+        |FROM (SELECT event_type, n,
+        |        CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+        |             - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+        |             AS DOUBLE) AS num,
+        |        sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+        |             - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+        |             AS DOUBLE))
+        |        * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
+        |             - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+        |             AS DOUBLE)) AS den
+        |      FROM m)""".stripMargin,
     // histogram: identical cents rounding, integer floor-divide bucketing
     "q_events_histogram" ->
       """SELECT event_type,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the raw `events` table (user_id, ts,
@@ -239,6 +239,42 @@ object EventAnalytics {
         expr("CAST(pmod(unix_micros(ts) DIV 3600000000, 24) AS INT)").as("hour"))
       .groupBy("dow", "hour")
       .agg(count(lit(1)).as("n_events"))
+
+  /** Seasonality correlation: per event type, the Pearson correlation
+    * between the event's value and its hour-of-day — "does this metric
+    * follow the daily cycle". Every accumulated term is INTEGER (value →
+    * cents, hour ∈ 0..23, so Σx, Σy, Σxy, Σx², Σy² are exact longs far past
+    * this corpus's size), the n·Σ−Σ·Σ cross terms widen to DECIMAL(38,0)
+    * (n·Σx² alone would overflow int64 around 10⁷ rows per group), and only
+    * the final Pearson quotient drops to double — one identical IEEE
+    * expression in any engine, with the zero-variance guard emitting 0
+    * rather than NaN.
+    *
+    * One map-side projection + one hash aggregate into |event_type| rows.
+    *
+    * Returns (event_type, n_events, r) with r rounded to 6dp.
+    */
+  def valueHourCorrelation(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("x"),
+      expr("CAST(pmod(unix_micros(ts) DIV 3600000000, 24) AS BIGINT)").as("y"))
+    val m = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val num = (d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+      .cast("double")
+    val den =
+      sqrt((d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+        .cast("double")) *
+      sqrt((d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy")))
+        .cast("double"))
+    m.select(col("event_type"), col("n").as("n_events"),
+      round(when(den > 0, num / den).otherwise(lit(0.0)), 6).as("r"))
+  }
 
   /** JSON-property accounting: extract `$.k` from the props JSON per event
     * (the reference's JSONPath heritage applied to the raw stream) and

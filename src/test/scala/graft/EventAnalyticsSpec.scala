@@ -148,6 +148,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
       x.getAs[Long]("n_events"))).toSeq == Seq((0, 5, 1L), (3, 0, 1L)))
   }
 
+  test("valueHourCorrelation: perfect linear r=1, zero-variance guard r=0") {
+    val hr = 3600000000L
+    val df = Seq(
+      // type "lin": value = 100 * hour -> r = 1 exactly
+      ("lin", 0.0, 0L), ("lin", 100.0, hr), ("lin", 200.0, 2 * hr),
+      // type "flat": constant value -> zero variance -> r = 0, not NaN
+      ("flat", 5.0, 0L), ("flat", 5.0, hr))
+      .toDF("event_type", "value", "us")
+      .select(col("event_type"), col("value"), timestamp_micros(col("us")).as("ts"))
+    val r = EventAnalytics.valueHourCorrelation(df).orderBy("event_type").collect()
+    assert(r(0).getAs[String]("event_type") == "flat")
+    assert(r(0).getAs[Double]("r") == 0.0)
+    assert(r(1).getAs[Double]("r") == 1.0)
+    assert(r(1).getAs[Long]("n_events") == 3L)
+  }
+
   test("valueHistogram: integer-cent buckets, top bucket capped") {
     val df = Seq(
       (1L, "m", 0.01),   // bucket 0
