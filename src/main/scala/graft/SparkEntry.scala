@@ -633,6 +633,17 @@ object SparkEntry {
       Layout.zorderZoneMap(orders, x, y, xMin, xMax, yMin, yMax,
         bits = 10, files = 64)
     }),
+    // the contrast layout: custkey-sorted files — tight on custkey, the
+    // day axis unpruned; next to q_layout_zorder the win is data
+    "q_layout_linear" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val x = col("o_custkey")
+      val y = expr(
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS INT)")
+      val (xMin, xMax, _, _) = layoutBounds.computeIfAbsent(dir,
+        _ => Layout.boundsOf(orders, x, y))
+      Layout.linearZoneMap(orders, x, y, xMin, xMax, bits = 10, files = 64)
+    }),
     // incremental (cross-snapshot) near-dedup: odd-id batch scored against
     // the even-id corpus — candidates cross-side only, exact Jaccard re-check
     "q_dedup_incremental" -> ((s, dir) => {
@@ -1850,6 +1861,19 @@ object SparkEntry {
          |  min(xv) AS x_min, max(xv) AS x_max,
          |  min(yv) AS y_min, max(yv) AS y_max
          |FROM z GROUP BY file_id""".stripMargin,
+    // linear layout: same bucket formula, file = bx >> (bits - fileBits)
+    "q_layout_linear" ->
+      """WITH d AS (SELECT o_custkey AS xv,
+        |    epoch_us(o_orderdate) // 86400000000 AS yv FROM orders),
+        |b AS (SELECT min(xv) AS xmn, max(xv) AS xmx FROM d),
+        |p AS (SELECT CAST(d.xv AS INT) AS xv, CAST(d.yv AS INT) AS yv,
+        |        CAST((CAST(((d.xv - b.xmn) * 1024) // (b.xmx - b.xmn + 1) AS INT)
+        |              >> 4) AS INT) AS file_id
+        |      FROM d, b)
+        |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(xv) AS x_min, max(xv) AS x_max,
+        |  min(yv) AS y_min, max(yv) AS y_max
+        |FROM p GROUP BY file_id""".stripMargin,
     // incremental near-dedup: brute-force cross-side Jaccard at oracle scale
     // (the engine's LSH candidates are cross-side only); best match = max
     // jaccard, ties to the lowest existing id; sentinels for new docs

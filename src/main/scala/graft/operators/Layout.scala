@@ -68,6 +68,33 @@ object Layout {
       min(col("yv")).as("y_min"), max(col("yv")).as("y_max"))
   }
 
+  /** The CONTRAST layout: single-dimension (x-ordered) file assignment with
+    * the same zone-map output — what a plain date- or key-sorted write
+    * produces. Each file is tight on x and covers essentially the FULL y
+    * domain, so a y-predicate prunes nothing; emitted next to
+    * [[zorderZoneMap]] the pair quantifies exactly what Morton clustering
+    * buys (both queries are oracle-checked, so the comparison is data, not
+    * prose). */
+  def linearZoneMap(
+      df: DataFrame, x: Column, y: Column,
+      xMin: Int, xMax: Int,
+      bits: Int = 10, files: Int = 64): DataFrame = {
+    require(files > 0 && (files & (files - 1)) == 0, s"files=$files not a power of two")
+    val fileBits = 31 - Integer.numberOfLeadingZeros(files)
+    require(fileBits <= bits, s"files=$files exceeds the 2^$bits bucket space")
+    val nb = 1 << bits
+    val keyed = df
+      .select(x.cast("int").as("xv"), y.cast("int").as("yv"))
+      .withColumn("bx", expr(
+        s"CAST(((CAST(xv AS BIGINT) - $xMin) * $nb)" +
+          s" DIV ${xMax.toLong - xMin + 1} AS INT)"))
+      .withColumn("file_id", shiftright(col("bx"), bits - fileBits))
+    keyed.groupBy("file_id").agg(
+      count(lit(1)).as("n_rows"),
+      min(col("xv")).as("x_min"), max(col("xv")).as("x_max"),
+      min(col("yv")).as("y_min"), max(col("yv")).as("y_max"))
+  }
+
   /** The 4-scalar global-bounds artifact: one column-pruned scan. */
   def boundsOf(df: DataFrame, x: Column, y: Column): (Int, Int, Int, Int) = {
     val r = df.agg(

@@ -33,6 +33,17 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("linear layout: tight on x, the y axis stays fully unpruned") {
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val zm = Layout.linearZoneMap(grid.toDF("x", "y"), col("x"), col("y"),
+      0, 63, bits = 6, files = 16).collect()
+    assert(zm.length == 16)
+    zm.foreach { r =>
+      assert(r.getAs[Int]("x_max") - r.getAs[Int]("x_min") == 3)  // 64/16 - 1
+      assert(r.getAs[Int]("y_max") - r.getAs[Int]("y_min") == 63) // full span
+    }
+  }
+
   test("boundsOf returns the exact global min/max per dimension") {
     val df = Seq((5, -2), (9, 11), (7, 3)).toDF("x", "y")
     assert(Layout.boundsOf(df, col("x"), col("y")) == ((5, 9, -2, 11)))
