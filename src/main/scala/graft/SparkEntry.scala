@@ -407,6 +407,9 @@ object SparkEntry {
     // per-source token-count distribution (corpus-quality profile): exact
     // interpolated quantiles so the whole thing is oracle-checkable
     "q_text_token_dist" -> ((s, dir) => TextAnalysis.tokenDistribution(Tables.documents(s, dir))),
+    // per-source length-decile profile: ntile window + one hash aggregate
+    "q_text_deciles" -> ((s, dir) =>
+      TextAnalysis.lengthDeciles(Tables.documents(s, dir), n = 10)),
     // language-ID: the trained profiles are plain trigram STRINGS, so the
     // whole train+score pipeline has a DuckDB twin (the oracle retrains the
     // profiles in SQL and must pick the same languages). Winnowing
@@ -1409,6 +1412,20 @@ object SparkEntry {
         |  round(quantile_cont(len(string_split(text, ' ')), 0.75), 6) AS p75,
         |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90
         |FROM documents GROUP BY source""".stripMargin,
+    // deciles: SQL-standard ntile remainder rule matches in both engines;
+    // the ordering is totalized by doc_id so bucket membership is exact
+    "q_text_deciles" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ntile(10) OVER (PARTITION BY source
+        |                    ORDER BY len(string_split(text, ' ')), doc_id)
+        |      AS decile
+        |  FROM documents)
+        |SELECT source, CAST(decile AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  round(SUM(n_tokens)::DOUBLE / count(*), 6) AS avg_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
     // Cavnar–Trenkle langid, retrained end-to-end in SQL: distinct character
     // trigrams per doc, top-50 per language (ties by trigram asc), score =
     // |doc grams ∩ profile|, argmax with ties to the greatest language code —

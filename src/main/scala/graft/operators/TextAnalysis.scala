@@ -570,4 +570,29 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct_terms"),
         round(sum(col("contrib")).cast("double"), 6).as("rarity_score"))
   }
+
+  /** Per-source length-decile profile: docs ntile'd into 10 equal-count
+    * buckets by token count (order totalized by doc_id; both engines follow
+    * the SQL-standard remainder rule, first buckets one longer), then
+    * per-(source, decile) accounting — the "how skewed is this source's
+    * length distribution" table a curriculum/packing planner reads. One
+    * per-source sort window over doc-level rows + one hash aggregate.
+    *
+    * Returns (source, decile, n_docs, min_tokens, max_tokens, avg_tokens).
+    */
+  def lengthDeciles(docs: DataFrame, n: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))
+    toks
+      .withColumn("decile", ntile(n).over(w))
+      .groupBy("source", "decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"))
+  }
 }

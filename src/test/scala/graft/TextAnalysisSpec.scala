@@ -178,4 +178,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect()
     assert(last.toSeq == Seq(1L, 2L)) // doc 2 beats doc 3 on the tiebreak
   }
+
+  test("lengthDeciles: SQL-standard remainder rule, exact per-bucket stats") {
+    // 5 docs into 2 buckets: first bucket gets 3 (remainder rule), by
+    // ascending token count with doc_id tiebreak
+    val df = Seq(
+      (1L, "a", "S"), (2L, "a b", "S"), (3L, "a b c", "S"),
+      (4L, "a b c d", "S"), (5L, "a b c d e", "S"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthDeciles(df, n = 2).orderBy("decile").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_docs") == 3L)
+    assert(r(0).getAs[Long]("min_tokens") == 1L)
+    assert(r(0).getAs[Long]("max_tokens") == 3L)
+    assert(r(0).getAs[Double]("avg_tokens") == 2.0)
+    assert(r(1).getAs[Long]("n_docs") == 2L)
+    assert(r(1).getAs[Long]("min_tokens") == 4L)
+  }
 }
