@@ -715,6 +715,15 @@ object SparkEntry {
     // mergeable-rollup contract checked window-by-window
     "q_sketch_window_users" -> ((s, dir) =>
       Sketches.windowUsersAudit(Tables.events(s, dir), "1 hour")),
+    // KMV distinct sketch over per-type event timestamps (a genuinely
+    // high-cardinality set, so the estimator path actually engages): the
+    // md5-based estimate is engine-portable, so the oracle value-matches
+    // the ESTIMATE itself (the CMS move for distinct counting)
+    "q_sketch_kmv" -> ((s, dir) =>
+      Sketches.kmvDistinctAudit(
+        Tables.events(s, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("us")),
+        "event_type", "us", k = 256)),
     // per-window trending event types: counts aggregate, then the bounded
     // top-k heap ranks per window (no partition-wide window sorts)
     "q_events_trending" -> ((s, dir) =>
@@ -2010,6 +2019,31 @@ object SparkEntry {
         |FROM hf a JOIN hf b
         |  ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // KMV: the whole sketch replayed in SQL — k-th smallest md5 of the
+    // distinct per-type timestamp strings, 13-hex fraction, same
+    // (k-1)*2^52/v quotient, same 0.19 bound
+    "q_sketch_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    md5(CAST(epoch_us(ts) AS VARCHAR)) AS h
+         |  FROM events),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct
+         |      FROM h GROUP BY 1),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM h),
+         |kv AS (SELECT event_type,
+         |         ${Sketches.hexPrefixToLongSql("h")} AS v
+         |       FROM r WHERE rn = 256),
+         |e AS (SELECT n.event_type, n.n_distinct,
+         |        CASE WHEN n.n_distinct < 256 THEN CAST(n.n_distinct AS DOUBLE)
+         |             ELSE CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+         |                  / greatest(kv.v, 1)
+         |        END AS raw
+         |      FROM n LEFT JOIN kv USING (event_type))
+         |SELECT event_type, n_distinct, round(raw, 6) AS kmv_est,
+         |  round(abs(raw - n_distinct) / n_distinct, 6) AS rel_err,
+         |  (abs(raw - n_distinct) / n_distinct <= 0.19) AS within_bound
+         |FROM e""".stripMargin,
     // erasure sweep: survivors = events whose user is NOT tombstoned
     "q_curation_forget" ->
       """SELECT user_id, event_id FROM events

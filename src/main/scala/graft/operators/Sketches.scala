@@ -130,6 +130,68 @@ object Sketches {
           greatest(lit(tolRel) * col("n_users"), lit(absFloor)))
           .as("hll_within_bound"))
 
+  /** K-minimum-values distinct sketch, per source — the one distinct-count
+    * sketch whose ESTIMATE is engine-portable: keep the k smallest md5
+    * hashes of the distinct term set; the k-th smallest hash, read as a
+    * fraction of hash space, estimates density, so
+    * `distinct ≈ (k-1) / frac(kth)`. Everything is md5 + integer + one
+    * final double quotient, so the DuckDB oracle VALUE-MATCHES the
+    * estimate itself (the CMS move applied to distinct counting) — where
+    * HLL's register estimate can only cross as a verdict.
+    *
+    * Scale shape: the k-hash state rides the same bounded heap as every
+    * top-k here ([[graft.functions.BoundedTopKRowsAgg]]) — O(k) per group
+    * at every stage, shuffle carries ≤ k hashes per (source, partition) —
+    * and KMV sketches are mergeable by construction (union the sets, keep
+    * the k smallest), the property a pre-aggregated rollup needs.
+    *
+    * The hash fraction uses the first 13 hex chars (16¹³ = 2⁵² — exact in
+    * both long and double); groups with fewer than k distinct terms get
+    * their exact count back by the standard KMV rule.
+    *
+    * Returns (groupCol, n_distinct, kmv_est, rel_err, within_bound) —
+    * bound `tolRel` defaults to 3× the k=256 standard error
+    * (~1/√(k−2) ≈ 6.3%). Values hash via their canonical string form so
+    * the oracle's md5 input matches byte-for-byte.
+    */
+  def kmvDistinctAudit(
+      grouped: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256, tolRel: Double = 0.19): DataFrame = {
+    import graft.functions.BoundedTopKRowsAgg.boundedTopKRows
+    val hashes = grouped
+      .select(col(groupCol).as("grp"),
+        md5(col(valueCol).cast("string").cast("binary")).as("h"))
+      .distinct()
+    val agged = hashes.groupBy("grp").agg(
+      count(lit(1)).as("n_distinct"),
+      boundedTopKRows(struct(col("h")), k).as("mins"))
+    // 13 hex chars = exactly 52 bits; the k-th smallest is the array's last
+    // element once the group holds k hashes
+    val kthVal = greatest(
+      conv(substring(element_at(col("mins"), k).getField("h"), 1, 13), 16, 10)
+        .cast("long"),
+      lit(1L))
+    val est = when(col("n_distinct") < k, col("n_distinct").cast("double"))
+      .otherwise(
+        lit((k - 1).toDouble) * lit(4503599627370496.0) / kthVal.cast("double"))
+    agged
+      .withColumn("kmv_raw", est)
+      .select(col("grp").as(groupCol), col("n_distinct"),
+        round(col("kmv_raw"), 6).as("kmv_est"),
+        round(abs(col("kmv_raw") - col("n_distinct")) / col("n_distinct"), 6)
+          .as("rel_err"),
+        (abs(col("kmv_raw") - col("n_distinct")) / col("n_distinct") <= tolRel)
+          .as("within_bound"))
+  }
+
+  /** The 13-hex-char → BIGINT expansion for the DuckDB oracle — the same
+    * positional sum `conv(substring(h,1,13),16,10)` computes natively. */
+  def hexPrefixToLongSql(h: String): String =
+    (1 to 13).map { i =>
+      val weight = BigInt(16).pow(13 - i)
+      s"(CAST(strpos('0123456789abcdef', substr($h, $i, 1)) - 1 AS BIGINT) * $weight)"
+    }.mkString(" + ")
+
   /** GK audit of [[graft.operators.TextAnalysis.tokenDistribution]]:
     * exact interpolated quantiles plus `gk_within_bound`. The bound is GK's
     * REAL guarantee, which lives in RANK space, not value space: the sketch

@@ -59,6 +59,23 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV: small groups return exact counts, estimates stay in bound") {
+    import spark.implicits._
+    // fewer distinct values than k -> the KMV rule returns the exact count
+    val tiny = Seq(("S", "a"), ("S", "b"), ("S", "c"), ("S", "a"))
+      .toDF("grp", "v")
+    val t = Sketches.kmvDistinctAudit(tiny, "grp", "v", k = 256).head()
+    assert(t.getAs[Double]("kmv_est") == 3.0)
+    assert(t.getAs[Double]("rel_err") == 0.0 && t.getAs[Boolean]("within_bound"))
+    // estimation path: 2000 distinct values, k=64 (stderr ~12.7%, bound 3x)
+    val big = (1 to 2000).map(i => ("G", i)).toDF("grp", "v")
+    val b = Sketches.kmvDistinctAudit(big, "grp", "v", k = 64, tolRel = 0.39).head()
+    assert(b.getAs[Long]("n_distinct") == 2000L)
+    assert(b.getAs[Double]("kmv_est") != 2000.0) // genuinely estimated
+    assert(b.getAs[Boolean]("within_bound"),
+      s"rel_err=${b.getAs[Double]("rel_err")}")
+  }
+
   test("window users audit: exact distincts per hour, verdicts all true") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
