@@ -782,6 +782,31 @@ object SparkEntry {
     "q_olap_priority" -> ((s, dir) =>
       Olap.shippingPriority(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), "BUILDING", "1998-06-01", k = 10)),
+    // TPC-H Q5-shaped star join: every dim chain broadcasts, the only
+    // shuffled join is lineitem ⋈ (date-cut, customer-cut) orders
+    "q_olap_volume" -> ((s, dir) =>
+      Olap.localSupplierVolume(Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.supplier(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        "ASIA", "1996-01-01", "1997-01-01")),
+    // TPC-H Q18-shaped heavy orders: aggregate-then-join — the fact table
+    // reduces to (orderkey, qty) before any join, HAVING cuts it to the
+    // rare heavy tail, only those rows touch orders/customer
+    "q_olap_heavy" -> ((s, dir) =>
+      Olap.largeOrderCustomers(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), minQty = 300.0)),
+    // TPC-H Q10-shaped returned-item report: pushed fact filters, one
+    // shuffled join, dims after the aggregate, TakeOrdered top-20
+    "q_olap_returns" -> ((s, dir) =>
+      Olap.returnedItemReport(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir),
+        "R", "1996-01-01", "1996-04-01", k = 20)),
+    // weighted PageRank over the customer↔supplier purchase graph: 3
+    // power-method steps, decimal-summed contributions, 12-dp rank
+    // rounding each step — the oracle unrolls the same iterations
+    "q_graph_pagerank" -> ((s, dir) =>
+      Graph.pageRank(Graph.purchaseGraph(
+        Tables.orders(s, dir), Tables.lineitem(s, dir)))),
     // split hygiene: verbatim 4-word spans of TEST docs located inside
     // TRAIN docs (the deterministic split composed with span decontam —
     // broadcast side is the small test split)
@@ -828,6 +853,19 @@ object SparkEntry {
     // estimates, AND verdicts are all value-matched by the oracle
     "q_sketch_cms" -> ((s, dir) =>
       Sketches.cmsHeavyHitters(Tables.documents(s, dir))),
+    // KMV set-resemblance audit: pairwise source span-Jaccard estimated
+    // from k-min sketches (sketches meet, span inventories never do);
+    // estimate AND verdict value-matched by the oracle
+    "q_sketch_kmv_jaccard" -> ((s, dir) =>
+      Sketches.kmvSourceJaccard(Tables.documents(s, dir))),
+    // market-basket co-occurrence over (user, day) baskets: map-side pair
+    // explode of each basket's type set, exact counts, portable lift
+    "q_events_cooccurrence" -> ((s, dir) =>
+      EventAnalytics.typeCooccurrence(Tables.events(s, dir))),
+    // per-(user, week) activity bitmap: OR-mergeable int64 day masks,
+    // bit_count distinct-day reads, no distinct aggregate
+    "q_events_bitmap" -> ((s, dir) =>
+      EventAnalytics.weeklyActivityBitmap(Tables.events(s, dir))),
     // deterministic train/validation/test assignment by salted hash cuts —
     // reproducible across runs, partitionings, and engines; map-only
     "q_split_dataset" -> ((s, dir) =>
@@ -2290,6 +2328,75 @@ object SparkEntry {
         |  cms_est >= exact_cnt AS never_under,
         |  cms_est <= exact_cnt + (SELECT n // 64 FROM tot) AS within_bound
         |FROM est""".stripMargin,
+    // KMV Jaccard: same k-min sketches (md5 span hashes sort identically),
+    // same union-sample estimator, same exact twin — every value matches
+    "q_sketch_kmv_jaccard" ->
+      """WITH toks AS (SELECT source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (SELECT source,
+        |  unnest([md5(array_to_string(t[i:i+7], ' '))
+        |          for i in range(1, len(t) - 6)]) AS whash
+        |FROM toks WHERE len(t) >= 8),
+        |hs AS (SELECT DISTINCT source, whash FROM w),
+        |sk AS (SELECT source, list_sort(list(whash))[1:256] AS mins
+        |       FROM hs GROUP BY source),
+        |ps AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1),
+        |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+        |                 a.mins AS ma, b.mins AS mb
+        |          FROM sk a JOIN sk b ON a.source < b.source),
+        |est AS (SELECT source_a, source_b, ma, mb,
+        |          list_sort(list_distinct(list_concat(ma, mb)))[1:256] AS x
+        |        FROM pairs),
+        |kmv AS (SELECT source_a, source_b,
+        |          round(CAST(len(list_filter(x, h ->
+        |              list_contains(ma, h) AND list_contains(mb, h)))
+        |            AS DOUBLE) / len(x), 6) AS kmv_jaccard
+        |        FROM est),
+        |ex AS (SELECT a.source AS source_a, b.source AS source_b,
+        |         round(COUNT(*)::DOUBLE / (pa.n + pb.n - COUNT(*)), 6) AS jx
+        |       FROM hs a JOIN hs b
+        |         ON a.whash = b.whash AND a.source < b.source
+        |       JOIN ps pa ON pa.source = a.source
+        |       JOIN ps pb ON pb.source = b.source
+        |       GROUP BY 1, 2, pa.n, pb.n)
+        |SELECT k.source_a, k.source_b,
+        |  coalesce(jx, 0.0) AS jaccard_exact, kmv_jaccard,
+        |  round(abs(kmv_jaccard - coalesce(jx, 0.0)), 6) AS abs_err,
+        |  abs(kmv_jaccard - coalesce(jx, 0.0)) <= 0.1 AS within_bound
+        |FROM kmv k LEFT JOIN ex
+        |  ON k.source_a = ex.source_a AND k.source_b = ex.source_b""".stripMargin,
+    // co-occurrence: same distinct baskets, self-join pair counts, same
+    // integer counts and lift quotient
+    "q_events_cooccurrence" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day, event_type
+        |  FROM events),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb
+        |        FROM (SELECT DISTINCT user_id, day FROM b)),
+        |pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        |       FROM b GROUP BY 1)
+        |SELECT a.event_type AS t1, c.event_type AS t2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_both,
+        |  pa.n_t AS n_t1, pb.n_t AS n_t2,
+        |  round(COUNT(*)::DOUBLE * (SELECT nb FROM tot)
+        |        / (pa.n_t * pb.n_t), 6) AS lift
+        |FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+        |                 AND a.event_type < c.event_type
+        |JOIN pt pa ON pa.event_type = a.event_type
+        |JOIN pt pb ON pb.event_type = c.event_type
+        |GROUP BY 1, 2, pa.n_t, pb.n_t""".stripMargin,
+    // bitmap: identical integer day/week/dow math, same OR-mask and popcount
+    "q_events_bitmap" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events)
+        |SELECT user_id, CAST(day // 7 AS BIGINT) AS week,
+        |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(day % 7 AS INT)) AS BIGINT)
+        |    AS mask,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(day % 7 AS INT)))
+        |    AS INT) AS n_days_active,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY 1, 2""".stripMargin,
     // the engine's cut constants, single-sourced from splitThresholds
     "q_split_dataset" ->
       s"SELECT doc_id, source, $splitCaseSql AS split FROM documents",
@@ -2436,6 +2543,97 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate_s, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate_s, o_orderkey
         |LIMIT 10""".stripMargin,
+    // Q5-shaped star join: same region→nation→customer/supplier chain,
+    // same-nation equi-condition, decimal revenue
+    "q_olap_volume" ->
+      """WITH nat AS (SELECT n_nationkey, n_name FROM nation
+        |             JOIN region ON n_regionkey = r_regionkey
+        |             WHERE r_name = 'ASIA'),
+        |cust AS (SELECT c_custkey, c_nationkey FROM customer
+        |         JOIN nat ON c_nationkey = n_nationkey),
+        |supp AS (SELECT s_suppkey, s_nationkey, n_name FROM supplier
+        |         JOIN nat ON s_nationkey = n_nationkey),
+        |ord AS (SELECT o_orderkey, c_nationkey FROM orders
+        |        JOIN cust ON o_custkey = c_custkey
+        |        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |          AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |li AS (SELECT l_orderkey, l_suppkey,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |              AS DECIMAL(18,6)) AS dp
+        |       FROM lineitem)
+        |SELECT n_name, CAST(SUM(dp) AS DOUBLE) AS revenue
+        |FROM li JOIN ord ON l_orderkey = o_orderkey
+        |        JOIN supp ON l_suppkey = s_suppkey
+        |                 AND c_nationkey = s_nationkey
+        |GROUP BY n_name""".stripMargin,
+    // Q18-shaped heavy orders: aggregate-then-join with the same decimal
+    // quantity accumulation and HAVING cut
+    "q_olap_heavy" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey,
+        |    SUM(CAST(round(l_quantity, 6) AS DECIMAL(18,6))) AS sq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(round(l_quantity, 6) AS DECIMAL(18,6)))
+        |         > CAST(300.0 AS DECIMAL(18,6)))
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS o_orderdate_s,
+        |  round(o_totalprice, 6) AS o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM orders JOIN heavy ON o_orderkey = l_orderkey
+        |            JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // Q10-shaped returned items: same pushed filters, per-customer decimal
+    // revenue, (revenue desc, custkey) total order, top-20
+    "q_olap_returns" ->
+      """WITH ord AS (SELECT o_orderkey, o_custkey FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |               AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |pc AS (SELECT o_custkey,
+        |         SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |             AS DECIMAL(18,6))) AS rev
+        |       FROM lineitem JOIN ord ON l_orderkey = o_orderkey
+        |       WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
+        |  round(c_acctbal, 6) AS c_acctbal, n_name
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |        JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // PageRank: identical graph build and the SAME integer picorank
+    // recursion (floor divisions, exact int sums) — three unrolled
+    // iterations, zero tolerance; doubles appear only in the final pr_q →
+    // pr reading (one division, portable)
+    "q_graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT 'C' || o_custkey AS cnode, 'S' || l_suppkey AS snode,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT cnode AS src, snode AS dst, w FROM pairs
+        |      UNION ALL SELECT snode, cnode, w FROM pairs),
+        |deg AS (SELECT src, SUM(w) AS wt FROM e GROUP BY 1),
+        |g AS (SELECT e.src, e.dst, e.w, deg.wt
+        |      FROM e JOIN deg ON e.src = deg.src),
+        |nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM e),
+        |pr0 AS (SELECT DISTINCT src AS node,
+        |          1000000000000 // (SELECT n FROM nn) AS prq FROM e),
+        |it1 AS (
+        |  SELECT dst AS node,
+        |    (1000000000000 * 15 // 100) // (SELECT n FROM nn)
+        |      + (SUM((prq * w) // wt) * 85) // 100 AS prq
+        |  FROM g JOIN pr0 ON g.src = pr0.node GROUP BY dst),
+        |it2 AS (
+        |  SELECT dst AS node,
+        |    (1000000000000 * 15 // 100) // (SELECT n FROM nn)
+        |      + (SUM((prq * w) // wt) * 85) // 100 AS prq
+        |  FROM g JOIN it1 ON g.src = it1.node GROUP BY dst),
+        |it3 AS (
+        |  SELECT dst AS node,
+        |    (1000000000000 * 15 // 100) // (SELECT n FROM nn)
+        |      + (SUM((prq * w) // wt) * 85) // 100 AS prq
+        |  FROM g JOIN it2 ON g.src = it2.node GROUP BY dst)
+        |SELECT node, CAST(prq AS BIGINT) AS pr_q,
+        |  CAST(prq AS DOUBLE) / 1000000000000.0 AS pr
+        |FROM it3""".stripMargin,
     // split leakage: the split CASE composed with the w=4 span-run oracle —
     // TEST spans located inside TRAIN docs
     "q_split_leakage" ->

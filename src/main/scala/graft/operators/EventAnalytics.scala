@@ -295,4 +295,69 @@ object EventAnalytics {
         coalesce(sum(col("k")), lit(0L)).as("k_sum"),
         coalesce(min(col("k")), lit(-1L)).as("k_min"),
         coalesce(max(col("k")), lit(-1L)).as("k_max"))
+
+  /** Market-basket co-occurrence over event types: for every unordered type
+    * pair, how many (user, day) baskets contain BOTH, with each type's own
+    * basket count and the lift n_both·N/(n_a·n_b) — the association-mining
+    * primitive ("users who view also purchase, same day?").
+    *
+    * Shape: the basket inventory is one distinct aggregate; the pair
+    * expansion is MAP-SIDE — each basket's sorted type set (≤ |types|,
+    * a handful) explodes into its C(m,2) ordered pairs via nested
+    * array transforms, never a self-join of the event log — followed by one
+    * hash aggregate keyed by pair. Per-type basket counts are a ≤|types|-row
+    * aggregate broadcast back; the basket total is a bounded driver total
+    * (one long, the collocation-normalizer move). All counts are exact
+    * longs; lift is one final double quotient rounded to 6 dp.
+    *
+    * Returns (t1, t2, n_both, n_t1, n_t2, lift), t1 < t2.
+    */
+  def typeCooccurrence(events: DataFrame): DataFrame = {
+    val baskets = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"), col("event_type"))
+      .distinct()
+    val nBaskets = baskets.select("user_id", "day").distinct().count()
+    val perType = baskets.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val sets = baskets
+      .groupBy("user_id", "day")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts_"))
+    val pairCol = flatten(transform(col("ts_"), (x, i) =>
+      transform(slice(col("ts_"), i + lit(2), size(col("ts_"))),
+        y => struct(x.as("t1"), y.as("t2")))))
+    sets
+      .select(explode(pairCol).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select(
+        col("event_type").as("t1"), col("n_t").as("n_t1"))), Seq("t1"))
+      .join(broadcast(perType.select(
+        col("event_type").as("t2"), col("n_t").as("n_t2"))), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n_both"), col("n_t1"), col("n_t2"),
+        round(col("n_both").cast("double") * nBaskets /
+          (col("n_t1") * col("n_t2")), 6).as("lift"))
+  }
+
+  /** Per-(user, week) activity bitmap — the roaring-bitmap-lite presence
+    * accounting: one int64 whose bit d is set iff the user was active on
+    * weekday d, built by `bit_or(1 << dow)`. The mask is the mergeable
+    * artifact (OR-combine across shards/partials — the map-side combine IS
+    * the merge), `bit_count` reads distinct active days off it without a
+    * distinct aggregate, and downstream rollups (monthly, per-cohort) OR
+    * masks instead of re-touching the event log. Integer epoch math only —
+    * DuckDB computes the identical masks.
+    *
+    * Returns (user_id, week, mask, n_days_active, n_events).
+    */
+  def weeklyActivityBitmap(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000 DIV 7").as("week"),
+        expr("CAST(pmod(unix_micros(ts) DIV 86400000000, 7) AS INT)").as("dow"))
+      .groupBy("user_id", "week")
+      .agg(
+        bit_or(expr("shiftleft(CAST(1 AS BIGINT), dow)")).as("mask"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("week"), col("mask"),
+        bit_count(col("mask")).as("n_days_active"), col("n_events"))
 }

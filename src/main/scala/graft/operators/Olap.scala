@@ -138,4 +138,125 @@ object Olap {
       .orderBy(col("revenue").desc, col("o_orderdate_s"), col("o_orderkey"))
       .limit(k)
   }
+
+  /** TPC-H Q5-shaped local supplier volume: per nation in `region`, the
+    * discounted revenue of lineitems where the supplier and the ordering
+    * customer sit in the SAME nation, over orders placed in
+    * [`from`, `until`).
+    *
+    * Shape — the canonical star-join plan: every dimension chain
+    * (region→nation, supplier+nation, customer) is tiny relative to the
+    * facts and broadcasts, so the ONLY shuffled join is
+    * lineitem ⋈ orders on orderkey — and orders arrives at it already cut
+    * by the pushed date range and the broadcast customer side. The
+    * same-nation constraint is an equi-condition (c_nationkey =
+    * s_nationkey) applied where both keys are in scope, never a
+    * post-cartesian filter. Output is ≤ |nations| rows.
+    *
+    * Returns (n_name, revenue) — DECIMAL-accumulated, cast to double.
+    */
+  def localSupplierVolume(
+      region: DataFrame, nation: DataFrame, supplier: DataFrame,
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      regionName: String, from: String, until: String): DataFrame = {
+    val lo = lit(from).cast(orders.schema("o_orderdate").dataType)
+    val hi = lit(until).cast(orders.schema("o_orderdate").dataType)
+    // region ⋈ nation collapses to the in-region nation list (≤ |nations|)
+    val nat = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = supplier
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("dp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("dp")).as("rev"))
+      .select(col("n_name"), col("rev").cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: every order whose total lineitem
+    * quantity exceeds `minQty`, with its customer and the quantity total.
+    *
+    * Shape — aggregate-then-join: lineitem reduces to (orderkey, sum_qty)
+    * in one map-side-combined hash aggregate BEFORE any join, the HAVING
+    * filter cuts that aggregate to the rare heavy orders, and only those
+    * few rows join back to orders/customer. The fact table is never
+    * carried through a join; at 100 TB the post-having side is small
+    * enough to broadcast onto orders.
+    *
+    * Returns (c_custkey, c_name, o_orderkey, o_orderdate_s, o_totalprice,
+    * sum_qty).
+    */
+  def largeOrderCustomers(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Double): DataFrame = {
+    val heavy = lineitem
+      .select(col("l_orderkey"),
+        round(col("l_quantity"), 6).cast("decimal(18,6)").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("q")).as("sq"))
+      .filter(col("sq") > lit(minQty).cast("decimal(18,6)"))
+    orders
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp"))
+          .divide(lit(1000000L)).cast("long").as("o_orderdate_s"),
+        round(col("o_totalprice"), 6).as("o_totalprice"),
+        col("sq").cast("double").as("sum_qty"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: the `k` customers who generated
+    * the most revenue on RETURNED lineitems (returnflag `flag`) for orders
+    * placed in [`from`, `until`), with their nation.
+    *
+    * Shape: both fact filters (returnflag, date range) are pushed into the
+    * scans; the one shuffled join is lineitem ⋈ orders; customer arrives
+    * via its key join after the per-customer aggregate (few rows by then),
+    * nation broadcasts, and the global top-k plans as
+    * TakeOrderedAndProject (bounded per-partition heaps), never a full
+    * sort. Totalized by (revenue desc, c_custkey).
+    *
+    * Returns (c_custkey, c_name, revenue, c_acctbal, n_name).
+    */
+  def returnedItemReport(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, flag: String, from: String, until: String,
+      k: Int = 20): DataFrame = {
+    val lo = lit(from).cast(orders.schema("o_orderdate").dataType)
+    val hi = lit(until).cast(orders.schema("o_orderdate").dataType)
+    val ord = orders
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = lineitem
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("dp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("dp")).as("rev"))
+    perCust
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("rev").cast("double").as("revenue"),
+        round(col("c_acctbal"), 6).as("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
 }

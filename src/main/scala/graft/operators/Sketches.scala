@@ -285,4 +285,98 @@ object Sketches {
         (col("cms_est") >= col("exact_cnt")).as("never_under"),
         (col("cms_est") <= col("exact_cnt") + lit(n / tolDen)).as("within_bound"))
   }
+
+  /** KMV set-resemblance sketch between sources — estimate the pairwise
+    * span-set Jaccard from k-minimum-value sketches instead of the full
+    * span inventories, next to the exact twin
+    * ([[graft.operators.Dedup.sourceOverlap]]) as an error-as-data audit.
+    *
+    * The estimator is the textbook one: with K_s = the k smallest md5 span
+    * hashes of source s (each a bottom-k uniform sample of the source's
+    * span set) and X = the k smallest of K_a ∪ K_b (a bottom-k sample of
+    * the UNION), J ≈ |X ∩ K_a ∩ K_b| / |X| — the fraction of the union
+    * sample that lands in both sets. Everything is md5 ordering, set
+    * membership, and one final integer quotient, so the DuckDB oracle
+    * VALUE-MATCHES the estimate itself (the KMV/CMS portability move
+    * applied to set resemblance).
+    *
+    * Scale shape — the reason this exists at 100 TB: the exact twin's
+    * shared-span equi-join carries every duplicated span hash across the
+    * wire; here each source reduces to a k-hash sketch via the same bounded
+    * heap as every top-k ([[graft.functions.BoundedTopKRowsAgg]], O(k)
+    * state per group at every stage), and only sketches meet. The pairing
+    * is a map-side explode over the (bounded, driver-collected) source
+    * list — sketch rows × (sources−1) — followed by one hash aggregate
+    * keyed by pair; no join touches span inventories, and KMV sketches
+    * merge by construction (union, keep k smallest), the property a
+    * pre-aggregated per-shard rollup needs.
+    *
+    * Sketches with fewer than k hashes are complete sets, so small-source
+    * pairs degrade to EXACT Jaccard — the audit's `within_bound` uses an
+    * absolute tolerance sized ~3σ for k=256 (σ = √(J(1−J)/k) ≤ 0.031).
+    *
+    * Returns (source_a, source_b, jaccard_exact, kmv_jaccard, abs_err,
+    * within_bound) for every unordered source pair.
+    */
+  def kmvSourceJaccard(
+      docs: DataFrame, w: Int = 8, k: Int = 256,
+      tolAbs: Double = 0.1): DataFrame = {
+    import graft.functions.BoundedTopKRowsAgg.boundedTopKRows
+    import graft.functions.NativeExpressions
+    val hs = docs
+      .select(col("source"),
+        explode(NativeExpressions.wordWindowMd5(col("text"), w)).as("whash"))
+      .distinct()
+    val sk = hs.groupBy("source")
+      .agg(count(lit(1)).as("n_spans"),
+        boundedTopKRows(struct(col("whash")), k).as("mins"))
+    // bounded model artifact: the source list (≤ dozens of strings), the
+    // same move as the centroid/profile literals
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val srcArr = array(sources.map(lit): _*)
+    // map-side pair fan-out: each sketch hash goes to every pair its source
+    // belongs to — sketch rows × (sources−1), never the span inventory
+    val pairRows = sk
+      .select(col("source"), explode(col("mins")).as("m"))
+      .select(col("source"), col("m").getField("whash").as("h"))
+      .select(col("source"), col("h"),
+        explode(filter(srcArr, x => x =!= col("source"))).as("other"))
+      .select(least(col("source"), col("other")).as("source_a"),
+        greatest(col("source"), col("other")).as("source_b"), col("h"))
+    // cnt=2 ⇔ the hash sits in BOTH sketches; the bounded heap then keeps
+    // X = the k smallest distinct union hashes with their membership counts
+    val perPair = pairRows
+      .groupBy("source_a", "source_b", "h")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source_a", "source_b")
+      .agg(boundedTopKRows(struct(col("h"), col("cnt")), k).as("x"))
+      .select(col("source_a"), col("source_b"),
+        round(
+          size(filter(col("x"), e => e.getField("cnt") === 2)).cast("double") /
+            size(col("x")), 6).as("kmv_jaccard"))
+    // exact side: same thin per-source totals + shared-hash join as the
+    // exact twin, emitted as jaccard_exact (absent pair = no shared span)
+    val perSource = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    val exact = hs.as("a")
+      .join(hs.as("b"),
+        col("a.whash") === col("b.whash") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSource.select(
+        col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(perSource.select(
+        col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jx"))
+    perPair.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("jx"), lit(0.0)).as("jaccard_exact"),
+        col("kmv_jaccard"),
+        round(abs(col("kmv_jaccard") - coalesce(col("jx"), lit(0.0))), 6)
+          .as("abs_err"),
+        (abs(col("kmv_jaccard") - coalesce(col("jx"), lit(0.0))) <= tolAbs)
+          .as("within_bound"))
+  }
 }

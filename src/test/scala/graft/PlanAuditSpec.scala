@@ -58,7 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("limited top-k queries plan TakeOrdered, never a global sort") {
     // a k-row answer must cost per-partition k + coordinator k; a full
     // Sort+Exchange before the limit is the scale regression this guards
-    val topK = Seq("q_text_retrieval", "q_olap_priority")
+    val topK = Seq("q_text_retrieval", "q_olap_priority", "q_olap_returns")
     topK.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"),
@@ -74,6 +74,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_curation_forget should broadcast-anti-join the tombstones:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"q_curation_forget shuffled the big side:\n$plan")
+  }
+
+  test("Q5-shaped star join broadcasts every dimension chain") {
+    // region/nation/supplier/customer must all arrive as broadcast builds;
+    // a shuffled dim join at 100 TB moves the fact table for nothing
+    val qe = SparkEntry.queries("q_olap_volume")(spark, sfDir).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3,
+      s"q_olap_volume expected ≥3 broadcast dim joins, got $nBroadcast:\n$plan")
   }
 
   test("pricing rollup pushes the shipdate cutoff into the parquet scan") {
