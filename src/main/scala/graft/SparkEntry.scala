@@ -866,6 +866,21 @@ object SparkEntry {
     // bit_count distinct-day reads, no distinct aggregate
     "q_events_bitmap" -> ((s, dir) =>
       EventAnalytics.weeklyActivityBitmap(Tables.events(s, dir))),
+    // declarative DQ expectation suite: null/domain/range/uniqueness rules
+    // in ONE aggregation pass, unpivoted to one row per rule
+    "q_quality_expectations" -> ((s, dir) =>
+      Quality.expectations(Tables.events(s, dir),
+        Seq("view", "click", "purchase", "signup", "error"),
+        "2024-01-01", "2025-01-01", valueCap = 450.0)),
+    // SCD Type-2 validity intervals from the event log: change-point lag +
+    // interval-closing lead, one exchange, deterministic (ts, id) order
+    "q_events_scd2" -> ((s, dir) =>
+      EventAnalytics.scd2TypeIntervals(Tables.events(s, dir))),
+    // typo-tolerant entity resolution: edit-distance-1 name pairs via the
+    // SymSpell deletion-neighborhood equi-join (candidates ∝ N·L, never
+    // N²), exact levenshtein re-check; oracle is the brute-force join
+    "q_fuzzy_customers" -> ((s, dir) =>
+      Dedup.fuzzyNamePairs(Tables.customer(s, dir), "c_custkey", "c_name")),
     // deterministic train/validation/test assignment by salted hash cuts —
     // reproducible across runs, partitionings, and engines; map-only
     "q_split_dataset" -> ((s, dir) =>
@@ -2386,6 +2401,58 @@ object SparkEntry {
         |JOIN pt pa ON pa.event_type = a.event_type
         |JOIN pt pb ON pb.event_type = c.event_type
         |GROUP BY 1, 2, pa.n_t, pb.n_t""".stripMargin,
+    // expectations: same null-safe rule predicates, same single-pass
+    // conditional sums + distinct-count uniqueness, unioned per rule
+    "q_quality_expectations" ->
+      """WITH a AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN NOT coalesce(
+        |      user_id IS NOT NULL AND user_id > 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(SUM(CASE WHEN NOT coalesce(
+        |      event_type IN ('view','click','purchase','signup','error'),
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN NOT coalesce(
+        |      value IS NOT NULL AND value >= 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN NOT coalesce(
+        |      value IS NOT NULL AND value <= 450.0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN NOT coalesce(
+        |      ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01',
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS vdup
+        |  FROM events)
+        |SELECT r.rule, a.n AS n_rows, r.v AS n_violations, r.v = 0 AS pass
+        |FROM a, LATERAL (VALUES
+        |  ('user_id_positive', v0), ('event_type_in_domain', v1),
+        |  ('value_non_negative', v2), ('value_at_most_450.0', v3),
+        |  ('ts_in_range', v4), ('event_id_unique', vdup)) r(rule, v)""".stripMargin,
+    // fuzzy entity pairs: brute-force levenshtein join (fine at oracle
+    // scale; the engine serves the deletion-neighborhood candidates)
+    "q_fuzzy_customers" ->
+      """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // SCD2: same change-point lag / interval lead windows, same
+    // (ts, event_id) total order
+    "q_events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                  event_type FROM events),
+        |f AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |      FROM e),
+        |c AS (SELECT user_id, event_id, ts_us, event_type FROM f
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+        |        lead(ts_us) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us, event_id) AS vt
+        |      FROM c)
+        |SELECT user_id, event_type, valid_from_us,
+        |  coalesce(vt, -1) AS valid_to_us, vt IS NULL AS is_current
+        |FROM v""".stripMargin,
     // bitmap: identical integer day/week/dow math, same OR-mask and popcount
     "q_events_bitmap" ->
       """WITH e AS (SELECT user_id,

@@ -833,4 +833,62 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Typo-tolerant entity-resolution join: every pair of entity names
+    * within edit distance 1, via the SymSpell/FastSS DELETION-NEIGHBORHOOD
+    * scheme — the scale-safe shape for fuzzy matching, where LSH-style
+    * banding has no analogue and the naive form is an all-pairs
+    * `levenshtein` cross join.
+    *
+    * D(s) = {s} ∪ {s with one character deleted}. For edit distance ≤ 1,
+    * D(A) ∩ D(B) ≠ ∅ is a COMPLETE candidate test (substitution at i ⇒
+    * both sides share the delete-at-i variant; insertion/deletion ⇒ the
+    * shorter string itself sits in the longer one's neighborhood; equality
+    * trivially) — and only near-misses collide, so the exact
+    * `levenshtein ≤ 1` re-check pays per candidate, never per pair.
+    *
+    * Scale shape: the neighborhood explode is map-side (|name|+1 variants
+    * per entity — rows × (L+1), each a short string + id); candidates come
+    * from ONE equi-join on the variant string (hash-partitionable,
+    * AQE-balanceable); per-variant fan-out is bounded by how many entities
+    * collapse onto one deletion (alphabet-sized in id-like keys), so
+    * candidates grow ∝ N·L, never N². The same scheme extends to distance
+    * k by deleting up to k characters (neighborhood (L choose ≤k)).
+    *
+    * Returns (custkey_a, custkey_b, name_a, name_b, distance), key-ordered
+    * pairs.
+    */
+  def fuzzyNamePairs(
+      entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val variants = entities
+      .select(col(idCol).as("id"), col(nameCol).as("name"))
+      .select(col("id"), col("name"),
+        explode(concat(
+          array(col("name")),
+          expr("transform(sequence(1, length(name)), i -> " +
+            "concat(substr(name, 1, i-1), " +
+            "substr(name, i+1, length(name))))")))
+          .as("variant"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("custkey_a"), col("b.id").as("custkey_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("distance") <= 1)
+  }
+
+  /** All-pairs `levenshtein` baseline for [[fuzzyNamePairs]] — spec-side
+    * differential only (quadratic by construction; never registered).
+    */
+  def bruteForceFuzzyPairs(
+      entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    def side(suffix: String) = entities.select(
+      col(idCol).as(s"custkey_$suffix"), col(nameCol).as(s"name_$suffix"))
+    side("a").crossJoin(side("b"))
+      .filter(col("custkey_a") < col("custkey_b"))
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("distance") <= 1)
+  }
 }

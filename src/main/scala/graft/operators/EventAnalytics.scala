@@ -338,6 +338,39 @@ object EventAnalytics {
           (col("n_t1") * col("n_t2")), 6).as("lift"))
   }
 
+  /** SCD Type-2 interval derivation from the event log — the lakehouse
+    * dimension-history move: treat each user's event_type as a
+    * slowly-changing attribute and emit one VALIDITY INTERVAL per
+    * consecutive run of the same value, [valid_from, valid_to) with the
+    * open current interval marked — what a MERGE-into-dimension job
+    * materializes from a CDC changelog.
+    *
+    * Shape: both window passes (lag to find change points, lead over the
+    * surviving change rows to close intervals) share the user_id partition
+    * key, so the plan carries ONE hash exchange; per-user partitions sort
+    * locally by (ts, event_id) — the total order that makes duplicate
+    * timestamps deterministic. No joins; state per user is its event list,
+    * spillable.
+    *
+    * Returns (user_id, event_type, valid_from_us, valid_to_us, is_current)
+    * with valid_to_us = −1 on the open interval.
+    */
+  def scd2TypeIntervals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("vt", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        coalesce(col("vt"), lit(-1L)).as("valid_to_us"),
+        col("vt").isNull.as("is_current"))
+  }
+
   /** Per-(user, week) activity bitmap — the roaring-bitmap-lite presence
     * accounting: one int64 whose bit d is set iff the user was active on
     * weekday d, built by `bit_or(1 << dow)`. The mask is the mergeable

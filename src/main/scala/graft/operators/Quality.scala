@@ -162,4 +162,53 @@ object Quality {
         .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
     }.reduce(_.union(_))
   }
+
+  /** Declarative data-quality expectations over the event log — the
+    * dbt-test/Great-Expectations-style contract suite, evaluated in ONE
+    * aggregation pass: per rule, total rows, violation count, and the
+    * verdict. Row-local rules (null/domain/range checks) are conditional
+    * sums; the uniqueness rule rides the SAME aggregate as
+    * count − count_distinct (Spark plans the mixed distinct/plain
+    * aggregate as the standard two-phase Expand — still one scan). The
+    * 1-row aggregate then unpivots map-side into one row per rule.
+    *
+    * Every check is wrapped null-safe (`coalesce(check, false)`): a NULL
+    * check result — e.g. a domain test on a NULL value — counts as a
+    * violation rather than silently vanishing from the sum, in both
+    * engines identically.
+    *
+    * Returns (rule, n_rows, n_violations, pass), one row per rule.
+    */
+  def expectations(
+      events: DataFrame, allowedTypes: Seq[String],
+      tsLo: String, tsHi: String, valueCap: Double): DataFrame = {
+    val rowRules: Seq[(String, Column)] = Seq(
+      "user_id_positive" ->
+        (col("user_id").isNotNull && col("user_id") > 0),
+      "event_type_in_domain" -> col("event_type").isin(allowedTypes: _*),
+      "value_non_negative" ->
+        (col("value").isNotNull && col("value") >= 0),
+      s"value_at_most_${valueCap}" ->
+        (col("value").isNotNull && col("value") <= valueCap),
+      "ts_in_range" ->
+        (col("ts") >= lit(tsLo).cast("timestamp") &&
+          col("ts") < lit(tsHi).cast("timestamp")))
+    val aggCols =
+      count(lit(1)).as("n") +:
+        rowRules.zipWithIndex.map { case ((_, c), i) =>
+          sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"v$i")
+        } :+ (count(lit(1)) - countDistinct(col("event_id"))).as("vdup")
+    val agged = events.agg(aggCols.head, aggCols.tail: _*)
+    val ruleRows =
+      rowRules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col("n").as("n_rows"),
+          col(s"v$i").as("n_violations"))
+      } :+ struct(lit("event_id_unique").as("rule"), col("n").as("n_rows"),
+        col("vdup").as("n_violations"))
+    agged
+      .select(explode(array(ruleRows: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_rows").as("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
 }

@@ -340,4 +340,31 @@ class DedupSpec extends AnyFunSuite {
     // all C(4,2)=6 unordered pairs, each exactly once
     assert(got.size == 6, got)
   }
+
+  test("fuzzy pairs: substitution, insertion, deletion found; distance-2 not") {
+    val ents = Seq(
+      (1L, "Customer#000000001"), // sub at last digit vs 2
+      (2L, "Customer#000000002"),
+      (3L, "Customer#00000002"),  // deletion of one char vs 2
+      (4L, "Customer#0000000021"), // insertion vs 2
+      (5L, "Customer#000000099")   // distance 2 from everything above
+    ).toDF("c_custkey", "c_name")
+    val got = Dedup.fuzzyNamePairs(ents, "c_custkey", "c_name")
+      .select("custkey_a", "custkey_b").as[(Long, Long)].collect().toSet
+    // note (1,4): "…001" → insert '2' before the trailing '1' → "…0021"
+    assert(got == Set((1L, 2L), (2L, 3L), (2L, 4L), (1L, 4L)), got)
+  }
+
+  test("fuzzy pairs: deletion-neighborhood candidates equal brute force") {
+    val cust = Tables.customer(spark, sfDir)
+    val pruned = Dedup.fuzzyNamePairs(cust, "c_custkey", "c_name")
+      .select("custkey_a", "custkey_b", "distance")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Dedup.bruteForceFuzzyPairs(cust, "c_custkey", "c_name")
+      .select("custkey_a", "custkey_b", "distance")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pruned == brute,
+      s"missing=${(brute -- pruned).take(5)} extra=${(pruned -- brute).take(5)}")
+    assert(brute.nonEmpty, "differential is vacuous — no pairs at all")
+  }
 }
