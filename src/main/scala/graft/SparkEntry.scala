@@ -807,6 +807,13 @@ object SparkEntry {
     "q_graph_pagerank" -> ((s, dir) =>
       Graph.pageRank(Graph.purchaseGraph(
         Tables.orders(s, dir), Tables.lineitem(s, dir)))),
+    // triangle listing over the chunk-overlap copy-provenance graph:
+    // wedge join + closing equi-join, each triangle once (a<b<c)
+    "q_graph_triangles" -> ((s, dir) =>
+      Graph.triangles(
+        Dedup.chunkOverlapPairs(Tables.documents(s, dir),
+          chunkChars = 64, minShared = 2, maxPostings = 50)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
     // split hygiene: verbatim 4-word spans of TEST docs located inside
     // TRAIN docs (the deterministic split composed with span decontam —
     // broadcast side is the small test split)
@@ -2072,6 +2079,23 @@ object SparkEntry {
         |FROM hf a JOIN hf b
         |  ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // triangles: same chunk-overlap edge CTE, same wedge + closing join
+    "q_graph_triangles" ->
+      """WITH h AS (SELECT DISTINCT doc_id,
+        |    md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS chunk_md5
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range((length(text) + 63) // 64)) AS i
+        |        FROM documents)),
+        |u AS (SELECT chunk_md5 FROM h GROUP BY chunk_md5
+        |      HAVING count(*) > 1 AND count(*) <= 50),
+        |hf AS (SELECT h.doc_id, h.chunk_md5 FROM h JOIN u USING (chunk_md5)),
+        |e AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |      FROM hf a JOIN hf b
+        |        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.u AS doc_a, e1.v AS doc_b, e2.v AS doc_c
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     // KMV: the whole sketch replayed in SQL — k-th smallest md5 of the
     // distinct per-type timestamp strings, 13-hex fraction, same
     // (k-1)*2^52/v quotient, same 0.19 bound

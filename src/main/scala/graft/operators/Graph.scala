@@ -97,4 +97,27 @@ object Graph {
     pr.select(col("node"), col("prq").as("pr_q"),
       expr("CAST(prq AS DOUBLE) / 1000000000000.0").as("pr"))
   }
+
+  /** Triangle listing over an id-ORIENTED undirected edge set (each edge
+    * stored once as u < v): the wedge join e1(a,b) ⋈ e2(b,c) enumerates
+    * every ordered wedge a<b<c once, and the closing equi-join against
+    * e3(a,c) keeps exactly the triangles — each listed once as
+    * (doc_a < doc_b < doc_c), the standard distributed formulation.
+    *
+    * Scale shape: two hash equi-joins; the wedge join's size is
+    * Σ_v out(v)·in(v) under the id orientation — the same quantity
+    * degree-ordered orientation minimizes (orient by (degree, id) instead
+    * when hub nodes dominate; the join shape is unchanged). No cartesian,
+    * no windows; triangle-dense hubs spread across partitions by the join
+    * keys and AQE skew splitting.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+    e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("doc_a"), col("e1.v").as("doc_b"),
+        col("e2.v").as("doc_c"))
+  }
 }

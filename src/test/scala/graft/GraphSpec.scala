@@ -61,6 +61,16 @@ class GraphSpec extends AnyFunSuite {
       s"rank mass drifted: ${pr.sum} over ${pr.length} nodes")
   }
 
+  test("triangles: lists each triangle exactly once on a constructed graph") {
+    import spark.implicits._
+    // 4-clique minus the (1,4) edge → exactly the triangles (1,2,3), (2,3,4)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (2L, 3L, 4L)), got)
+  }
+
   test("result is partitioning-invariant bit-for-bit") {
     val edges = Graph.purchaseGraph(
       Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
