@@ -241,6 +241,87 @@ object Kernels {
     * computed in one scan so n-gram extraction is O(len·n), not the O(len²)
     * of per-gram `substringSQL` (which rescans from the string start).
     */
+  /** The SymSpell deletion neighborhood of `text`: the string itself plus
+    * every single-code-point deletion, DISTINCT — equals
+    * `array_distinct(concat(array(s), transform(sequence(1, len), i ->
+    * concat(substr(s,1,i-1), substr(s,i+1,len)))))`, which evaluates its
+    * lambda interpreted per element; this is one byte scan. Dedup is exact
+    * and hashset-free: del_i(s) = del_j(s) (i<j) iff s[i..j] is one
+    * code-point run, so only the FIRST position of each run emits.
+    */
+  def deletionVariants(text: UTF8String): ArrayData = {
+    val offs = codePointOffsets(text)
+    val cp = offs.length - 1
+    val bytes = text.getBytes
+    val out = new Array[Any](cp + 1)
+    out(0) = UTF8String.fromBytes(bytes)
+    var k = 1
+    var i = 0
+    while (i < cp) {
+      // run detection: same code point as the previous position?
+      val runStart = i == 0 || {
+        val l0 = offs(i) - offs(i - 1)
+        val l1 = offs(i + 1) - offs(i)
+        l0 != l1 || {
+          var d = 0
+          var same = true
+          while (same && d < l0) {
+            same = bytes(offs(i - 1) + d) == bytes(offs(i) + d); d += 1
+          }
+          !same
+        }
+      }
+      if (runStart) {
+        val delLen = offs(i + 1) - offs(i)
+        val arr = new Array[Byte](bytes.length - delLen)
+        System.arraycopy(bytes, 0, arr, 0, offs(i))
+        System.arraycopy(bytes, offs(i + 1), arr, offs(i),
+          bytes.length - offs(i + 1))
+        out(k) = UTF8String.fromBytes(arr)
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (k == out.length) out else out.take(k))
+  }
+
+  /** Edit distance capped at 1: returns 0 (equal), 1, or −1 (more than 1)
+    * — the O(L) replacement for a full Levenshtein matrix on
+    * neighborhood-join candidates, via the exact characterization
+    * ed(A,B) ≤ 1 ⟺ |la−lb| ≤ 1 ∧ lcp + lcs ≥ max(la,lb) − 1, where
+    * lcp/lcs are common prefix/suffix lengths in CODE POINTS and lcs is
+    * capped at min(la,lb) − lcp so the two ranges never double-count
+    * ("aaa" vs "aa"). Code-point comparison (not bytes) keeps multi-byte
+    * substitutions with different encoded lengths ("é" → "a") correct.
+    */
+  def editWithin1(a: UTF8String, b: UTF8String): Int = {
+    if (a.equals(b)) return 0
+    val oa = codePointOffsets(a)
+    val ob = codePointOffsets(b)
+    val la = oa.length - 1
+    val lb = ob.length - 1
+    if (math.abs(la - lb) > 1) return -1
+    val ab = a.getBytes
+    val bb = b.getBytes
+    def cpEq(i: Int, j: Int): Boolean = {
+      val l0 = oa(i + 1) - oa(i)
+      if (l0 != ob(j + 1) - ob(j)) return false
+      var d = 0
+      while (d < l0) {
+        if (ab(oa(i) + d) != bb(ob(j) + d)) return false
+        d += 1
+      }
+      true
+    }
+    val minL = math.min(la, lb)
+    var lcp = 0
+    while (lcp < minL && cpEq(lcp, lcp)) lcp += 1
+    var lcs = 0
+    val lcsCap = minL - lcp
+    while (lcs < lcsCap && cpEq(la - 1 - lcs, lb - 1 - lcs)) lcs += 1
+    if (lcp + lcs >= math.max(la, lb) - 1) 1 else -1
+  }
+
   private def codePointOffsets(text: UTF8String): Array[Int] = {
     val len = text.numBytes()
     var cp = 0

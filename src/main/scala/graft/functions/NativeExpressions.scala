@@ -145,6 +145,40 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** `int` edit distance capped at 1: 0, 1, or −1 meaning "more than 1". */
+  case class EditWithin1Expr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected two strings, got ${left.dataType.sql}, ${right.dataType.sql}")
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.editWithin1(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$kernels.editWithin1($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `array<string>` SymSpell deletion neighborhood (self + distinct
+    * single-code-point deletions).
+    */
+  case class DeletionVariantsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.deletionVariants(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.deletionVariants($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `array<bigint>` of distinct winnowing fingerprints (k-gram size, window w). */
   case class WinnowingExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
     require(k >= 1 && w >= 1, s"bad winnowing shape (k=$k, w=$w)")
@@ -301,6 +335,12 @@ object NativeExpressions {
 
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingExpr(expr(text), k, w))
+
+  def deletionVariants(text: Column): Column =
+    ColumnBridge.column(DeletionVariantsExpr(expr(text)))
+
+  def editWithin1(a: Column, b: Column): Column =
+    ColumnBridge.column(EditWithin1Expr(expr(a), expr(b)))
 
   def repetitionRatios(text: Column): Column =
     ColumnBridge.column(RepetitionRatiosExpr(expr(text)))

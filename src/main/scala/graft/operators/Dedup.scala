@@ -847,8 +847,11 @@ object Dedup {
     * trivially) — and only near-misses collide, so the exact
     * `levenshtein ≤ 1` re-check pays per candidate, never per pair.
     *
-    * Scale shape: the neighborhood explode is map-side (|name|+1 variants
-    * per entity — rows × (L+1), each a short string + id); candidates come
+    * Scale shape: the neighborhood explode is map-side (≤ |name|+1
+    * variants per entity — `array_distinct` first collapses the duplicate
+    * variants a character RUN produces (deleting any char of "000" yields
+    * the same string), which otherwise multiply the candidate join
+    * quadratically in the run length); candidates come
     * from ONE equi-join on the variant string (hash-partitionable,
     * AQE-balanceable); per-variant fan-out is bounded by how many entities
     * collapse onto one deletion (alphabet-sized in id-like keys), so
@@ -860,23 +863,27 @@ object Dedup {
     */
   def fuzzyNamePairs(
       entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    // native one-pass neighborhood kernel — the combinator twin
+    // (array_distinct(concat(array(name), transform(sequence(1, len), i ->
+    // concat(substr(...), substr(...)))))) evaluates its lambda interpreted
+    // per element and costs ~4× the whole query; differential-tested in
+    // NativeKernelsSpec
     val variants = entities
       .select(col(idCol).as("id"), col(nameCol).as("name"))
       .select(col("id"), col("name"),
-        explode(concat(
-          array(col("name")),
-          expr("transform(sequence(1, length(name)), i -> " +
-            "concat(substr(name, 1, i-1), " +
-            "substr(name, i+1, length(name))))")))
-          .as("variant"))
+        explode(NativeExpressions.deletionVariants(col("name"))).as("variant"))
     variants.as("a")
       .join(variants.as("b"),
         col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
       .select(col("a.id").as("custkey_a"), col("b.id").as("custkey_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
+      // the native O(L) lcp+lcs ed≤1 check (≈100× a Levenshtein matrix
+      // call on these candidates) filters BEFORE the distinct, so the
+      // dedup shuffle carries true pairs only, not the candidate set
+      .withColumn("distance",
+        NativeExpressions.editWithin1(col("name_a"), col("name_b")))
+      .filter(col("distance") >= 0)
       .distinct()
-      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("distance") <= 1)
   }
 
   /** All-pairs `levenshtein` baseline for [[fuzzyNamePairs]] — spec-side

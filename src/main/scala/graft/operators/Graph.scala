@@ -63,17 +63,19 @@ object Graph {
     *
     * Each iteration is one shuffle-keyed equi-join (edges ⋈ ranks on src —
     * ranks is |V| rows, broadcastable when nodes ≪ edges) plus one hash
-    * aggregate keyed by dst; the weighted edge set is computed once and
-    * reused, and iteration results are `localCheckpoint`ed so the plan
-    * (and its recovery lineage) stays one step deep — the
-    * [[Dedup.nearDedupLabels]] pattern. N is a bounded driver total.
+    * aggregate keyed by dst; the weighted edge set is `localCheckpoint`ed
+    * once and reused. Iteration results checkpoint only every
+    * `checkpointEvery` sweeps — a short fixed-iteration run (the common
+    * case) executes as ONE shallow plan instead of paying an eager
+    * materialization per sweep, while long runs keep lineage bounded (the
+    * [[Dedup.nearDedupLabels]] pattern). N is a bounded driver total.
     *
     * Returns (node, pr_q, pr): the exact integer picorank and its double
     * reading pr_q/1e12 (one division — portable).
     */
   def pageRank(
       edges: DataFrame, dNum: Long = 85, dDen: Long = 100,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, checkpointEvery: Int = 8): DataFrame = {
     val Scale = 1000000000000L
     val g = edges
       .join(edges.groupBy("src").agg(sum(col("w")).as("wt")), Seq("src"))
@@ -83,8 +85,7 @@ object Graph {
     val baseQ = (Scale * (dDen - dNum) / dDen) / n
     var pr = g.select(col("src").as("node")).distinct()
       .select(col("node"), lit(Scale / n).as("prq"))
-      .localCheckpoint()
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       pr = g
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("(prq * w) DIV wt").as("c"))
@@ -92,7 +93,7 @@ object Graph {
         .agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           expr(s"$baseQ + (sc * $dNum) DIV $dDen").as("prq"))
-        .localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) pr = pr.localCheckpoint()
     }
     pr.select(col("node"), col("prq").as("pr_q"),
       expr("CAST(prq AS DOUBLE) / 1000000000000.0").as("pr"))

@@ -99,6 +99,41 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("deletionVariants == array_distinct combinator twin, names + fixtures") {
+    val slow = array_distinct(concat(
+      array(col("text")),
+      expr("transform(sequence(1, length(text)), i -> " +
+        "concat(substr(text, 1, i-1), substr(text, i+1, length(text))))")))
+    val names = Tables.customer(spark, sfDir)
+      .select(col("c_name").as("text"))
+    for (df <- Seq(names, fixturesDF.select("text"))) {
+      val both = df.select(slow.as("slow"),
+        NativeExpressions.deletionVariants(col("text")).as("fast"))
+      assert(both.filter(not(col("slow") === col("fast"))).count() == 0,
+        "deletion-neighborhood mismatch")
+    }
+  }
+
+  test("editWithin1 == thresholded levenshtein on candidate-shaped pairs") {
+    // all fixture×fixture pairs (incl. unicode, empties, near-misses) plus
+    // the real name-neighborhood candidates
+    val fx = fixturesDF.select(col("text").as("na"))
+      .crossJoin(fixturesDF.select(col("text").as("nb")))
+    val names = Tables.customer(spark, sfDir).select(col("c_name"))
+    val cand = names.select(col("c_name").as("na"),
+      explode(NativeExpressions.deletionVariants(col("c_name"))).as("v"))
+      .join(names.select(col("c_name").as("nb"),
+        explode(NativeExpressions.deletionVariants(col("c_name"))).as("v")), "v")
+      .select("na", "nb")
+    for (df <- Seq(fx, cand)) {
+      val bad = df.select(
+        NativeExpressions.editWithin1(col("na"), col("nb")).as("fast"),
+        expr("levenshtein(na, nb, 1)").as("slow"))
+        .filter(not(col("fast") === col("slow"))).count()
+      assert(bad == 0, "editWithin1 disagrees with thresholded levenshtein")
+    }
+  }
+
   test("wordBigrams == transform(sequence, concat_ws) twin, docs corpus + fixtures") {
     for (df <- Seq(docs.select("text"), fixturesDF.select("text"))) {
       val both = df.select(
