@@ -892,7 +892,32 @@ object SparkEntry {
     // reproducible across runs, partitionings, and engines; map-only
     "q_split_dataset" -> ((s, dir) =>
       Sampling.datasetSplit(
-        Tables.documents(s, dir).select("doc_id", "source"), "doc_id"))
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),
+    // CDC changelog compaction: last-writer-wins snapshot in ONE max_by
+    // hash aggregate (map-side partials, no window sort); tombstoned keys
+    // absent, tombstone-then-upsert resurrects
+    "q_events_cdc" -> ((s, dir) =>
+      EventAnalytics.cdcCompact(Tables.events(s, dir))),
+    // Okapi BM25 ranked retrieval: ln idf + tf saturation + doc-length
+    // normalization; per-term contribs round-then-decimal-sum, top-k is a
+    // TakeOrdered with doc_id tiebreak
+    "q_text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Retrieve(Tables.documents(s, dir),
+        Seq("window", "hash", "merge"), k = 20)),
+    // bigram-LM perplexity quality signal (CCNet-style): add-one-smoothed
+    // corpus bigram model, per-doc mean negative log-likelihood in nats;
+    // broadcast model join + one doc-keyed aggregate
+    "q_text_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexity(Tables.documents(s, dir))),
+    // DSIR importance weights: hashed-unigram log-likelihood ratio vs the
+    // src0 target slice; two 256-bucket model aggregates broadcast onto a
+    // per-doc decimal dot product — no trailing division
+    "q_sample_importance" -> ((s, dir) =>
+      Sampling.importanceWeights(Tables.documents(s, dir), "source", "src0")),
+    // streaming CDC compaction: flatMapGroupsWithState last-writer-wins
+    // state over the time-ordered replay (continuous MERGE maintenance);
+    // same snapshot as the batch compactor, same oracle
+    "q_streaming_cdc" -> ((s, dir) => StreamingState.cdcSnapshot(s, dir))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2750,8 +2775,100 @@ object SparkEntry {
          |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM r GROUP BY 1, 2)
          |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_matched_windows,
          |       CAST(MAX(run) + 3 AS BIGINT) AS longest_span_tokens
-         |FROM runs GROUP BY doc_id""".stripMargin
+         |FROM runs GROUP BY doc_id""".stripMargin,
+    // CDC compaction: last writer wins under (ts, event_id), tombstone
+    // filter AFTER the argmax (tombstone-then-upsert resurrects)
+    "q_events_cdc" -> cdcOracleSql,
+    // streaming CDC: identical final snapshot as the batch compactor
+    "q_streaming_cdc" -> cdcOracleSql,
+    // DSIR importance weights: the oracle retrains both 256-bucket hashed
+    // distributions and replays the log-ratio model in SQL
+    "q_sample_importance" ->
+      """WITH t0 AS (SELECT doc_id, source AS src,
+        |              unnest(string_split(text, ' ')) AS term FROM documents),
+        |terms AS (SELECT doc_id, src, substr(md5(term), 1, 2) AS bucket
+        |          FROM t0),
+        |tgt AS (SELECT bucket, COUNT(*) AS c_t FROM terms
+        |        WHERE src = 'src0' GROUP BY 1),
+        |raw AS (SELECT bucket, COUNT(*) AS c_r FROM terms GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n FROM terms WHERE src = 'src0'),
+        |nr AS (SELECT COUNT(*) AS n FROM terms),
+        |model AS (SELECT raw.bucket,
+        |    CAST(round(ln(((coalesce(c_t, 0) + 1.0) / (nt.n + 256.0)) /
+        |                  ((c_r + 1.0) / (nr.n + 256.0))), 6)
+        |         AS DECIMAL(18,6)) AS w
+        |  FROM raw LEFT JOIN tgt USING (bucket), nt, nr),
+        |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM terms GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(tf * w) AS DOUBLE), 6) AS importance
+        |FROM tf JOIN model USING (bucket)
+        |GROUP BY doc_id""".stripMargin,
+    // BM25: arithmetic mirrors the engine token for token (same literals,
+    // same association); ln is the only libm seam, defused by the 6-dp
+    // round before the decimal accumulation
+    "q_text_bm25" ->
+      """WITH lens AS (SELECT doc_id,
+        |                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |              FROM documents),
+        |a AS (SELECT COUNT(*) AS n_docs,
+        |             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+        |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |          FROM documents),
+        |qt AS (SELECT doc_id, term FROM terms
+        |       WHERE term IN ('window', 'hash', 'merge')),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit, dl,
+        |  round(CAST(SUM(CAST(round(
+        |    ln(1.0 + (a.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0) /
+        |     (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / a.avgdl))),
+        |    6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+        |FROM tf JOIN df USING (term) JOIN lens USING (doc_id), a
+        |GROUP BY doc_id, dl
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    // bigram-LM perplexity: the oracle retrains the add-one model in SQL
+    // (history counts from the bigram inventory, 1-based list indexing)
+    "q_text_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |big AS (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, len(t) - 1),
+        |                                i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |        FROM toks WHERE len(t) >= 2),
+        |cbi AS (SELECT bigram, COUNT(*) AS c_ab FROM big GROUP BY 1),
+        |ch AS (SELECT string_split(bigram, ' ')[1] AS w1, SUM(c_ab) AS c_h
+        |       FROM cbi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS term
+        |         FROM documents)),
+        |model AS (SELECT bigram,
+        |    CAST(round(-ln((c_ab + 1.0) / (c_h + CAST(v.v AS DOUBLE))), 6)
+        |         AS DECIMAL(18,6)) AS contrib
+        |  FROM cbi JOIN ch ON string_split(cbi.bigram, ' ')[1] = ch.w1, v),
+        |tf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM big GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |        CAST(SUM(tf * contrib) * 2000000 + SUM(tf) AS BIGINT) AS num2
+        |      FROM tf JOIN model USING (bigram) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, num2 // (2 * n_bigrams) AS avg_nll_micro,
+        |  CAST(num2 // (2 * n_bigrams) AS DOUBLE) / 1000000.0 AS avg_nll
+        |FROM s""".stripMargin
   )
+
+  /** CDC compaction oracle — shared by the batch compactor and its
+    * streaming twin so the last-writer-wins semantics cannot drift. */
+  private lazy val cdcOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |                  event_type, value FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY ts_us DESC, event_id DESC) AS rn,
+      |        COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      |      FROM e)
+      |SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, ts_us AS last_ts_us,
+      |       event_type AS last_type, value AS last_value
+      |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin
 
   /** Rank-blend oracle body — shared by the blend query and its top-k
     * composition so the signal definitions cannot drift. */

@@ -393,4 +393,44 @@ object EventAnalytics {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("week"), col("mask"),
         bit_count(col("mask")).as("n_days_active"), col("n_events"))
+
+  /** CDC changelog compaction — the MERGE/upsert move that turns an
+    * append-only change log into the current snapshot: every event upserts
+    * its user's state, events of `tombstoneType` are deletes, and last
+    * writer wins under the total order (ts, event_id) (the same
+    * duplicate-timestamp tiebreak as [[scd2TypeIntervals]] — SCD2 keeps the
+    * history this operator discards). A key whose LATEST change is a
+    * tombstone is absent from the snapshot; a tombstone followed by a later
+    * upsert resurrects the key (specs pin both).
+    *
+    * Shape: ONE hash aggregate — `max_by(payload, (ts, event_id))` has
+    * map-side partials (each partition keeps one candidate row per key), so
+    * the shuffle carries ≤ keys × partitions rows of fixed-width state, not
+    * the change log; no window sort, no join. That is the compaction a
+    * lakehouse MERGE job runs over a 100 TB changelog: the per-key state is
+    * one row regardless of how hot the key is, and the tombstone filter
+    * happens AFTER last-writer-wins (filtering tombstones first would
+    * wrongly resurrect the previous upsert).
+    *
+    * Payload doubles pass through untouched (no arithmetic → engine-exact).
+    *
+    * Returns (user_id, n_ops, last_ts_us, last_type, last_value) for keys
+    * live in the snapshot; n_ops counts ALL change records for the key,
+    * tombstones included.
+    */
+  def cdcCompact(events: DataFrame, tombstoneType: String = "error"): DataFrame =
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_ops"),
+        max_by(
+          struct(col("ts_us"), col("event_type"), col("value")),
+          struct(col("ts_us"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= lit(tombstoneType))
+      .select(col("user_id"), col("n_ops"),
+        col("last.ts_us").as("last_ts_us"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
 }

@@ -168,4 +168,58 @@ object Sampling {
       }.get.otherwise(splits.last._1)
     df.withColumn("split", assigned)
   }
+
+  /** DSIR-style importance weighting — score every document by how much its
+    * hashed-unigram distribution resembles a TARGET slice of the corpus
+    * versus the corpus at large (Data Selection via Importance Resampling:
+    * the standard "pick web pages that look like the high-quality seed"
+    * move). Features are the CMS bucket trick ([[graft.operators.Sketches]]):
+    * term → first 2 hex chars of md5 → 256 buckets, so both distributions
+    * are bounded 256-row model artifacts no matter the vocabulary.
+    *
+    *   w(b)    = ln( p_target(b) / p_raw(b) ),  add-one smoothed
+    *   score(d)= Σ_b tf_d(b) · round(w(b), 6)
+    *
+    * The per-bucket log-ratio rounds to 6 dp once and the per-doc score is
+    * the exact decimal dot product — no trailing division, so the output is
+    * engine-exact given the 256 rounded model values (the `ln` ulp-risk
+    * argument of [[graft.operators.TextAnalysis.bm25Retrieve]], here over
+    * only 256 distinct arguments). Positive score = more target-like;
+    * resample by [[hashSample]] on a score-ranked gate downstream.
+    *
+    * Scale shape: two 256-row hash aggregates build the model (the map-side
+    * partials ARE the histogram merge), the model broadcast-joins the
+    * per-doc bucket counts, and one doc-keyed aggregate emits the score —
+    * no corpus shuffle beyond the (doc, bucket) aggregate whose row count
+    * is ≤ docs × 256.
+    *
+    * Returns (doc_id, n_tokens, importance).
+    */
+  def importanceWeights(docs: DataFrame, sourceCol: String,
+      targetSource: String): DataFrame = {
+    val buckets = 256
+    val terms = docs
+      .select(col("doc_id"), col(sourceCol).as("src"),
+        explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), col("src"),
+        substring(md5(col("term")), 1, 2).as("bucket"))
+    val tgt = terms.filter(col("src") === targetSource)
+      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val raw = terms.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    // totals are bounded driver-side scalars (model artifacts)
+    val nT = terms.filter(col("src") === targetSource).count()
+    val nR = terms.count()
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(log(
+          ((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / lit(nT.toDouble + buckets)) /
+            ((col("c_r") + lit(1.0)) / lit(nR.toDouble + buckets))), 6)
+          .cast("decimal(18,6)").as("w"))
+    terms.groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * col("w")).cast("double"), 6).as("importance"))
+  }
 }

@@ -554,6 +554,126 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Okapi BM25 ranked retrieval — the industry-standard scoring next to
+    * [[retrieve]]'s logarithm-free rarity weight: per matched term,
+    *
+    *   idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *   norm(d)  = tf · (k1+1) / (tf + k1 · (1 − b + b · dl/avgdl))
+    *
+    * with dl the document's FULL token count and avgdl the corpus mean —
+    * BM25's length normalization is exactly what the raw odds ratio lacks
+    * (long documents accumulate tf for free; BM25 saturates it).
+    *
+    * On `ln` portability: the repo's default stance (see [[termRarity]]) is
+    * to avoid libm in oracle-compared columns because engines' `log` differ
+    * in the last ulp on rare arguments. Here the per-term contribution is
+    * rounded to 6 dp BEFORE the decimal accumulation, so a disagreement
+    * only surfaces if some contribution lands within ~1 ulp (≈1e-15) of a
+    * 5e-7 rounding boundary — a ~1e-9-per-value event over the ≤
+    * |terms|×|docs| distinct contributions, and the DuckDB gate at two
+    * scale factors IS the standing differential test of that claim. The
+    * arithmetic mirrors the oracle token for token (same association, same
+    * literals) so the only seam is `ln` itself.
+    *
+    * Scale shape: identical to [[retrieve]] — the query-term `isin` filter
+    * collapses into the scan, df is a broadcast-sized aggregate, avgdl/N
+    * are one bounded driver-side scalar aggregate (a trained-model
+    * artifact, like [[trainVocab]]), the doc-length side joins on doc_id
+    * (partitionable equi-join), and the top-k is a TakeOrdered with doc_id
+    * tiebreak.
+    *
+    * Returns the top `k` of (doc_id, n_terms_hit, dl, score).
+    */
+  def bm25Retrieve(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty retrieval query")
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    // N and avgdl are one bounded scalar aggregate — a model artifact
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("dl"),
+        round(idf * norm, 6).cast("decimal(18,6)").as("contrib"))
+      .groupBy("doc_id", "dl")
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        round(sum(col("contrib")).cast("double"), 6).as("score"))
+      .select(col("doc_id"), col("n_terms_hit"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Bigram language-model perplexity scoring — the CCNet/RefinedWeb-style
+    * quality signal: train an add-one-smoothed bigram LM on the corpus
+    * itself, then score every document by its mean negative log-likelihood
+    * (in nats — the monotone equivalent of perplexity without the `exp`
+    * seam). Gibberish and rare-transition documents score high; formulaic
+    * boilerplate scores low; the score feeds percentile gates
+    * ([[graft.operators.Quality.percentileGate]]) or bucket mixing.
+    *
+    *   P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    *
+    * with c(w1 ·) the count of bigrams starting at w1 (history count) and V
+    * the corpus vocabulary size, so probabilities are exact small rationals
+    * before the single `ln`. Per distinct bigram the −ln P contribution is
+    * rounded to 6 dp once (see [[bm25Retrieve]] for the ulp-risk argument),
+    * then each document's total is the exact decimal dot product
+    * Σ tf_doc(bigram) · contrib — partition-order-independent. The MEAN is
+    * where a naive double division dies across engines: sum/n lands on
+    * exact half-way 7th-digit ties (sf0.1 reproduces two), and Spark's
+    * BigDecimal HALF_UP disagrees with a float-multiply round there. So the
+    * mean is exact INTEGER fixed point instead: micro-nats
+    * ⌊(2·s_µ + n) / 2n⌋ (half-up by construction, s_µ = total·10⁶ exact),
+    * with the double `avg_nll` derived from the integer by one exact cast +
+    * one IEEE division — the same fixed-point move as the PageRank oracle.
+    *
+    * Scale shape: the model is two hash aggregates bounded by the observed
+    * bigram inventory (vocab² worst case — for an open-vocabulary corpus
+    * you'd cap histories with [[trainVocab]]'s top-k first, same call
+    * shape); scoring is a per-doc bigram explode joined to the broadcast
+    * model and one doc-keyed aggregate. Documents with fewer than two
+    * tokens have no bigrams and are excluded (the oracle mirrors this).
+    *
+    * Returns (doc_id, n_bigrams, avg_nll_micro, avg_nll).
+    */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val bigrams = docs.select(col("doc_id"),
+      explode(NativeExpressions.wordBigrams(col("text"))).as("bigram"))
+    // model: bigram counts + history counts + vocabulary size
+    val cBi = bigrams.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .withColumn("w1", split(col("bigram"), " ")(0))
+    val cHist = cBi.groupBy("w1").agg(sum(col("c_ab")).as("c_h"))
+    val vocabSize = docs
+      .select(explode(split(col("text"), " ")).as("w")).agg(countDistinct(col("w")))
+      .head().getLong(0)
+    val model = cBi.join(cHist, Seq("w1"))
+      .select(col("bigram"),
+        round(-log((col("c_ab") + lit(1.0)) / (col("c_h") + lit(vocabSize.toDouble))), 6)
+          .cast("decimal(18,6)").as("contrib"))
+    bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+      .join(broadcast(model), Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("contrib")).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nll") * lit(2000000) + col("n_bigrams")).cast("long").as("num2"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("num2 DIV (2 * n_bigrams)").as("avg_nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll_micro"),
+        (col("avg_nll_micro").cast("double") / lit(1000000.0)).as("avg_nll"))
+  }
+
   def termRarity(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -497,6 +497,107 @@ object StreamingState {
         max(col("stage3_us")).as("stage3_us"))
   }
 
+  /** One change event for the streaming CDC compactor. */
+  final case class CdcEvent(
+      event_id: Long, user_id: Long, event_type: String, us: Long, value: Double)
+
+  /** Per-key CDC state: ops applied so far + the current winning payload. */
+  final case class CdcState(n_ops: Long, ts_us: Long, typ: String, value: Double)
+
+  /** One cumulative CDC emission (per active key, per batch). */
+  final case class CdcUpdate(
+      user_id: Long, n_ops: Long, last_ts_us: Long, last_type: String,
+      last_value: Double)
+
+  private val cdcRuns = new ConcurrentHashMap[String, String]()
+
+  /** Streaming CDC compaction — the MATERIALIZED-VIEW-MAINTENANCE twin of
+    * [[graft.operators.EventAnalytics.cdcCompact]]: the change log replays
+    * as time-ordered micro-batches and `flatMapGroupsWithState` maintains
+    * each key's last-writer-wins payload incrementally, emitting the
+    * updated row once per (key, batch) — what a continuous MERGE into a
+    * serving table does, versus the batch operator's full recompaction.
+    *
+    * Ordering: chunk staging is globally time-ordered, so a later batch
+    * never carries an earlier event; within a batch each key's rows sort by
+    * (us, event_id) in memory — the same total order as the batch operator,
+    * hence the same final state per key, tombstones included (the tombstone
+    * must ride the state like any writer: filtering it early would
+    * resurrect the previous upsert).
+    *
+    * Final snapshot: n_ops strictly increases per applied change, so the
+    * latest emission per key is an order-free `max_by(payload, n_ops)`;
+    * keys whose final type is the tombstone drop AFTER that argmax. Equals
+    * the batch operator row-for-row — same DuckDB oracle.
+    *
+    * Scale: state is one fixed-width row per key (RocksDB-backed);
+    * emissions are one row per active key per batch.
+    */
+  def cdcSnapshot(
+      spark: SparkSession, sfDir: String,
+      tombstoneType: String = "error"): DataFrame = {
+    val out = cdcRuns.computeIfAbsent(sfDir, _ => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.expressions.Window
+      val root = workDir(sfDir).resolve("cdc")
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val staged = Tables.events(spark, sfDir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"),
+        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+          .cast("int").as("chunk"))
+      stageChunks(staged, root, staging)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val source = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("us", LongType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .as[CdcEvent]
+
+      val updates = source
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[CdcEvent], state: GroupState[CdcState]) =>
+            var st = state.getOption.getOrElse(CdcState(0L, -1L, "", 0.0))
+            // materialize + sort BEFORE state.update (lazy output iterator)
+            rows.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              st = CdcState(st.n_ops + 1, e.us, e.event_type, e.value)
+            }
+            state.update(st)
+            Iterator.single(CdcUpdate(uid, st.n_ops, st.ts_us, st.typ, st.value))
+        }
+
+      val outDir = root.resolve("out")
+      val query = updates.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("n_ops"), col("last_ts_us"), col("last_type"), col("last_value")),
+        col("n_ops")).as("last"))
+      .filter(col("last.last_type") =!= lit(tombstoneType))
+      .select(col("user_id"), col("last.n_ops").as("n_ops"),
+        col("last.last_ts_us").as("last_ts_us"),
+        col("last.last_type").as("last_type"),
+        col("last.last_value").as("last_value"))
+  }
+
   /** A day-keyed event for the streaming rate limiter. */
   final case class DayEvent(event_id: Long, user_id: Long, day: Int, us: Long)
 

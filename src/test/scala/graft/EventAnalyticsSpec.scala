@@ -194,4 +194,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("k_sum") == 5L)
     assert(r(1).getAs[Long]("k_min") == 5L && r(1).getAs[Long]("k_max") == 5L)
   }
+
+  private def cdcEvents(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+
+  test("cdcCompact: last writer wins, tombstoned keys absent") {
+    val df = cdcEvents(
+      (1L, 10L, 1L, "view", 1.0), (2L, 20L, 1L, "click", 2.0),
+      (3L, 10L, 2L, "view", 3.0), (4L, 30L, 2L, "error", 0.0))
+    val r = EventAnalytics.cdcCompact(df).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("user_id") == 1L)
+    assert(row.getAs[Long]("n_ops") == 2L)
+    assert(row.getAs[Long]("last_ts_us") == 20L)
+    assert(row.getAs[String]("last_type") == "click")
+    assert(row.getAs[Double]("last_value") == 2.0)
+  }
+
+  test("cdcCompact: tombstone-then-upsert resurrects; n_ops counts the tombstone") {
+    val df = cdcEvents(
+      (1L, 10L, 3L, "error", 0.0), (2L, 20L, 3L, "purchase", 7.5))
+    val r = EventAnalytics.cdcCompact(df).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_ops") == 2L)
+    assert(r.head.getAs[String]("last_type") == "purchase")
+    assert(r.head.getAs[Double]("last_value") == 7.5)
+  }
+
+  test("cdcCompact: duplicate timestamps break on event_id (same order as SCD2)") {
+    val df = cdcEvents(
+      (100L, 50L, 4L, "view", 1.0), (101L, 50L, 4L, "click", 9.0))
+    val r = EventAnalytics.cdcCompact(df).collect()
+    assert(r.head.getAs[String]("last_type") == "click")
+    assert(r.head.getAs[Double]("last_value") == 9.0)
+  }
 }

@@ -194,4 +194,37 @@ class PackingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("sum to 1"))
   }
+
+  test("importance weights: target-like docs score above off-target docs") {
+    // target source T speaks 'alpha beta'; the raw corpus is dominated by
+    // 'gamma delta' from source R; a doc echoing the target vocabulary must
+    // outscore one echoing the background
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "T"),
+      (2L, "alpha beta alpha beta", "T"),
+      (3L, "gamma delta gamma delta", "R"),
+      (4L, "gamma delta gamma delta", "R"),
+      (5L, "gamma delta gamma delta", "R"),
+      (6L, "alpha beta alpha beta", "R"),
+      (7L, "gamma delta gamma delta", "R"))
+      .toDF("doc_id", "text", "source")
+    val r = Sampling.importanceWeights(docs, "source", "T").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Double]("importance")).toMap
+    assert(r(6L) > r(7L), "target-vocabulary doc must outscore background doc")
+    assert(r(1L) > r(3L))
+    // identical texts get identical scores regardless of their own source
+    assert(r(1L) == r(6L) && r(3L) == r(7L))
+  }
+
+  test("importance weights: n_tokens counts every token; score is partition-stable") {
+    val docs = Seq(
+      (1L, "a b c d e", "T"), (2L, "a a a", "R"))
+      .toDF("doc_id", "text", "source")
+    val once = Sampling.importanceWeights(docs, "source", "T")
+    val again = Sampling.importanceWeights(docs.repartition(7), "source", "T")
+    assert(once.filter(col("doc_id") === 1L).head().getAs[Long]("n_tokens") == 5L)
+    assert(once.except(again).isEmpty && again.except(once).isEmpty,
+      "importance must be independent of input partitioning")
+  }
 }

@@ -167,6 +167,16 @@ class StreamingStateSpec extends AnyFunSuite {
       "streaming funnel state machine diverged from the batch funnel")
   }
 
+  test("streaming CDC compaction equals the batch compactor, tombstones included") {
+    import graft.operators.EventAnalytics
+    val streamed = StreamingState.cdcSnapshot(spark, sfDir)
+    val batch = EventAnalytics.cdcCompact(Tables.events(spark, sfDir))
+    assert(streamed.count() == batch.count(),
+      "every live key must appear exactly once in the streaming snapshot")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming last-writer-wins state diverged from the batch compaction")
+  }
+
   test("streaming incremental dedup verdicts equal the batch operator") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)

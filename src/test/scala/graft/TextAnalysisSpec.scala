@@ -195,4 +195,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("n_docs") == 2L)
     assert(r(1).getAs[Long]("min_tokens") == 4L)
   }
+
+  test("bm25Retrieve: doc-length normalization — same tf, shorter doc wins") {
+    val docs = corpus(
+      (1L, "hash pad"),
+      (2L, "hash pad pad pad pad pad pad pad"))
+    val r = TextAnalysis.bm25Retrieve(docs, Seq("hash"), k = 10).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(r(0).getAs[Double]("score") > r(1).getAs[Double]("score"))
+  }
+
+  test("bm25Retrieve: higher tf wins at equal length; saturation keeps it bounded") {
+    val docs = corpus(
+      (1L, "hash hash hash pad"),
+      (2L, "hash pad pad pad"))
+    val r = TextAnalysis.bm25Retrieve(docs, Seq("hash"), k = 10)
+      .orderBy("doc_id").collect()
+    val (s1, s2) = (r(0).getAs[Double]("score"), r(1).getAs[Double]("score"))
+    assert(s1 > s2)
+    // tf saturation: tripling tf gains far less than 3x
+    assert(s1 < 3 * s2)
+  }
+
+  test("bm25Retrieve: rare query term outscores a ubiquitous one") {
+    val docs = corpus(
+      (1L, "rare pad pad"), (2L, "common pad pad"),
+      (3L, "common x y"), (4L, "common u v"))
+    val r = TextAnalysis.bm25Retrieve(docs, Seq("rare", "common"), k = 10).collect()
+    // doc 1 (the only 'rare' holder) beats every 'common' holder
+    assert(r.head.getAs[Long]("doc_id") == 1L)
+    assert(r.length == 4 && r.head.getAs[Long]("n_terms_hit") == 1L)
+  }
+
+  test("perplexity: hand-computed add-one bigram model, fixed-point mean") {
+    // corpus: "a b", "a b", "a c" -> V = 3, c(a b)=2, c(a c)=1, c(a .)=3
+    // P(b|a) = 3/6 = 0.5 -> contrib 0.693147; P(c|a) = 2/6 -> 1.098612
+    val docs = corpus((1L, "a b"), (2L, "a b"), (3L, "a c"))
+    val r = TextAnalysis.perplexity(docs).orderBy("doc_id").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("n_bigrams") == 1L)
+    assert(r(0).getAs[Long]("avg_nll_micro") == 693147L)
+    assert(r(0).getAs[Double]("avg_nll") == 0.693147)
+    assert(r(2).getAs[Long]("avg_nll_micro") == 1098612L)
+  }
+
+  test("perplexity: sub-2-token docs excluded; tf weights repeated bigrams") {
+    val docs = corpus((1L, "solo"), (2L, "a b a b"), (3L, "a b"))
+    val r = TextAnalysis.perplexity(docs).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 3L))
+    assert(r(0).getAs[Long]("n_bigrams") == 3L) // "a b", "b a", "a b"
+  }
+
+  test("perplexity: boilerplate transitions score below rare ones") {
+    val docs = corpus(
+      (1L, "x y x y x y"), (2L, "x y x y x y"), (3L, "x y x y x y"),
+      (4L, "q z"))
+    val r = TextAnalysis.perplexity(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_nll")).toMap
+    assert(r(1L) < r(4L))
+  }
 }
