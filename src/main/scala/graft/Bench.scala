@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bounded-buffer aggregates (top-k, postings) group by thousands of
+      // keys; the 128-group default would demote them to sort-based
+      // aggregation (a full sort of the candidate stream). Buffers are
+      // size-capped, so a large hash map of them is tiny.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

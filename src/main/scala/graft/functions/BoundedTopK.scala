@@ -104,23 +104,49 @@ object BoundedTopKAgg {
     StructField("neg", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false)))
 
-  /** Size-capped max-heap on (neg, id) lexicographic order: the heap head is
-    * the LARGEST kept pair, evicted whenever a smaller candidate arrives with
-    * the buffer full — so the buffer always holds the k smallest pairs seen.
+  /** Size-capped SORTED primitive buffer on (neg, id) lexicographic order —
+    * two parallel primitive arrays kept ascending, so the hot reject path
+    * (candidate no better than the current k-th) is ONE branch with zero
+    * allocation. The boxed-tuple PriorityQueue this replaces allocated a
+    * tuple per offer and boxed every comparison — measurable at millions of
+    * updates per aggregate (the KNN join feeds ~n² rows through here when
+    * geometric pruning cannot bite). Insertions binary-search the slot and
+    * shift with arraycopy (k is small by contract). Semantics unchanged:
+    * the buffer always holds the k lexicographically-smallest pairs seen,
+    * equal pairs rejected at the boundary exactly as `Ordering.lt` did.
     */
   final class Buffer(k: Int) {
-    private val ord: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
-    private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    private val negs = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    private var n = 0
+
+    @inline private def lt(a1: Double, a2: Long, b1: Double, b2: Long): Boolean =
+      a1 < b1 || (a1 == b1 && a2 < b2)
 
     def add(neg: Double, id: Long): Unit = {
-      if (heap.size < k) heap.enqueue((neg, id))
-      else if (ord.lt((neg, id), heap.head)) { heap.dequeue(); heap.enqueue((neg, id)) }
+      if (n == k && !lt(neg, id, negs(n - 1), ids(n - 1))) return
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (lt(neg, id, negs(m), ids(m))) hi = m else lo = m + 1
+      }
+      val last = if (n < k) n else k - 1
+      System.arraycopy(negs, lo, negs, lo + 1, last - lo)
+      System.arraycopy(ids, lo, ids, lo + 1, last - lo)
+      negs(lo) = neg
+      ids(lo) = id
+      if (n < k) n += 1
     }
 
-    def foreach(f: (Double, Long) => Unit): Unit = heap.foreach(t => f(t._1, t._2))
+    def foreach(f: (Double, Long) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(negs(i), ids(i)); i += 1 }
+    }
 
-    /** Items ascending by (neg, id) — the output order. */
-    def sortedItems: Array[(Double, Long)] = heap.toArray.sorted(ord)
+    /** Items ascending by (neg, id) — the output order (maintained live). */
+    def sortedItems: Array[(Double, Long)] =
+      Array.tabulate(n)(i => (negs(i), ids(i)))
   }
 
   /** `Column` form over a (neg_score, id) struct column. */

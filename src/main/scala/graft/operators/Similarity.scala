@@ -459,6 +459,17 @@ object Similarity {
     * BOTH are cell-keyed equi-joins — partitionable, spillable,
     * AQE-balanceable — and the top-k aggregates are size-capped, so the
     * shuffle carries at most |corpus| × partitions × k candidate rows.
+    *
+    * Measured degradation (sf0.1, 2000×64-dim near-uniform vectors): median
+    * cell radius ≈ 76° and seed floors ≈ 0.25 cosine, so the angular bound
+    * admits EVERY cell — the curse of dimensionality, not an implementation
+    * gap — and the plan degrades gracefully to the cell-partitioned
+    * all-pairs equi-join, which is the exact-KNN lower bound on such data
+    * (the cost is then the n² exact scores themselves: a codegen'd
+    * sum(score) over the same pair stream measures within ~15% of the full
+    * query). On clusterable corpora the same code prunes; for scale serving
+    * on unclusterable ones the registered ANN recall audits (annTopK /
+    * ivfTopK) are the path — exactness is what this operator sells.
     */
   def knnJoinExact(
       embeddings: DataFrame, k: Int,
