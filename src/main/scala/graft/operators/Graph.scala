@@ -81,10 +81,12 @@ object Graph {
       .join(edges.groupBy("src").agg(sum(col("w")).as("wt")), Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("wt"))
       .localCheckpoint()
-    val n = g.select(col("src")).distinct().count()
+    // one distinct pass serves both the node count and the rank init
+    // (recomputing it per consumer re-shuffled the edge set twice)
+    val nodes = g.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
     val baseQ = (Scale * (dDen - dNum) / dDen) / n
-    var pr = g.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(Scale / n).as("prq"))
+    var pr = nodes.select(col("node"), lit(Scale / n).as("prq"))
     (1 to iters).foreach { i =>
       pr = g
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
