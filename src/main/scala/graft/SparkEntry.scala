@@ -917,7 +917,15 @@ object SparkEntry {
     // streaming CDC compaction: flatMapGroupsWithState last-writer-wins
     // state over the time-ordered replay (continuous MERGE maintenance);
     // same snapshot as the batch compactor, same oracle
-    "q_streaming_cdc" -> ((s, dir) => StreamingState.cdcSnapshot(s, dir))
+    "q_streaming_cdc" -> ((s, dir) => StreamingState.cdcSnapshot(s, dir)),
+    // hard-negative mining (contrastive training data): per anchor, the k
+    // most similar DIFFERENT-label vectors; full-coverage cell probe keeps
+    // the plan an equi-join, label filter before the bounded top-k
+    "q_similarity_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        cents(dir, emb))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -1422,6 +1430,24 @@ object SparkEntry {
          |  FROM embeddings e, q
          |  WHERE e.vec_id <> query_id)
          |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY score DESC, neighbor_id) AS rn
+         |      FROM s)
+         |WHERE rn <= 10""".stripMargin,
+    // hard negatives: the same brute-force top-k shape with the label
+    // constraint applied before ranking
+    "q_similarity_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |                  label AS q_label
+         |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+         |s AS (
+         |  SELECT query_id, q_label, e.vec_id AS neighbor_id,
+         |    e.label AS n_label,
+         |    round($duckCosine, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> query_id AND e.label <> q.q_label)
+         |SELECT query_id, q_label, CAST(rn AS INT) AS rank, neighbor_id,
+         |       n_label, score
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |                                   ORDER BY score DESC, neighbor_id) AS rn
          |      FROM s)

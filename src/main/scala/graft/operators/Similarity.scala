@@ -517,6 +517,54 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining — for each anchor vector, the k MOST similar
+    * corpus vectors with a DIFFERENT label: the contrastive-training data
+    * op (the negatives that matter are the ones the model currently
+    * confuses with the anchor — random negatives are too easy). Exact by
+    * FULL-COVERAGE probe: every anchor probes every IVF cell, so each
+    * corpus vector (one cell assignment each) is scored exactly once — the
+    * cell key exists purely to keep the plan an equi-join (anchor side
+    * broadcast, |anchors| × |corpus| scored rows, never a cartesian node).
+    * The label constraint applies BEFORE the bounded top-k, so same-label
+    * near-duplicates cannot crowd negatives out of the k slots.
+    *
+    * Scale shape: |anchors| is a training-batch-sized set (the op runs
+    * per batch, not per corpus), so the scored stream is anchors × corpus
+    * partitioned by cell; with a trained index swap the full probe for
+    * [[ivfExactTopK]]-style floors + cell pruning computed against
+    * DIFFERENT-label seeds only — the plan shape is unchanged.
+    *
+    * Returns (query_id, q_label, rank, neighbor_id, n_label, score),
+    * ranked by (score desc, neighbor_id asc) per anchor.
+    */
+  def hardNegatives(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      norm(col("embedding")).as("nn"), col("label").as("n_label"),
+      nearestCell(col("embedding"), centroids).as("cell"))
+    val queries = broadcast(
+      embeddings.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          norm(col("embedding")).as("qn"), col("label").as("q_label"))
+        .select(col("query_id"), col("qv"), col("qn"), col("q_label"),
+          explode(sequence(lit(0), lit(centroids.length - 1))).as("cell")))
+    val scored = corpus.join(queries, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    topKPerQuery(scored, k)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))), Seq("query_id"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))), Seq("neighbor_id"))
+      .select(col("query_id"), col("q_label"), col("rank"),
+        col("neighbor_id"), col("n_label"), col("score"))
+  }
+
   /** Brute-force self-KNN — every pair scored via a cross join. Spec-side
     * differential baseline for [[knnJoinExact]] ONLY (quadratic by
     * construction; never registered as a serving plan).

@@ -408,4 +408,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("std") == 0.0) // the dead-dimension signal
     assert(r(1).getAs[Double]("mean") == 5.0)
   }
+
+  test("hard negatives: label filter before top-k, equi-join plan, brute parity") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, k = 8, iters = 3)
+    val qids = Seq(0L, 1L, 2L)
+    val got = Similarity.hardNegatives(emb, qids, k = 5, centroids)
+
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"hard-negative plan must not be all-pairs:\n$plan")
+
+    // every emitted negative carries a label different from its anchor's
+    assert(got.filter(col("n_label") === col("q_label")).count() == 0)
+
+    // brute force: same top-k with the label constraint applied pre-rank
+    import org.apache.spark.sql.expressions.Window
+    val sides = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val brute = sides.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+      .crossJoin(sides.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("label").as("n_label")))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val gotSet = got.select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(gotSet == brute,
+      s"hard negatives must equal the label-filtered brute-force top-k: " +
+        s"missing=${brute -- gotSet}, extra=${gotSet -- brute}")
+  }
+
+  test("hard negatives: a same-label near-duplicate cannot crowd out negatives") {
+    // anchor 0 has an identical same-label twin (1); negatives must be the
+    // other-label vectors ONLY, twin excluded even at cosine 1
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f), 7), (1L, Seq(1f, 0f, 0f), 7),
+      (2L, Seq(0.9f, 0.1f, 0f), 3), (3L, Seq(0f, 1f, 0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val centroids = Similarity.trainIvfCentroids(df, k = 2, iters = 2)
+    val r = Similarity.hardNegatives(df, Seq(0L), k = 2, centroids)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(r.forall(_.getAs[Int]("n_label") == 3))
+  }
 }
