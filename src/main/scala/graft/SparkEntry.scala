@@ -273,11 +273,12 @@ object SparkEntry {
         val docs = Tables.documents(s, dir)
         Dedup.nearDedupLabels(docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7))
       })),
-    // simhash near-dup: banded fingerprint join (pigeonhole-complete recall);
-    // xxhash64-based fingerprint is not SQL-expressible → rows-only check,
-    // semantics pinned by DedupSpec instead
+    // simhash near-dup: banded fingerprint join (pigeonhole-complete recall)
+    // over md5-derived 60-bit portable fingerprints — the oracle replays the
+    // whole vote/band/hamming pipeline in SQL; the xxhash64 native-kernel
+    // variant stays spec-pinned (DedupSpec) as the scale path
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 3)),
+      Dedup.simhashNearDuplicatesPortable(Tables.documents(s, dir), maxHamming = 3)),
     // span-level exact dedup: verbatim 8-word windows repeated across docs —
     // portable rolling-window md5 fingerprints + one hash-aggregate, the
     // distributed stand-in for a corpus suffix array
@@ -412,15 +413,14 @@ object SparkEntry {
       TextAnalysis.lengthDeciles(Tables.documents(s, dir), n = 10)),
     // language-ID: the trained profiles are plain trigram STRINGS, so the
     // whole train+score pipeline has a DuckDB twin (the oracle retrains the
-    // profiles in SQL and must pick the same languages). Winnowing
-    // fingerprints hash with xxhash64 — not SQL-expressible → rows-only,
-    // semantics pinned in TextAnalysisSpec.
+    // profiles in SQL and must pick the same languages).
     "q_text_langid" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextAnalysis.languageId(docs, langProfiles.computeIfAbsent(dir,
         _ => TextAnalysis.trainLanguageProfiles(docs)))
     }),
-    "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprintsPortable(Tables.documents(s, dir))),
     // ---- the composed curation pipeline: near-dup canonical filter (which
     //      subsumes exact dedup) → language-ID → quality filter → per-language
     //      accounting. Reuses the cached label/profile artifacts; the whole
@@ -461,9 +461,11 @@ object SparkEntry {
     // ---- Beyond-reference: multimodal binary columns ---------------------
     // typed metadata over opaque binary payloads (oracle-checkable)
     "q_multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
-    // native-expression frame slicing + per-frame features (xxhash64-based →
-    // rows-only; semantics pinned in MultimodalSpec)
-    "q_multimodal_frames" -> ((s, dir) => Multimodal.frameFeatures(Tables.documents(s, dir))),
+    // frame slicing + per-frame features over codepoint frames with md5
+    // features — oracle replays the framing exactly; the byte-frame/xxhash64
+    // native variant stays pinned in MultimodalSpec
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameFeaturesPortable(Tables.documents(s, dir))),
     // the mapPartitions decode seam with the stub codec. Registered output is
     // the scalar projection (the raw per-frame feature array is not a stable
     // driver-comparable column); n_frames comes from the DECODER's actual
@@ -1333,6 +1335,31 @@ object SparkEntry {
         |      FROM documents)
         |WHERE rn = 1""".stripMargin,
     "q_dedup_near" -> s"WITH sh AS ($dedupShCte) $dedupNearBody",
+    // portable simhash replayed end-to-end: per-shingle 60-bit hash = first
+    // 15 md5 hex chars base-16 (nibble arithmetic below = the engine's conv),
+    // 60 per-bit majority votes, 4×16-bit bands (bits 60–63 constant 0),
+    // hamming = popcount(xor)
+    "q_dedup_simhash" ->
+      s"""WITH sh AS ($dedupShCte),
+         |h AS (SELECT doc_id, substr(md5(s), 1, 15) AS hx
+         |      FROM (SELECT doc_id, unnest(ss) AS s FROM sh)),
+         |v AS (SELECT doc_id, b,
+         |        sum(CASE WHEN ((strpos('0123456789abcdef',
+         |                               substr(hx, 15 - b // 4, 1)) - 1)
+         |                       >> (b % 4)) & 1 = 1
+         |                 THEN 1 ELSE -1 END) AS vote
+         |      FROM h, (SELECT unnest(range(60)) AS b) bb
+         |      GROUP BY doc_id, b),
+         |fp AS (SELECT doc_id,
+         |         sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+         |       FROM v GROUP BY doc_id),
+         |bk AS (SELECT doc_id, fp, band, (fp >> CAST(band * 16 AS INT)) & 65535 AS key
+         |       FROM (SELECT doc_id, fp, unnest(range(4)) AS band FROM fp))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+         |                   AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     // directional containment |A∩B|/|A| over the same string shingle sets —
     // the prefix-filtered engine plan must list exactly the brute-force pairs
     "q_dedup_containment" ->
@@ -1576,6 +1603,20 @@ object SparkEntry {
         |                                   ORDER BY matched DESC, cand_lang DESC) AS rn
         |      FROM scored)
         |WHERE rn = 1 AND matched > 0""".stripMargin,
+    // portable winnowing: md5-hex character-8-gram hashes, lexicographic
+    // window-of-4 minima, distinct — the full MOSS scheme replayed in SQL
+    "q_text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 11 THEN
+        |      list_distinct([
+        |        list_min([md5(substr(text, j + o, 8)) for o in range(0, 4)])
+        |        for j in range(1, length(text) - 9)])
+        |    ELSE [] END AS fps
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+        |       list_min(fps) AS min_fingerprint
+        |FROM f""".stripMargin,
     // Multimodal metadata: UTF-8 byte length and fixed-size frame count over
     // the payload bytes; mime assignment mirrors the engine's derivation.
     "q_multimodal_resize" ->
@@ -1593,6 +1634,15 @@ object SparkEntry {
         |  END AS mime,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    // portable frames: 256-codepoint windows, md5 features, stride-2 sample
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(ceil(length(text)::DOUBLE / 256) AS INT) AS n_frames,
+        |  CAST((ceil(length(text)::DOUBLE / 256)::BIGINT + 1) // 2 AS INT)
+        |    AS n_sampled,
+        |  CASE WHEN length(text) >= 1 THEN md5(substr(text, 1, 256)) END
+        |    AS first_frame_feature
         |FROM documents""".stripMargin,
     // decode seam: the engine's n_frames is what the decoder actually
     // produced; the oracle recomputes it from the payload length

@@ -56,6 +56,14 @@ case class BoundedTopKAgg(
         throw new IllegalArgumentException(
           "bounded_top_k: null " + (if (row.isNullAt(0)) "neg_score" else "id") +
             " in input struct — score the row or filter it out before ranking")
+      // NaN would break the buffer's sorted invariant (every `<` probe against
+      // it is false, so later inserts can land after it) — reject with the
+      // same loud edge policy as null fields; round()/Divide propagate NaN
+      // straight through the null check above
+      if (java.lang.Double.isNaN(row.getDouble(0)))
+        throw new IllegalArgumentException(
+          "bounded_top_k: NaN neg_score in input struct — score the row or " +
+            "filter it out before ranking")
       b.add(row.getDouble(0), row.getLong(1))
     }
     b
@@ -124,6 +132,10 @@ object BoundedTopKAgg {
       a1 < b1 || (a1 == b1 && a2 < b2)
 
     def add(neg: Double, id: Long): Unit = {
+      // defend the sorted invariant at the buffer boundary too — a NaN that
+      // slipped past callers would silently corrupt rank order
+      if (java.lang.Double.isNaN(neg))
+        throw new IllegalArgumentException("bounded_top_k buffer: NaN neg_score")
       if (n == k && !lt(neg, id, negs(n - 1), ids(n - 1))) return
       var lo = 0
       var hi = n

@@ -497,6 +497,26 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .select(col("id"), NativeExpressions.simhash64(col("hs")).as("fp"))
 
+  /** (id, fp) simhash fingerprints from ENGINE-PORTABLE shingle hashes: each
+    * distinct word-n-gram shingle hashes to the first 15 hex chars of its md5
+    * read as a base-16 integer — a 60-bit value both Spark (`conv`) and a SQL
+    * oracle (hex-nibble arithmetic) can recompute exactly. The 60-bit hashes
+    * feed the same one-pass native vote kernel as [[fingerprintDF]]: bits
+    * 60–63 are 0 in every hash, so their votes are all −1 and those
+    * fingerprint bits come out 0 — i.e. the kernel computes precisely the
+    * 60-bit simhash. This is the oracle-checkable twin of [[fingerprintDF]]
+    * (whose xxhash64 hashes no other engine can replay); same move as
+    * [[graft.functions.NativeExpressions.wordWindowMd5]].
+    */
+  def fingerprintDFPortable(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol), n),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"), NativeExpressions.simhash64(col("hs")).as("fp"))
+
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming, with
     * band-join candidate generation: the 64-bit fingerprint splits into
     * (maxHamming + 1) bands, and by pigeonhole any pair within maxHamming
@@ -509,13 +529,32 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    simhashBandPairs(
+      fingerprintDF(docs, textCol = textCol, idCol = idCol), maxHamming)
+
+  /** [[simhashNearDuplicates]] over the md5-derived portable fingerprints —
+    * identical banding/recall structure (60-bit fingerprints band exactly
+    * like 64-bit ones whose top 4 bits are constant-0), fully replayable by
+    * the DuckDB oracle.
+    */
+  def simhashNearDuplicatesPortable(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    simhashBandPairs(
+      fingerprintDFPortable(docs, textCol = textCol, idCol = idCol), maxHamming)
+
+  /** The banded pair join over an (id, fp) fingerprint table — shared by the
+    * xxhash64 and portable fingerprint front ends.
+    */
+  def simhashBandPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming " +
         "(>= 64 would zero the band keys and degrade the join to all-pairs)")
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val fps = fingerprintDF(docs, textCol = textCol, idCol = idCol)
 
     val bands = fps.select(
       col("id"), col("fp"),

@@ -86,6 +86,34 @@ object Multimodal {
       try_element_at(frames, lit(1)).as("first_frame_feature"))
   }
 
+  /** ENGINE-PORTABLE frame features: frames are [[FrameBytes]]-CODEPOINT
+    * windows of the text (the char-sliced twin of [[frameFeatures]]'s byte
+    * frames — the same substitution [[graft.operators.Dedup.chunkDedup]]
+    * makes for its content blocks, since `substr` character semantics agree
+    * across engines while byte slicing of UTF-8 does not), and the per-frame
+    * feature is the md5 hex of the frame text. Registered, oracle-checked
+    * form; the byte/xxhash64 [[frameFeatures]] stays spec-pinned as the
+    * binary-payload path.
+    *
+    * Returns (doc_id, n_frames, n_sampled, first_frame_feature).
+    */
+  def frameFeaturesPortable(docs: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val nFrames = ceil(length(col("text")).cast("double") / FrameBytes).cast("int")
+    // same empty-payload guard as frameFeatures: sequence(0, -1) descends
+    val frames = when(nFrames >= 1,
+      transform(
+        sequence(lit(0), nFrames - 1),
+        i => md5(col("text").substr(i * FrameBytes + 1, lit(FrameBytes)))))
+      .otherwise(array().cast("array<string>"))
+    val sampled = filter(frames, (_, i) => i % stride === 0)
+    docs.select(
+      col("doc_id"),
+      nFrames.as("n_frames"),
+      size(sampled).as("n_sampled"),
+      try_element_at(frames, lit(1)).as("first_frame_feature"))
+  }
+
   /** A decoded media frame batch row. */
   final case class DecodedFrames(docId: Long, mime: String, nFrames: Int, features: Array[Long])
 

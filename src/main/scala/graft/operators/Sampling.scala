@@ -206,13 +206,24 @@ object Sampling {
     val tgt = terms.filter(col("src") === targetSource)
       .groupBy("bucket").agg(count(lit(1)).as("c_t"))
     val raw = terms.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-    // totals are bounded driver-side scalars (model artifacts)
-    val nT = terms.filter(col("src") === targetSource).count()
-    val nR = terms.count()
-    val model = raw.join(tgt, Seq("bucket"), "left")
+    // ONE pass builds the whole model: the ≤256-row joined histogram is the
+    // bounded driver-side artifact, and both totals are exactly its column
+    // sums (tgt ⊆ raw by construction) — the separate count() actions this
+    // replaces re-ran the full explode + bucketing twice more
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), col("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .as[(String, Long, Long)].collect()
+    val nT = hist.map(_._3).sum
+    val nR = hist.map(_._2).sum
+    // weights go through the SAME engine expression (round∘log) as before,
+    // just over the collected histogram as broadcast literals
+    val model = hist.toSeq.toDF("bucket", "c_r", "c_t")
       .select(col("bucket"),
         round(log(
-          ((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / lit(nT.toDouble + buckets)) /
+          ((col("c_t") + lit(1.0)) / lit(nT.toDouble + buckets)) /
             ((col("c_r") + lit(1.0)) / lit(nR.toDouble + buckets))), 6)
           .cast("decimal(18,6)").as("w"))
     terms.groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))

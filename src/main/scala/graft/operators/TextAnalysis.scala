@@ -377,6 +377,37 @@ object TextAnalysis {
         size(col("fps")).as("n_fingerprints"),
         array_min(col("fps")).as("min_fingerprint"))
 
+  /** ENGINE-PORTABLE winnowing fingerprints: same k-gram/window-min scheme as
+    * [[fingerprints]], but each k-gram hashes to its md5 HEX STRING and the
+    * window minimum is the lexicographic string minimum — both recomputable
+    * by a SQL oracle character-for-character (the [[graft.operators.Dedup]]
+    * `wordWindowMd5` move, applied to character k-grams). Structured as two
+    * projections so the k-gram hash array materializes ONCE per row; putting
+    * it inline inside the window lambda would re-derive every md5 per window
+    * (higher-order lambdas evaluate their bodies per element).
+    *
+    * Returns (doc_id, n_fingerprints, min_fingerprint) — the registered,
+    * oracle-checked form; the xxhash64 native-kernel [[fingerprints]] stays
+    * the scale path, pinned by TextAnalysisSpec/NativeKernelsSpec.
+    */
+  def fingerprintsPortable(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).as("len"),
+        when(length(col("text")) >= k,
+          transform(
+            sequence(lit(1), length(col("text")) - (k - 1)),
+            i => md5(col("text").substr(i, lit(k)))))
+          .otherwise(array().cast("array<string>")).as("kh"))
+      .select(col("doc_id"),
+        when(col("len") >= k + w - 1,
+          array_distinct(transform(
+            sequence(lit(1), col("len") - (k + w - 2)),
+            j => array_min(slice(col("kh"), j, lit(w))))))
+          .otherwise(array().cast("array<string>")).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fingerprint"))
+
   /** The distinct winnowing fingerprint set of a text column —
     * Column-combinator twin of the native `WinnowingExpr` kernel
     * (differential-tested in NativeKernelsSpec).

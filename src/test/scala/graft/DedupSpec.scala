@@ -213,6 +213,20 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("portable simhash: 60-bit fingerprints, banded join == brute-force hamming") {
+    val docs = Tables.documents(spark, sfDir)
+    val fps = Dedup.fingerprintDFPortable(docs).as[(Long, Long)].collect()
+    assert(fps.nonEmpty && fps.forall { case (_, fp) => (fp >>> 60) == 0L },
+      "md5-derived fingerprints must use only the low 60 bits")
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashNearDuplicatesPortable(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
   test("containment: a truncated copy is caught even though its Jaccard is tiny") {
     // doc 2 is the first quarter of doc 1: containment(2→1) = 1.0 but
     // Jaccard ≈ 0.25 — invisible to the J=0.7 banding, the whole point

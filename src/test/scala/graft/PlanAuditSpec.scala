@@ -100,14 +100,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle entries without a query: ${o -- q}")
-    // rows-only entries are the xxhash64-based/approximate ops, by design
-    // (langid + the decode seam graduated to oracle-checked in round 4; the
-    // sketch twins and ANN queries graduated via error/recall-as-data
-    // audits in round 7)
+    // every registered query is oracle-checked — the last rows-only entries
+    // (simhash / winnowing / frames) graduated in round 8 via md5-portable
+    // twins whose oracles replay the full pipelines in SQL
     val rowsOnly = q -- o
-    val expectedRowsOnly = Set(
-      "q_dedup_simhash", "q_text_fingerprint", "q_multimodal_frames")
-    assert(rowsOnly == expectedRowsOnly,
-      s"unexpected rows-only queries (add an oracle or whitelist deliberately): ${rowsOnly -- expectedRowsOnly}")
+    assert(rowsOnly.isEmpty,
+      s"unexpected rows-only queries (add an oracle or whitelist deliberately): $rowsOnly")
   }
 }
