@@ -380,6 +380,17 @@ object SparkEntry {
       val (c, r) = knnIndex(dir, emb)
       Similarity.knnJoinExact(emb, k = 5, c, precomputedRadii = Some(r))
     }),
+    // exact self-KNN on the CLUSTERED twin corpus (tight label-wise blobs —
+    // the SemDeDup data profile): the same operator/index, but here the
+    // triangle-inequality prune ENGAGES (probe count ≪ N × cells, asserted
+    // in SimilaritySpec) instead of degrading to cell-partitioned all-pairs
+    // as it must on the isotropic corpus; oracle = brute force over the
+    // same exact-in-float clusterized vectors
+    "q_similarity_knn_clustered" -> ((s, dir) => {
+      val emb = Similarity.clusterize(Tables.embeddings(s, dir))
+      val (c, r) = knnIndex(s"$dir|clustered", emb)
+      Similarity.knnJoinExact(emb, k = 5, c, precomputedRadii = Some(r))
+    }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
     // term-rarity: the hot-key (stopword-skewed) term join — broadcast at
@@ -1494,6 +1505,32 @@ object SparkEntry {
          |                                   ORDER BY score DESC, neighbor_id) AS rn
          |      FROM s)
          |WHERE rn <= 5""".stripMargin,
+    // clustered-corpus self-knn: the clusterize transform is EXACT in float
+    // (dimension replacement + a power-of-two scale), so building the
+    // vectors in double here yields bit-identical values to the engine's
+    // float path; then the same brute-force self-join as q_similarity_knn
+    "q_similarity_knn_clustered" ->
+      """WITH cl AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN i - 1 = (label % len(embedding)) THEN 10.0
+        |          ELSE embedding[i]::DOUBLE * 0.125 END
+        |     for i in range(1, len(embedding) + 1)] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(range(1, len(v)+1),
+        |             j -> v[j]::DOUBLE * v[j]::DOUBLE))) AS nrm
+        |      FROM cl),
+        |s AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(a.v)+1),
+        |            i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm), 6)
+        |      AS score
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY score DESC, neighbor_id) AS rn
+        |      FROM s)
+        |WHERE rn <= 5""".stripMargin,
     // cosine = dot(a,b) / (||a||*||b||) with norms computed once per vector —
     // the same scalar-norm formula as the engine's cosinePairs
     "q_similarity_pairs" ->

@@ -109,6 +109,30 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("score"))
   }
 
+  /** Deterministic CLUSTERED twin of the embedding corpus — tight label-wise
+    * blobs, the data profile the IVF triangle-inequality prune is built for
+    * (SemDeDup-style corpora: near-duplicate documents embed into tight
+    * clusters). The synthetic test embeddings are near-isotropic, which is
+    * exactly the regime where the angular bound cannot engage (median cell
+    * radius ≈ 76°); this transform derives a clusterable corpus from the SAME
+    * table so the prune's engagement is demonstrable and oracle-checkable.
+    *
+    * Per vector: the dimension indexed by `label mod dim` is REPLACED by
+    * 10.0 and every other dimension is scaled by 0.125 — all label-ℓ vectors
+    * land within a few degrees of the axis e_{ℓ mod dim}, labels far apart.
+    * Both operations are EXACT in float (replacement, and a power-of-two
+    * scale), so a SQL oracle reproduces the vectors bit-for-bit — no
+    * float-addition rounding to coordinate across engines. Map-side
+    * projection; keeps (vec_id, embedding, label).
+    */
+  def clusterize(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === pmod(col("label"), size(col("embedding"))), lit(10.0f))
+          .otherwise(x * lit(0.125f))).as("embedding"),
+      col("label"))
+
   /** Train IVF (inverted-file) centroids: Lloyd's k-means over the corpus,
     * deterministic end-to-end — seeds are the k lowest-vec_id vectors, and
     * per-dimension means accumulate in DECIMAL so the result is independent
@@ -263,6 +287,11 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) math.Pi
     else math.acos(math.max(-1.0, math.min(1.0, dp / (math.sqrt(na) * math.sqrt(nb)))))
   }
+
+  /** Driver-side angle between two vectors — exposed so specs can count the
+    * admissible cell pairs with the same arithmetic the prune uses.
+    */
+  def driverAngleForSpec(a: Array[Float], b: Array[Float]): Double = driverAngle(a, b)
 
   /** Corpus with nearest-cell assignment and the angle to that centroid:
     * (vec_id, v, nrm, cell, cang). Assignment is identical to
@@ -477,6 +506,38 @@ object Similarity {
       precomputedRadii: Option[Map[Int, Double]] = None): DataFrame = {
     val assigned = assignCells(embeddings, centroids)
     val radii = precomputedRadii.getOrElse(cellRadii(assigned))
+    val nSide = assigned.select(col("vec_id").as("neighbor_id"),
+      col("v").as("nv"), col("nrm").as("nn"), col("cell"))
+    val probes = knnProbesFrom(assigned, k, centroids, radii)
+    val scored = probes.join(nSide, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** The per-vector admissible (query, cell) probe set of [[knnJoinExact]] —
+    * exposed so specs can MEASURE the prune's engagement (probe rows vs the
+    * N × cells full-coverage total) instead of arguing it. Returns
+    * (query_id, qv, qn, cell).
+    */
+  def knnProbes(
+      embeddings: DataFrame, k: Int,
+      centroids: Array[Array[Float]],
+      precomputedRadii: Option[Map[Int, Double]] = None): DataFrame = {
+    val assigned = assignCells(embeddings, centroids)
+    knnProbesFrom(assigned, k, centroids,
+      precomputedRadii.getOrElse(cellRadii(assigned)))
+  }
+
+  /** Phases 1–2 of the exact self-KNN: own-cell seed floors, then map-side
+    * triangle-inequality cell admission (see [[knnJoinExact]]'s scaladoc for
+    * the proof sketch).
+    */
+  private def knnProbesFrom(
+      assigned: DataFrame, k: Int,
+      centroids: Array[Array[Float]],
+      radii: Map[Int, Double]): DataFrame = {
     val margin = 2e-6 // 6-dp rounding (5e-7) + float slack, admit-only
     val nSide = assigned.select(col("vec_id").as("neighbor_id"),
       col("v").as("nv"), col("nrm").as("nn"), col("cell"))
@@ -503,18 +564,13 @@ object Similarity {
           (col("nrm") * lit(cnorms(j)))) - lit(radii.getOrElse(j, 0.0))))
       struct(lit(j).as("cell"), best.as("best"))
     }: _*)
-    val probes = assigned.join(floors, Seq("vec_id"), "left")
+    assigned.join(floors, Seq("vec_id"), "left")
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
         explode(filter(cellBest, s =>
           s.getField("best") >= coalesce(col("floor"), lit(-2.0)) - lit(margin)))
           .as("pc"))
       .select(col("query_id"), col("qv"), col("qn"), col("pc.cell").as("cell"))
-    val scored = probes.join(nSide, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
-    topKPerQuery(scored, k)
   }
 
   /** Hard-negative mining — for each anchor vector, the k MOST similar

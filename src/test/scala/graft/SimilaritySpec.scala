@@ -214,6 +214,56 @@ class SimilaritySpec extends AnyFunSuite {
         s"missing=${brute -- got}, extra=${got -- brute}")
   }
 
+  test("clustered corpus: the exact-KNN triangle prune ENGAGES (probes << N x cells)") {
+    // The isotropic corpus admits every cell (documented degradation); this
+    // asserts the OTHER side of the claim — on clusterable data (tight
+    // label-wise blobs, the SemDeDup profile) the angular bound prunes most
+    // (vector, cell) probes, so the candidate join is far below the
+    // cell-partitioned all-pairs fallback.
+    val emb = Similarity.clusterize(Tables.embeddings(spark, sfDir))
+    val n = emb.count()
+    val nCells = math.min(128, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val centroids = Similarity.trainIvfCentroids(emb, k = nCells)
+    val radii = Similarity.trainCellRadii(emb, centroids)
+    val probed = Similarity.knnProbes(emb, k = 5, centroids, Some(radii)).count()
+    val full = n * nCells
+    assert(probed < 0.2 * full,
+      s"prune did not engage on clustered data: $probed probes of $full (N x cells)")
+    // and the pruned result is still EXACT
+    val brute = Similarity.bruteForceKnnJoin(emb, k = 5)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val got = Similarity.knnJoinExact(emb, k = 5, centroids, Some(radii))
+      .select("query_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == brute, s"missing=${brute -- got}, extra=${got -- brute}")
+  }
+
+  test("cosinePairsPruned admits << all cell pairs on the clustered corpus") {
+    val emb = Similarity.clusterize(Tables.embeddings(spark, sfDir))
+    val centroids = Similarity.trainIvfCentroids(emb, k = 16, iters = 5)
+    val radii = Similarity.trainCellRadii(emb, centroids)
+    val theta = math.acos(0.9)
+    val cells = radii.keys.toSeq.sorted
+    val admissible = (for {
+      i <- cells; j <- cells
+      if i < j
+    } yield (i, j)).count { case (i, j) =>
+      Similarity.driverAngleForSpec(centroids(i), centroids(j)) <=
+        radii(i) + radii(j) + theta + 1e-6
+    }
+    val all = cells.size * (cells.size - 1) / 2
+    assert(admissible < 0.5 * all,
+      s"cell-pair prune did not engage: $admissible of $all cross pairs admitted")
+    // exactness on the clustered corpus as well
+    val brute = Similarity.cosinePairs(emb, 0.9)
+      .select("vec_a", "vec_b", "score").as[(Long, Long, Double)].collect().toSet
+    val got = Similarity.cosinePairsPruned(emb, 0.9, centroids, Some(radii))
+      .select("vec_a", "vec_b", "score").as[(Long, Long, Double)].collect().toSet
+    assert(got == brute,
+      s"pruned pairs must be EXACT: missing=${brute -- got}, extra=${got -- brute}")
+  }
+
   test("knnJoinExact: singleton-cell vectors (floor -2) still get exact neighbors") {
     // two tight clusters + one isolated vector whose own cell holds < k
     // other members, forcing the -2 floor path (all cells admissible for it)
