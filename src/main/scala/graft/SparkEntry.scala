@@ -814,6 +814,23 @@ object SparkEntry {
       Olap.returnedItemReport(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.nation(s, dir),
         "R", "1996-01-01", "1996-04-01", k = 20)),
+    // NOT IN-shaped anti join (suppliers with no January-1996 returns):
+    // registered through the null-aware rewrite — a literal nullable NOT IN
+    // would plan as BroadcastNestedLoopJoin (the 100×-scale trap, pinned in
+    // OlapSpec); the rewrite's null legs collapse to one bounded aggregate
+    // and the survivor is a plain broadcast hash ANTI join
+    "q_olap_not_in" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val t = li.schema("l_shipdate").dataType
+      Olap.notInAnti(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey",
+        li.filter(col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit("1996-01-01").cast(t) &&
+            col("l_shipdate") < lit("1996-02-01").cast(t))
+          .select(col("l_suppkey")),
+        "l_suppkey")
+    }),
     // weighted PageRank over the customer↔supplier purchase graph: 3
     // power-method steps, decimal-summed contributions, 12-dp rank
     // rounding each step — the oracle unrolls the same iterations
@@ -2827,6 +2844,14 @@ object SparkEntry {
         |        JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    // the literal NOT IN the engine's rewrite must agree with
+    "q_olap_not_in" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey NOT IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-02-01')""".stripMargin,
     // PageRank: identical graph build and the SAME integer picorank
     // recursion (floor divisions, exact int sums) — three unrolled
     // iterations, zero tolerance; doubles appear only in the final pr_q →

@@ -233,6 +233,36 @@ object Olap {
     *
     * Returns (c_custkey, c_name, revenue, c_acctbal, n_name).
     */
+  /** Scale-safe `NOT IN (subquery)` — the null-aware anti-join rewrite.
+    *
+    * Spark plans a `NOT IN` over NULLABLE columns as a null-aware anti join,
+    * whose only physical strategy is BroadcastNestedLoopJoin: every left row
+    * streams against the ENTIRE right side — no hash, no partitioning, the
+    * classic 100×-scale trap (and parquet columns are nullable by default,
+    * so the trap fires on ordinary warehouse tables). SQL `NOT IN` three-
+    * valued semantics force that plan in general: if the subquery yields ANY
+    * null the predicate is never true, and a null left key qualifies only
+    * when the subquery is EMPTY. This rewrite evaluates those two null legs
+    * once via a bounded 1-row aggregate (a driver-side artifact, like the
+    * trained-index scalars) and plans the remaining work as a plain HASH
+    * anti join on non-null keys — equi-join, partitionable, broadcastable.
+    * Differential-tested against the literal `NOT IN` (all three legs) in
+    * OlapSpec; the BNL-vs-hash plan contrast is pinned there too.
+    */
+  def notInAnti(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val stats = right
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(rightKey).isNull, lit(1L)).otherwise(lit(0L))).as("nulls"))
+      .head()
+    if (stats.getLong(0) == 0L) left // NOT IN (empty) is TRUE for every row
+    else if (stats.getLong(1) > 0L) left.limit(0) // any null → never TRUE
+    else left.filter(col(leftKey).isNotNull)
+      .join(right.filter(col(rightKey).isNotNull)
+        .select(col(rightKey).as(leftKey)), Seq(leftKey), "left_anti")
+  }
+
   def returnedItemReport(
       customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
       nation: DataFrame, flag: String, from: String, until: String,

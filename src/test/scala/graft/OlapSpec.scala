@@ -86,4 +86,65 @@ class OlapSpec extends AnyFunSuite {
     val r1 = Olap.shippingPriority(cust, ord, li, "BUILDING", "1998-06-01", k = 1)
     assert(r1.count() == 1L)
   }
+
+  test("notInAnti == literal NOT IN on all three null legs, and dodges the BNL plan") {
+    // nullable fixture: the left has a null key, the right variants cover
+    // (plain, contains-null, empty) — the three SQL NOT IN legs
+    val left = Seq((Some(1L), "a"), (Some(2L), "b"), (Some(3L), "c"), (None, "d"))
+      .toDF("k", "v")
+    val rPlain = Seq(Some(2L), Some(9L)).toDF("rk")
+    val rNull = Seq(Some(2L), None).toDF("rk")
+    val rEmpty = rPlain.filter(lit(false))
+    left.createOrReplaceTempView("nin_left")
+
+    def literal(right: org.apache.spark.sql.DataFrame): Set[(Option[Long], String)] = {
+      right.createOrReplaceTempView("nin_right")
+      spark.sql("SELECT k, v FROM nin_left WHERE k NOT IN (SELECT rk FROM nin_right)")
+        .as[(Option[Long], String)].collect().toSet
+    }
+    def rewrite(right: org.apache.spark.sql.DataFrame): Set[(Option[Long], String)] =
+      Olap.notInAnti(left, "k", right, "rk")
+        .as[(Option[Long], String)].collect().toSet
+
+    assert(rewrite(rPlain) == literal(rPlain) &&
+      rewrite(rPlain) == Set((Some(1L), "a"), (Some(3L), "c")))
+    assert(rewrite(rNull) == literal(rNull) && rewrite(rNull).isEmpty)
+    assert(rewrite(rEmpty) == literal(rEmpty) && rewrite(rEmpty).size == 4)
+
+    // the trap, pinned in both of its forms. Spark's single-column
+    // null-aware rewrite plans the literal NOT IN as a FORCED broadcast hash
+    // join — it ignores autoBroadcastJoinThreshold because broadcast is the
+    // only hash strategy for null-aware anti semantics, so a large subquery
+    // side gets shipped to every executor (or OOMs the driver) at scale;
+    // with that rewrite unavailable (its guard conf off — or any multi-
+    // column/correlated variant) the plan degrades to the nested loop.
+    rPlain.createOrReplaceTempView("nin_right")
+    def naivePlan = spark.sql(
+      "SELECT k, v FROM nin_left WHERE k NOT IN (SELECT rk FROM nin_right)")
+      .queryExecution.executedPlan.toString
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val nullAware = "spark.sql.optimizeNullAwareAntiJoin"
+    spark.conf.set(threshold, "-1")
+    try {
+      val forced = naivePlan
+      assert(forced.contains("BroadcastExchange"),
+        s"literal NOT IN should force a broadcast even at threshold -1:\n$forced")
+      spark.conf.set(nullAware, "false")
+      try {
+        val bnl = naivePlan
+        assert(bnl.contains("BroadcastNestedLoopJoin"),
+          s"without the single-column rewrite, NOT IN is a nested loop:\n$bnl")
+      } finally spark.conf.set(nullAware, "true")
+      // the rewrite under the same no-broadcast constraint: a SHUFFLED hash
+      // anti join — no forced broadcast, no nested loop, partitionable
+      val fixed = Olap.notInAnti(left, "k", rPlain, "rk")
+        .queryExecution.executedPlan.toString
+      assert(!fixed.contains("BroadcastNestedLoopJoin") &&
+        !fixed.contains("CartesianProduct") &&
+        !fixed.contains("BroadcastExchange"),
+        s"rewrite must shuffle, not broadcast or loop:\n$fixed")
+      assert(fixed.contains("LeftAnti"),
+        s"rewrite should plan an ANTI join:\n$fixed")
+    } finally spark.conf.unset(threshold)
+  }
 }
