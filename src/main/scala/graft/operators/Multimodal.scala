@@ -156,13 +156,66 @@ object Multimodal {
     }
   }
 
-  /** Partition-batched decode: one decoder per partition (where a real codec
-    * would initialize its native context once), rows streamed through it.
-    * This is the `mapInPandas`-shaped seam; use [[frameFeatures]] whenever
-    * the feature is expressible natively.
+  /** REAL image codec behind the same seam — the JDK's built-in
+    * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with the JRE, so no new
+    * dependency): `decode` parses the actual image and emits one feature per
+    * PIXEL ROW (FNV-1a over the row's packed ARGB values — a deterministic
+    * stand-in for a per-row embedding), `resize` rescales to 1/factor
+    * dimensions (floor, min 1) and re-encodes as PNG. Headless-safe:
+    * BufferedImage raster work needs no display. The stub remains the
+    * default for the registered queries (their payloads are text bytes, and
+    * its output arithmetic is oracle-checkable); this proves the SEAM —
+    * schema, partition batching, typed output — carries a real codec
+    * unchanged (MultimodalSpec decodes generated PNG fixtures through
+    * [[decodeAssets]] with it).
     */
-  def decodeWithStub(docs: DataFrame, decoder: MediaDecoder = StubDecoder): Dataset[DecodedFrames] = {
-    val a = assets(docs).select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+  object ImageIoDecoder extends MediaDecoder {
+    private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    def decode(mime: String, payload: Array[Byte]): Array[Long] = {
+      val img = readImage(payload)
+      Array.tabulate(img.getHeight) { y =>
+        var h = 0xcbf29ce484222325L
+        var x = 0
+        while (x < img.getWidth) {
+          h ^= (img.getRGB(x, y) & 0xffffffffL); h *= 0x100000001b3L
+          x += 1
+        }
+        h
+      }
+    }
+
+    def resize(mime: String, payload: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, s"resize factor must be >= 1, got $factor")
+      val img = readImage(payload)
+      val w = math.max(1, img.getWidth / factor)
+      val h = math.max(1, img.getHeight / factor)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      // drawImage over a BufferedImage source is synchronous — never the
+      // async getScaledInstance, whose null-observer draw can miss pixels
+      try g.drawImage(img, 0, 0, w, h, null)
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Partition-batched decode over an (doc_id, mime, payload binary) asset
+    * table: one decoder per partition (where a real codec initializes its
+    * native context once), rows streamed through it. This is the
+    * `mapInPandas`-shaped seam; use [[frameFeatures]] whenever the feature
+    * is expressible natively.
+    */
+  def decodeAssets(
+      assetRows: DataFrame, decoder: MediaDecoder): Dataset[DecodedFrames] = {
+    val a = assetRows.select(col("doc_id"), col("mime"), col("payload"))
     implicit val enc = Encoders.product[DecodedFrames]
     a.as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
       .mapPartitions { rows =>
@@ -174,6 +227,14 @@ object Multimodal {
         }
       }
   }
+
+  /** [[decodeAssets]] over the documents-derived asset table with the stub
+    * codec — the registered, oracle-checkable form.
+    */
+  def decodeWithStub(docs: DataFrame, decoder: MediaDecoder = StubDecoder): Dataset[DecodedFrames] =
+    decodeAssets(
+      assets(docs).select(col("doc_id"), col("meta.mime").as("mime"), col("payload")),
+      decoder)
 
   /** A resized asset row: the re-encoded payload plus the size accounting
     * the oracle checks.
@@ -188,8 +249,19 @@ object Multimodal {
     */
   def resizeWithStub(
       docs: DataFrame, factor: Int = 4,
-      decoder: MediaDecoder = StubDecoder): Dataset[ResizedAsset] = {
-    val a = assets(docs).select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+      decoder: MediaDecoder = StubDecoder): Dataset[ResizedAsset] =
+    resizeAssets(
+      assets(docs).select(col("doc_id"), col("meta.mime").as("mime"), col("payload")),
+      factor, decoder)
+
+  /** [[resizeWithStub]]'s seam over an arbitrary (doc_id, mime, payload)
+    * asset table — the entry point a real codec (e.g. [[ImageIoDecoder]])
+    * plugs into.
+    */
+  def resizeAssets(
+      assetRows: DataFrame, factor: Int,
+      decoder: MediaDecoder): Dataset[ResizedAsset] = {
+    val a = assetRows.select(col("doc_id"), col("mime"), col("payload"))
     implicit val enc = Encoders.product[ResizedAsset]
     a.as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
       .mapPartitions { rows =>

@@ -76,6 +76,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("the seam carries a REAL codec: ImageIO PNG fixtures decode and resize") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // deterministic gradient images, PNG-encoded via the JDK codec
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for { y <- 0 until h; x <- 0 until w }
+        img.setRGB(x, y, (x * 2027 + y * 1823 + seed * 65537) & 0xffffff)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val fixtures = Seq(
+      (1L, "image/png", png(8, 5, 1)),
+      (2L, "image/png", png(3, 3, 7)),
+      (3L, "image/png", png(16, 2, 42)))
+    val df = fixtures.toDF("doc_id", "mime", "payload")
+
+    // decode: one feature per pixel row, identical to a driver-side decode
+    // of the same bytes — the seam preserves payloads losslessly
+    val out = Multimodal.decodeAssets(df, Multimodal.ImageIoDecoder)
+      .collect().map(d => d.docId -> d).toMap
+    assert(out(1L).nFrames == 5 && out(2L).nFrames == 3 && out(3L).nFrames == 2)
+    fixtures.foreach { case (id, mime, bytes) =>
+      assert(out(id).features.sameElements(
+        Multimodal.ImageIoDecoder.decode(mime, bytes)),
+        s"doc $id: features through the seam differ from a local decode")
+    }
+
+    // resize halves the pixel dimensions and re-encodes a VALID image
+    val resized = Multimodal.resizeAssets(df, factor = 2, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.docId -> r).toMap
+    val r1 = ImageIO.read(new java.io.ByteArrayInputStream(resized(1L).resized))
+    assert(r1.getWidth == 4 && r1.getHeight == 2)
+    val r2 = ImageIO.read(new java.io.ByteArrayInputStream(resized(2L).resized))
+    assert(r2.getWidth == 1 && r2.getHeight == 1)
+    // a non-image payload is rejected loudly, per the repo's edge policy
+    val junk = Seq((9L, "image/png", "not a png".getBytes)).toDF("doc_id", "mime", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAssets(junk, Multimodal.ImageIoDecoder).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("real corpus: every doc decodes, features align with metadata") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val joined = Multimodal.metadata(docs).as("m")
