@@ -949,12 +949,14 @@ object SparkEntry {
     // same snapshot as the batch compactor, same oracle
     "q_streaming_cdc" -> ((s, dir) => StreamingState.cdcSnapshot(s, dir)),
     // hard-negative mining (contrastive training data): per anchor, the k
-    // most similar DIFFERENT-label vectors; full-coverage cell probe keeps
-    // the plan an equi-join, label filter before the bounded top-k
+    // most similar DIFFERENT-label vectors — served by the INDEX-PRUNED
+    // path (different-label seed floors + triangle-inequality cell
+    // admission, identical rows to the full-coverage probe by the
+    // ivfExactTopK bound argument); label filter before the bounded top-k
     "q_similarity_negatives" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.hardNegatives(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10,
-        cents(dir, emb))
+      Similarity.hardNegativesPruned(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        cents(dir, emb), precomputedRadii = Some(radii(dir, emb)))
     })
   )
 

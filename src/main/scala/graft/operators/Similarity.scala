@@ -596,10 +596,7 @@ object Similarity {
   def hardNegatives(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       centroids: Array[Array[Float]]): DataFrame = {
-    val corpus = embeddings.select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-      norm(col("embedding")).as("nn"), col("label").as("n_label"),
-      nearestCell(col("embedding"), centroids).as("cell"))
+    val corpus = negCorpus(embeddings, centroids)
     val queries = broadcast(
       embeddings.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -611,8 +608,113 @@ object Similarity {
         col("n_label") =!= col("q_label"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
+    negOutput(embeddings, topKPerQuery(scored, k))
+  }
+
+  /** INDEX-PRUNED hard negatives — [[hardNegatives]] with the
+    * [[ivfExactTopK]] two-phase bound instead of the full-coverage probe:
+    *
+    *  1. different-label seed floors: each anchor probes only its `nprobe`
+    *     nearest cells, keeps the k best DIFFERENT-label scores, and the
+    *     k-th becomes its floor δ_q (−2 when fewer than k seed negatives —
+    *     a lower bound, since seed candidates are a subset of all
+    *     different-label candidates);
+    *  2. cell pruning: cell c is probed only if its best possible score
+    *     cos(max(0, angle(q, c_c) − r_c)) ≥ δ_q − ε.
+    *
+    * Every true top-k negative's exact score ≥ the true k-th ≥ δ_q, and the
+    * bound over-approximates every member's score, so its cell is always
+    * admissible — the result is IDENTICAL to [[hardNegatives]]
+    * (differential-tested in SimilaritySpec, which also measures the probe
+    * reduction on the clusterized corpus). The label constraint still
+    * applies BEFORE the bounded top-k.
+    */
+  def hardNegativesPruned(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Float]],
+      precomputedRadii: Option[Map[Int, Double]] = None,
+      nprobe: Int = 4): DataFrame = {
+    val corpus = negCorpus(embeddings, centroids)
+    val queries = hardNegativeProbes(
+      embeddings, queryIds, k, centroids, precomputedRadii, nprobe)
+    val scored = corpus.join(queries, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
+    negOutput(embeddings, topKPerQuery(scored, k))
+  }
+
+  /** The admissible (anchor, cell) probe set of [[hardNegativesPruned]] —
+    * exposed (like [[knnProbes]]) so specs can measure the prune against the
+    * |anchors| × cells full-coverage total. Returns
+    * (query_id, qv, qn, q_label, cell), broadcast-sized.
+    */
+  def hardNegativeProbes(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Float]],
+      precomputedRadii: Option[Map[Int, Double]] = None,
+      nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val radii = precomputedRadii.getOrElse(trainCellRadii(embeddings, centroids))
+    // anchors are a training-batch-sized driver artifact (|q| × dim)
+    val qVecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    // phase 1: different-label seed floors from the nprobe nearest cells
+    val seedProbe = for {
+      (qid, qv, ql) <- qVecs.toSeq
+      cell <- nearestCellsDriver(qv, centroids, nprobe)
+    } yield (qid, qv.toSeq, ql, cell)
+    val seedQueries = broadcast(
+      seedProbe.toDF("query_id", "qv", "q_label", "cell")
+        .select(col("query_id"), col("qv").cast("array<float>").as("qv"),
+          col("q_label"), col("cell"))
+        .withColumn("qn", norm(col("qv"))))
+    val seedScored = negCorpus(embeddings, centroids)
+      .join(seedQueries, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6).as("score"))
+    val floors = topKPerQuery(seedScored, k)
+      .groupBy("query_id")
+      .agg(min(col("score")).as("kth"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(2) >= k) r.getDouble(1) else -2.0)).toMap
+    // phase 2: triangle-inequality cell admission per anchor (driver-side —
+    // anchors × cells is a bounded loop over two model artifacts)
+    val margin = 2e-6
+    val probe = for {
+      (qid, qv, ql) <- qVecs.toSeq
+      cell <- centroids.indices
+      best = math.cos(math.max(0.0,
+        driverAngle(qv, centroids(cell)) - radii.getOrElse(cell, 0.0)))
+      if best >= floors.getOrElse(qid, -2.0) - margin
+    } yield (qid, qv.toSeq, ql, cell)
+    broadcast(
+      probe.toDF("query_id", "qv", "q_label", "cell")
+        .select(col("query_id"), col("qv").cast("array<float>").as("qv"),
+          col("q_label"), col("cell"))
+        .withColumn("qn", norm(col("qv"))))
+  }
+
+  /** The cell-assigned, label-carrying corpus side of the negative-mining
+    * joins. */
+  private def negCorpus(
+      embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      norm(col("embedding")).as("nn"), col("label").as("n_label"),
+      nearestCell(col("embedding"), centroids).as("cell"))
+
+  /** Attach both labels to a ranked (query_id, rank, neighbor_id, score)
+    * frame — the shared output shape of the negative miners. */
+  private def negOutput(embeddings: DataFrame, ranked: DataFrame): DataFrame = {
     val labels = embeddings.select(col("vec_id"), col("label"))
-    topKPerQuery(scored, k)
+    ranked
       .join(broadcast(labels.select(col("vec_id").as("query_id"),
         col("label").as("q_label"))), Seq("query_id"))
       .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
@@ -620,6 +722,24 @@ object Similarity {
       .select(col("query_id"), col("q_label"), col("rank"),
         col("neighbor_id"), col("n_label"), col("score"))
   }
+
+  /** The `nprobe` nearest cells by the same argmin arithmetic as
+    * [[nearestCell]] — driver-side, ties to the lowest cell id. */
+  private def nearestCellsDriver(
+      v: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
+    centroids.indices
+      .map { i =>
+        val c = centroids(i)
+        var dp = 0.0; var c2 = 0.0
+        var j = 0
+        while (j < c.length) {
+          dp += v(j).toDouble * c(j).toDouble
+          c2 += c(j).toDouble * c(j).toDouble
+          j += 1
+        }
+        (c2 - 2.0 * dp, i)
+      }
+      .sorted.take(nprobe).map(_._2)
 
   /** Brute-force self-KNN — every pair scored via a cross join. Spec-side
     * differential baseline for [[knnJoinExact]] ONLY (quadratic by

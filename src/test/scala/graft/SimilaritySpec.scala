@@ -496,6 +496,52 @@ class SimilaritySpec extends AnyFunSuite {
         s"missing=${brute -- gotSet}, extra=${gotSet -- brute}")
   }
 
+  test("pruned hard negatives == full-coverage probe, and prune engages on clusters") {
+    // identical rows on the real (isotropic) corpus — exactness regardless
+    // of whether the bound can bite
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, k = 8, iters = 3)
+    val qids = Seq(0L, 1L, 2L)
+    val full = Similarity.hardNegatives(emb, qids, k = 5, centroids)
+      .as[(Long, Int, Int, Long, Int, Double)].collect().toSet
+    val pruned = Similarity.hardNegativesPruned(emb, qids, k = 5, centroids)
+      .as[(Long, Int, Int, Long, Int, Double)].collect().toSet
+    assert(pruned == full,
+      s"pruned negatives must be exact: missing=${full -- pruned}, extra=${pruned -- full}")
+
+    // the prune engages when different-label floors are HIGH — i.e. when
+    // some labels are confusable (the case hard-negative mining exists
+    // for). Fixture: 4 direction PAIRS of labels (2j and 2j+1 a few
+    // degrees apart), pairs mutually near-orthogonal: an anchor's best
+    // negatives live in its twin label at cos ≈ 0.99, so every cell
+    // outside its own direction pair is provably inadmissible.
+    val rows = for {
+      j <- 0 until 4; m <- 0 until 12; twin <- Seq(0, 1)
+    } yield {
+      val base = Array.fill(8)(0f)
+      base(j) = 10f
+      if (twin == 1) base(j + 4) = 1f // ~5.7° off the base axis
+      val jit = base.indices.map(i => base(i) + 0.05f * ((m + i) % 3))
+      (((j * 2 + twin) * 100 + m).toLong, 2 * j + twin, jit)
+    }
+    val cl = lvecs(rows: _*)
+    val cQids = Seq(0L, 200L, 400L) // one anchor per even label 0, 2, 4
+    val cCents = Similarity.trainIvfCentroids(cl, k = 8, iters = 5)
+    val cRadii = Similarity.trainCellRadii(cl, cCents)
+    val probes = Similarity.hardNegativeProbes(
+      cl, cQids, k = 5, cCents, Some(cRadii)).count()
+    val fullCoverage = cQids.size.toLong * cCents.length
+    assert(probes < 0.5 * fullCoverage,
+      s"negative-mining prune did not engage: $probes probes of $fullCoverage")
+    val clFull = Similarity.hardNegatives(cl, cQids, k = 5, cCents)
+      .as[(Long, Int, Int, Long, Int, Double)].collect().toSet
+    val clPruned = Similarity.hardNegativesPruned(
+      cl, cQids, k = 5, cCents, Some(cRadii))
+      .as[(Long, Int, Int, Long, Int, Double)].collect().toSet
+    assert(clPruned == clFull,
+      s"missing=${clFull -- clPruned}, extra=${clPruned -- clFull}")
+  }
+
   test("hard negatives: a same-label near-duplicate cannot crowd out negatives") {
     // anchor 0 has an identical same-label twin (1); negatives must be the
     // other-label vectors ONLY, twin excluded even at cosine 1
