@@ -47,19 +47,33 @@ object Graph {
   }
 
   /** Weighted PageRank by `iters` power-method steps at damping
-    * `dNum`/`dDen` over (src, dst, w) edges where every node has outdegree
-    * ≥ 1 (no dangling mass), computed ENTIRELY in integer picoranks
-    * (units of 1e−12):
+    * `dNum`/`dDen` over ARBITRARY (src, dst, w) edges, computed ENTIRELY in
+    * integer picoranks (units of 1e−12):
     *
     *   pr₀(v)    = SCALE ÷ N
     *   c(u→v)   = (prₜ(u) · w(u,v)) ÷ W(u)          (exact: w ≤ W)
-    *   prₜ₊₁(v) = (SCALE·(dDen−dNum)÷dDen) ÷ N + (Σ c · dNum) ÷ dDen
+    *   Dₜ       = Σ_{u dangling} prₜ(u)             (sink mass this sweep)
+    *   prₜ₊₁(v) = (SCALE·(dDen−dNum)÷dDen) ÷ N + ((Σ c + Dₜ÷N) · dNum) ÷ dDen
     *
-    * (÷ = floor division; each floor leaks < 1 picorank of mass — ~|E|
+    * (÷ = floor division; each floor leaks < 1 picorank of mass — ~(|E|+2N)
     * ·1e−12 per sweep, far below any ranking-relevant signal.) The int64
     * headroom bound is prₜ(u)·w(u,v) < 2⁶³: safe while no single edge
     * weight exceeds ~9e6 at full rank concentration; beyond that, widen
     * the same recursion to DECIMAL(38,0).
+    *
+    * DANGLING nodes (appear as dst, never as src — web-crawl sinks) are
+    * handled by the standard uniform redistribution: their mass Dₜ is a
+    * bounded per-sweep driver scalar (like N itself), folded into every
+    * node's share. Graphs with no dangling nodes (detected once, one
+    * bounded check) take the original sink-free plan unchanged — no extra
+    * per-sweep action, pr stays one lazy composed plan: the sink-free
+    * recursion drops the Dₜ÷N term and restricts output to nodes with
+    * in-edges' contributions (every node, when in-degree ≥ 1), which is
+    * bit-identical to the previous behavior and the same DuckDB oracle.
+    * When sinks exist, each sweep localCheckpoints (Dₜ is an action per
+    * sweep; without materialization each scalar would recompute the whole
+    * lineage). Mass conservation on sink graphs is spec-pinned
+    * (GraphSpec).
     *
     * Each iteration is one shuffle-keyed equi-join (edges ⋈ ranks on src —
     * ranks is |V| rows, broadcastable when nodes ≪ edges) plus one hash
@@ -81,21 +95,40 @@ object Graph {
       .join(edges.groupBy("src").agg(sum(col("w")).as("wt")), Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("wt"))
       .localCheckpoint()
+    val srcs = g.select(col("src").as("node")).distinct().localCheckpoint()
+    // dst-only nodes are the dangling set; one bounded existence check
+    // picks the plan shape for the whole run
+    val dangling = g.select(col("dst").as("node")).distinct()
+      .join(srcs, Seq("node"), "left_anti").localCheckpoint()
+    val hasDangling = dangling.limit(1).count() > 0
     // one distinct pass serves both the node count and the rank init
     // (recomputing it per consumer re-shuffled the edge set twice)
-    val nodes = g.select(col("src").as("node")).distinct().localCheckpoint()
+    val nodes =
+      if (hasDangling) srcs.unionByName(dangling).localCheckpoint() else srcs
     val n = nodes.count()
     val baseQ = (Scale * (dDen - dNum) / dDen) / n
     var pr = nodes.select(col("node"), lit(Scale / n).as("prq"))
     (1 to iters).foreach { i =>
-      pr = g
+      val contrib = g
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("(prq * w) DIV wt").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("sc"))
-        .select(col("dst").as("node"),
+      if (hasDangling) {
+        // the sweep's sink mass — a bounded driver scalar, exact int64
+        val dShare = pr.join(dangling, Seq("node"))
+          .agg(coalesce(sum(col("prq")), lit(0L))).head().getLong(0) / n
+        pr = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            expr(s"$baseQ + ((coalesce(sc, 0L) + $dShare) * $dNum) DIV $dDen")
+              .as("prq"))
+        if (i < iters) pr = pr.localCheckpoint()
+      } else {
+        pr = contrib.select(col("dst").as("node"),
           expr(s"$baseQ + (sc * $dNum) DIV $dDen").as("prq"))
-      if (i % checkpointEvery == 0 && i < iters) pr = pr.localCheckpoint()
+        if (i % checkpointEvery == 0 && i < iters) pr = pr.localCheckpoint()
+      }
     }
     pr.select(col("node"), col("prq").as("pr_q"),
       expr("CAST(prq AS DOUBLE) / 1000000000000.0").as("pr"))

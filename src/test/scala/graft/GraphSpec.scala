@@ -61,6 +61,60 @@ class GraphSpec extends AnyFunSuite {
       s"rank mass drifted: ${pr.sum} over ${pr.length} nodes")
   }
 
+  /** The DANGLING recursion replicated driver-side: nodes = src ∪ dst, sink
+    * mass redistributed uniformly each sweep.
+    */
+  private def referencePrDangling(
+      edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    val Scale = 1000000000000L
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val baseQ = (Scale * 15L / 100L) / n
+    var pr = nodes.map(_ -> Scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val dShare = nodes.filterNot(outW.contains).map(pr).sum / n
+      val sums = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (s, _, w) => pr(s) * w / outW(s) }.sum
+      }.toMap
+      pr = nodes.map(v =>
+        v -> (baseQ + (sums.getOrElse(v, 0L) + dShare) * 85L / 100L)).toMap
+    }
+    pr
+  }
+
+  test("dangling nodes: sink mass redistributes, total mass is conserved") {
+    import spark.implicits._
+    // A → B → C, C is a sink (no out-edges); A has no in-edges
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L))
+    val rows = Graph.pageRank(edges.toDF("src", "dst", "w"), iters = 3).collect()
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referencePrDangling(edges, 3)
+    assert(got.keySet == want.keySet && got.keySet == Set("A", "B", "C"))
+    want.foreach { case (node, prq) =>
+      assert(got(node) == prq, s"$node: got ${got(node)}, want $prq")
+    }
+    // the sink's mass did not vanish: total stays ~1.0 (floor leaks only)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total > 1000000000000L - 100L && total <= 1000000000000L,
+      s"mass not conserved on a sink graph: $total picoranks")
+    // C accumulates the chain's mass; A holds only base + dangling share
+    assert(got("C") > got("A"))
+  }
+
+  test("dangling mass recursion matches on a heavier mixed graph") {
+    import spark.implicits._
+    // two sinks (Z1, Z2), one source-only node (S), weighted fan-out
+    val edges = Seq(
+      ("S", "A", 3L), ("S", "B", 1L), ("A", "Z1", 2L), ("A", "B", 1L),
+      ("B", "Z2", 5L), ("Z0", "A", 1L)) // Z0: source-only; Z1/Z2: sinks
+    val rows = Graph.pageRank(edges.toDF("src", "dst", "w"), iters = 4).collect()
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referencePrDangling(edges, 4)
+    assert(got == want,
+      s"diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+  }
+
   test("triangles: lists each triangle exactly once on a constructed graph") {
     import spark.implicits._
     // 4-clique minus the (1,4) edge → exactly the triangles (1,2,3), (2,3,4)
