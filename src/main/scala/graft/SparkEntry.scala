@@ -422,6 +422,11 @@ object SparkEntry {
     // per-source length-decile profile: ntile window + one hash aggregate
     "q_text_deciles" -> ((s, dir) =>
       TextAnalysis.lengthDeciles(Tables.documents(s, dir), n = 10)),
+    // the percentile → approx_percentile swap, pinned as an error-as-data
+    // audit: GK-sketch rank guarantee verified against exact ranks, verdicts
+    // oracle-checked (the CMS/KMV move)
+    "q_text_token_dist_approx" -> ((s, dir) =>
+      TextAnalysis.approxPercentileAudit(Tables.documents(s, dir))),
     // language-ID: the trained profiles are plain trigram STRINGS, so the
     // whole train+score pipeline has a DuckDB twin (the oracle retrains the
     // profiles in SQL and must pick the same languages).
@@ -1614,6 +1619,12 @@ object SparkEntry {
         |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
         |  round(quantile_cont(len(string_split(text, ' ')), 0.75), 6) AS p75,
         |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90
+        |FROM documents GROUP BY source""".stripMargin,
+    // approx-percentile audit: the oracle recomputes the exact group sizes
+    // and expects the engine-side rank-guarantee verdicts to hold
+    "q_text_token_dist_approx" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS p50_within_bound, TRUE AS p90_within_bound
         |FROM documents GROUP BY source""".stripMargin,
     // deciles: SQL-standard ntile remainder rule matches in both engines;
     // the ordering is totalized by doc_id so bucket membership is exact

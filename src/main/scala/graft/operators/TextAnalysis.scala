@@ -68,6 +68,46 @@ object TextAnalysis {
         q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.9, "p90"))
   }
 
+  /** The documented `percentile → approx_percentile` swap, REGISTERED as an
+    * error-as-data audit (the sketch-audit pattern) so the "same call shape"
+    * claim is executable and oracle-checked, not a comment. Per source:
+    * `percentile_approx` of n_tokens at p50/p90 with the given `accuracy`,
+    * then the approx value's EXACT bounding ranks recomputed against the
+    * column, and the GK-sketch rank guarantee (|rank − p·N| ≤ N/accuracy,
+    * with a +1 integer-boundary margin each side) emitted as boolean
+    * verdict columns. The oracle recomputes n_docs exactly and expects both
+    * verdicts TRUE — the approx values themselves ride only through the
+    * verdicts, like the CMS/KMV audits.
+    *
+    * Scale shape: one per-source sketch aggregate (O(accuracy) state), a
+    * broadcast of the ≤|sources|-row approx table back onto the rows, and
+    * one counting aggregate — no sort anywhere, which is the point of the
+    * swap: exact `percentile` buffers and sorts every group member.
+    */
+  def approxPercentileAudit(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val tok = docs.select(col("source"), size(toks(col("text"))).as("n_tokens"))
+    val approx = tok.groupBy("source").agg(
+      percentile_approx(col("n_tokens"), lit(0.5), lit(accuracy)).as("a50"),
+      percentile_approx(col("n_tokens"), lit(0.9), lit(accuracy)).as("a90"))
+    val eps = 1.0 / accuracy
+    def within(p: Double, a: Column, lt: Column, le: Column): Column =
+      (lt <= ceil(lit(p) * col("n_docs")) + lit(eps) * col("n_docs") + lit(1.0)) &&
+        (le >= lit(p) * col("n_docs") - lit(eps) * col("n_docs") - lit(1.0)) &&
+        a.isNotNull
+    tok.join(broadcast(approx), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("a50")).as("a50"), max(col("a90")).as("a90"),
+        sum(when(col("n_tokens") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("n_tokens") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("n_tokens") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("n_tokens") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+      .select(col("source"), col("n_docs"),
+        within(0.5, col("a50"), col("lt50"), col("le50")).as("p50_within_bound"),
+        within(0.9, col("a90"), col("lt90"), col("le90")).as("p90_within_bound"))
+  }
+
   /** Corpus top-k terms by frequency: explode → hash-aggregate (partial
     * map-side combine, one shuffle keyed by term) → global top-k via
     * orderBy+limit (planned as TakeOrderedAndProject: per-partition top-k,

@@ -254,4 +254,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_nll")).toMap
     assert(r(1L) < r(4L))
   }
+
+  test("approx-percentile audit: rank guarantee holds exact AND compressed") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // accuracy 10000 >> any group: the GK sketch stores everything (exact)
+    val exact = TextAnalysis.approxPercentileAudit(docs, accuracy = 10000).collect()
+    assert(exact.nonEmpty && exact.forall(r =>
+      r.getAs[Boolean]("p50_within_bound") && r.getAs[Boolean]("p90_within_bound")))
+    // accuracy 4: eps = 0.25 — the sketch genuinely compresses, and the
+    // widened rank bound must still hold (the guarantee, not vacuous truth:
+    // at eps 0.25 a wrong-by-half value WOULD fail the p90 check)
+    val coarse = TextAnalysis.approxPercentileAudit(docs, accuracy = 4).collect()
+    assert(coarse.forall(r =>
+      r.getAs[Boolean]("p50_within_bound") && r.getAs[Boolean]("p90_within_bound")))
+  }
 }
