@@ -258,6 +258,9 @@ object SparkEntry {
     // ---- Beyond-reference (north star): dedup over `documents` -----------
     // exact dedup: hash-groupBy on content hash, deterministic survivor
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // order-insensitive bag-fingerprint dedup: the shuffled-template groups
+    // exact content hashing misses (21 groups at sf0.01 where exact finds 0)
+    "q_dedup_bag" -> ((s, dir) => Dedup.bagDuplicateGroups(Tables.documents(s, dir))),
     // near-dup: MinHash LSH candidates + exact 3-gram Jaccard re-check;
     // output is exactly the pairs with jaccard >= 0.7 (oracle: brute force)
     "q_dedup_near" -> ((s, dir) =>
@@ -401,6 +404,12 @@ object SparkEntry {
     "q_text_retrieval" -> ((s, dir) =>
       TextAnalysis.retrieve(Tables.documents(s, dir),
         Seq("window", "hash", "merge"), k = 20)),
+    // "more like this": per seed DOCUMENT, top-10 corpus docs by tf·idf
+    // cosine (query-by-document retrieval) — seed vectors broadcast against
+    // the posting list, candidates linear in the corpus, bounded-heap top-k
+    "q_text_mlt" -> ((s, dir) =>
+      TextAnalysis.moreLikeThis(Tables.documents(s, dir),
+        seedIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
     // fixed-window token chunking with overlap (training-sequence prep):
     // pure map-side row expansion, no shuffle
     "q_text_chunks" -> ((s, dir) =>
@@ -615,6 +624,13 @@ object SparkEntry {
     // ±30 min, both sides watermarked — appended pairs equal the batch
     // interval self-join exactly
     "q_streaming_join" -> ((s, dir) => StreamingState.streamStreamJoin(s, dir)),
+    // LEFT OUTER stream-stream interval join: unmatched buys emit (with null
+    // sell) when watermark eviction proves no partner can arrive; the stream
+    // tail is flushed by far-future sentinel rows on BOTH sides (outer
+    // release needs the minimum of the two watermarks) — emitted set equals
+    // the batch LEFT JOIN exactly
+    "q_streaming_join_outer" -> ((s, dir) =>
+      StreamingState.streamStreamJoinOuter(s, dir)),
     // hierarchical accounting: ROLLUP grouping sets in one aggregate pass
     "q_text_rollup" -> ((s, dir) => TextAnalysis.tokenRollup(Tables.documents(s, dir))),
     // per-source language-mix pivot over a fixed language list
@@ -914,6 +930,12 @@ object SparkEntry {
       Quality.expectations(Tables.events(s, dir),
         Seq("view", "click", "purchase", "signup", "error"),
         "2024-01-01", "2025-01-01", valueCap = 450.0)),
+    // order-independent per-source table fingerprint (cross-system migration
+    // validation): exact decimal sum of per-row 60-bit md5 keys — row-order-
+    // and partitioning-invariant by commutativity, one hash aggregate
+    "q_quality_checksum" -> ((s, dir) =>
+      Quality.tableFingerprint(Tables.documents(s, dir), "source",
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // SCD Type-2 validity intervals from the event log: change-point lag +
     // interval-closing lead, one exchange, deterministic (ts, id) order
     "q_events_scd2" -> ((s, dir) =>
@@ -1369,6 +1391,14 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |      FROM documents)
         |WHERE rn = 1""".stripMargin,
+    // bag dedup: identical sorted-distinct-token canonicalization (both
+    // engines compare strings bytewise on this ascii corpus)
+    "q_dedup_bag" ->
+      """SELECT md5(array_to_string(
+        |         list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |         AS bag_hash,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS survivor_id
+        |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "q_dedup_near" -> s"WITH sh AS ($dedupShCte) $dedupNearBody",
     // portable simhash replayed end-to-end: per-shingle 60-bit hash = first
     // 15 md5 hex chars base-16 (nibble arithmetic below = the engine's conv),
@@ -2025,6 +2055,16 @@ object SparkEntry {
          |  ON b.symbol = s.symbol AND b.buy AND NOT s.buy
          | AND s.ts >= b.ts - INTERVAL 30 MINUTE
          | AND s.ts <= b.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // outer ssj: the SAME interval condition as a batch LEFT JOIN over the
+    // buy side — the streaming form must emit exactly this (nulls included)
+    "q_streaming_join_outer" ->
+      s"""WITH itx AS (${Tables.txnsIdTsCte})
+         |SELECT b.event_id AS buy_event, s.event_id AS sell_event, b.symbol
+         |FROM (SELECT * FROM itx WHERE buy) b LEFT JOIN
+         |     (SELECT * FROM itx WHERE NOT buy) s
+         |  ON b.symbol = s.symbol
+         | AND s.ts >= b.ts - INTERVAL 30 MINUTE
+         | AND s.ts <= b.ts + INTERVAL 30 MINUTE""".stripMargin,
     // rollup: rolled-up dims surface as '(all)' in both engines
     "q_text_rollup" ->
       """SELECT coalesce(source, '(all)') AS source,
@@ -2457,6 +2497,37 @@ object SparkEntry {
         |    AS rarity_score
         |FROM tf JOIN df USING (term), n
         |GROUP BY doc_id""".stripMargin,
+    // more-like-this: full tf·idf replay — same no-ln rarity weight rounded
+    // to decimal BEFORE accumulation (exact sums), doubles only in the final
+    // sqrt/divide; rank ties break on doc_id after the 6-dp rounded cosine
+    "q_text_mlt" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |        CAST(tf.tf * CAST(round(n.n_docs / df.df, 6) AS DECIMAL(18,6))
+        |             AS DECIMAL(18,6)) AS w
+        |      FROM tf JOIN df USING (term), n),
+        |nrm AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+        |        FROM w GROUP BY 1),
+        |sw AS (SELECT doc_id AS seed_id, term, w AS ws FROM w
+        |       WHERE doc_id IN (0, 1, 2, 3, 4)),
+        |sn AS (SELECT doc_id AS seed_id, nrm AS ns FROM nrm
+        |       WHERE doc_id IN (0, 1, 2, 3, 4)),
+        |num AS (SELECT sw.seed_id, w.doc_id, sum(w.w * sw.ws) AS num
+        |        FROM w JOIN sw USING (term) WHERE w.doc_id <> sw.seed_id
+        |        GROUP BY 1, 2),
+        |cos AS (SELECT seed_id, num.doc_id, round(
+        |          CAST(num AS DOUBLE) / (nrm.nrm * sn.ns), 6) AS cosine
+        |        FROM num JOIN nrm ON nrm.doc_id = num.doc_id
+        |                 JOIN sn USING (seed_id))
+        |SELECT seed_id, doc_id, cosine, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY seed_id ORDER BY cosine DESC, doc_id) AS rank
+        |      FROM cos)
+        |WHERE rank <= 10""".stripMargin,
     // ranked retrieval: df restricted to the query terms, same no-ln weight
     // and decimal accumulation as the rarity join; LIMIT is deterministic
     // because ties break on doc_id after the 6-dp rounded score
@@ -2593,6 +2664,27 @@ object SparkEntry {
         |JOIN pt pa ON pa.event_type = a.event_type
         |JOIN pt pb ON pb.event_type = c.event_type
         |GROUP BY 1, 2, pa.n_t, pb.n_t""".stripMargin,
+    // table fingerprint: same canonical string, same 15-hex-char → 60-bit
+    // key (nibble arithmetic = the engine's conv), exact decimal sum
+    "q_quality_checksum" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    substr(md5(concat_ws('|',
+        |      coalesce(CAST(doc_id AS VARCHAR), '<null>'),
+        |      coalesce(text, '<null>'),
+        |      coalesce(lang, '<null>'),
+        |      coalesce(source, '<null>'),
+        |      coalesce(CAST(n_chars AS VARCHAR), '<null>'))), 1, 15) AS hx
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    sum((strpos('0123456789abcdef',
+        |           substr(hx, CAST(i AS INT) + 1, 1)) - 1)::BIGINT
+        |        << ((14 - CAST(i AS INT)) * 4)) AS fp
+        |  FROM r, (SELECT unnest(range(15)) AS i) ii
+        |  GROUP BY source, doc_id, hx)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(sum(fp) AS DECIMAL(38,0)) AS VARCHAR) AS fp_sum,
+        |       MIN(fp) AS fp_min, MAX(fp) AS fp_max
+        |FROM f GROUP BY source""".stripMargin,
     // expectations: same null-safe rule predicates, same single-pass
     // conditional sums + distinct-count uniqueness, unioned per rule
     "q_quality_expectations" ->

@@ -79,6 +79,15 @@ object NativeFunctions {
     "word_window_md5" -> { args: Seq[Expression] =>
       val Seq(t, w) = nArgs("word_window_md5", 2, args)
       WordWindowMd5Expr(t, intArg("word_window_md5", 1, w))
+    },
+    "shingle_md5_hashes60" -> { args: Seq[Expression] =>
+      val Seq(t, n) = nArgs("shingle_md5_hashes60", 2, args)
+      ShingleMd5Hashes60Expr(t, intArg("shingle_md5_hashes60", 1, n))
+    },
+    "winnow_md5_hex" -> { args: Seq[Expression] =>
+      val Seq(t, k, w) = nArgs("winnow_md5_hex", 3, args)
+      WinnowMd5HexExpr(t, intArg("winnow_md5_hex", 1, k),
+        intArg("winnow_md5_hex", 2, w))
     }
   )
 

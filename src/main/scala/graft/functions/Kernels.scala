@@ -569,6 +569,111 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Portable shingle hashing backing `ShingleMd5Hashes60Expr`: the word
+    * n-gram shingles of [[shingleHashes]] (same ' '-split token boundaries —
+    * a shingle's bytes are exactly the `concat_ws(" ")` of its n tokens, so
+    * the raw byte slice IS the shingle string), each hashed to its md5
+    * digest's first 60 bits — the integer value of the first 15 md5 hex
+    * chars, the engine-portable hash that both Spark's
+    * `conv(substring(md5(s), 1, 15), 16, 10)` and a SQL oracle's nibble
+    * arithmetic recompute exactly. Distinctness matches `array_distinct`
+    * over the shingle STRINGS: the dedup key is the full 128-bit digest
+    * (divergence would take an md5 collision), order is first occurrence.
+    * Fused twin of the `transform(shingles(text, n), md5→conv)` combinator
+    * pipeline — differential-tested in NativeKernelsSpec.
+    */
+  def shingleMd5Hashes60(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = len
+    val md = md5Local.get()
+    val nShingles = nTokens - n + 1
+    val seen = new JHashSet[java.nio.ByteBuffer](nShingles * 2)
+    val out = new Array[Long](nShingles)
+    var k = 0
+    var s = 0
+    while (s < nShingles) {
+      md.update(bytes, starts(s), ends(s + n - 1) - starts(s))
+      val digest = md.digest() // fresh array; resets the digest
+      if (seen.add(java.nio.ByteBuffer.wrap(digest))) {
+        var v = 0L
+        var d = 0
+        while (d < 7) { v = (v << 8) | (digest(d) & 0xFFL); d += 1 }
+        out(k) = (v << 4) | ((digest(7) >> 4) & 0xFL)
+        k += 1
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (k == nShingles) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  /** Portable winnowing backing `WinnowMd5HexExpr`: character-k-gram md5 HEX
+    * strings (code-point slicing, like [[winnowingFingerprints]]) with
+    * lexicographic sliding-window minima. The hex rendering is monotonic in
+    * the digest's unsigned byte order ('0' < … < '9' < 'a' < … < 'f'), so
+    * windows compare raw 16-byte digests and only the winning minima render
+    * to hex. Distinct minima in first-occurrence order, matching the
+    * `array_distinct(transform(…, array_min(slice(kh, j, w))))` combinator
+    * twin (differential-tested in NativeKernelsSpec).
+    */
+  def winnowMd5Hex(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val offs = codePointOffsets(text)
+    val cp = offs.length - 1
+    if (cp < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val md = md5Local.get()
+    val nGrams = cp - k + 1
+    val digests = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      digests(i) = md.digest()
+      i += 1
+    }
+    val nWin = nGrams - w + 1
+    val seen = new JHashSet[java.nio.ByteBuffer](nWin * 2)
+    val out = new Array[AnyRef](nWin)
+    var m = 0
+    var j = 0
+    while (j < nWin) {
+      var mn = digests(j)
+      var x = j + 1
+      while (x < j + w) {
+        val c = java.util.Arrays.compareUnsigned(digests(x), mn)
+        if (c < 0) mn = digests(x)
+        x += 1
+      }
+      if (seen.add(java.nio.ByteBuffer.wrap(mn))) {
+        val hex = new Array[Byte](32)
+        var d = 0
+        while (d < 16) {
+          hex(2 * d) = HexDigits((mn(d) >> 4) & 0xF)
+          hex(2 * d + 1) = HexDigits(mn(d) & 0xF)
+          d += 1
+        }
+        out(m) = UTF8String.fromBytes(hex)
+        m += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(
+      if (m == nWin) out else java.util.Arrays.copyOf(out, m))
+  }
 }
 
 /** One-pass multi-profile n-gram scorer backing `ProfileBestMatchExpr`: the

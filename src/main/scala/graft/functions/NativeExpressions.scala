@@ -194,6 +194,41 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** `array<bigint>` of distinct 60-bit md5-prefix word-n-gram shingle
+    * hashes — the ENGINE-PORTABLE twin of [[ShingleHashesExpr]] (see
+    * [[Kernels.shingleMd5Hashes60]]).
+    */
+  case class ShingleMd5Hashes60Expr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.shingleMd5Hashes60(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.shingleMd5Hashes60($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `array<string>` of distinct md5-hex winnowing window minima — the
+    * ENGINE-PORTABLE twin of [[WinnowingExpr]] (see [[Kernels.winnowMd5Hex]]).
+    */
+  case class WinnowMd5HexExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    require(k >= 1 && w >= 1, s"bad winnowing shape (k=$k, w=$w)")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.winnowMd5Hex(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.winnowMd5Hex($c, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Serializable carrier for a trained [[org.apache.spark.util.sketch.BloomFilter]]
     * riding inside generated code (reference-object pattern, like
     * [[ProfileMatcher]]): the filter ships as its serialized bytes and
@@ -350,6 +385,12 @@ object NativeExpressions {
 
   def wordWindowMd5(text: Column, w: Int): Column =
     ColumnBridge.column(WordWindowMd5Expr(expr(text), w))
+
+  def shingleMd5Hashes60(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleMd5Hashes60Expr(expr(text), n))
+
+  def winnowMd5Hex(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowMd5HexExpr(expr(text), k, w))
 
   def profileBestMatch(grams: Column, profiles: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(

@@ -157,6 +157,30 @@ object Dedup {
       .select(col("content_hash"), col("kept.*"))
   }
 
+  /** Order-insensitive BAG-fingerprint duplicate groups — the template /
+    * shuffled-boilerplate detector [[exact]] structurally misses: two
+    * documents built from the same word set in a different order hash to
+    * different content hashes but the SAME bag hash (md5 of the sorted
+    * distinct token list). On the test corpus exact dedup finds 0 groups
+    * while the bag fingerprint finds 21 at sf0.01 — generated boilerplate
+    * and field-reordered records are exactly this shape in real crawls.
+    *
+    * Scale shape: one narrow map-side projection (split → array_distinct →
+    * array_sort → md5, all codegen'd built-ins — the sort is per-row over a
+    * document's distinct tokens, not a shuffle) and one hash aggregate keyed
+    * by the 32-char hash. Identical single-shuffle profile to [[exact]].
+    *
+    * Returns (bag_hash, n_docs, survivor_id) for groups of ≥ 2 documents,
+    * survivor = lowest doc_id (the repo's deterministic survivor rule).
+    */
+  def bagDuplicateGroups(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col(textCol), " "))))).as("bag_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("survivor_id"))
+      .filter(col("n_docs") >= 2)
+
   /** MinHash signature, Column-combinator form: for each of k hash
     * permutations, the minimum `xxhash64(h, j)` over a shingle-hash array.
     * Null for documents with no shingles. This is the executable definition
@@ -512,10 +536,19 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol).as("id"),
-        transform(shingles(col(textCol), n),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
+        NativeExpressions.shingleMd5Hashes60(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("id"), NativeExpressions.simhash64(col("hs")).as("fp"))
+
+  /** Column-combinator twin of the native `ShingleMd5Hashes60Expr` kernel
+    * (bit-identical, differential-tested in NativeKernelsSpec) — the
+    * executable definition of the portable 60-bit shingle hash; the serving
+    * path above uses the fused kernel (the per-shingle interpreted
+    * md5-lambda made the registered query ~20× slower at sf0.1).
+    */
+  def portableShingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming, with
     * band-join candidate generation: the 64-bit fingerprint splits into

@@ -211,4 +211,37 @@ object Quality {
         col("r.n_violations").as("n_violations"),
         (col("r.n_violations") === 0L).as("pass"))
   }
+
+  /** Order-independent per-group table fingerprint — the cross-system data
+    * validation primitive (pt-table-checksum's move): migrating 100 TB
+    * between engines or snapshots, you cannot diff rows, but you CAN compare
+    * a per-partition checksum whose aggregate is insensitive to row order
+    * and partitioning. Each row canonicalizes to a '|'-joined string
+    * (explicit '<null>' sentinels — concat_ws silently SKIPS nulls, which
+    * would alias (a,NULL,b) with (a,b,NULL)), hashes to the first 15 md5 hex
+    * chars as a 60-bit integer, and the group fingerprint is the exact
+    * decimal SUM of those integers (commutative ⇒ row-order- and
+    * partitioning-invariant) plus min/max as corruption locators.
+    *
+    * Scale shape: one narrow codegen'd projection + one hash aggregate keyed
+    * by the group column — map-side partial sums do the heavy lifting, the
+    * shuffle carries |groups| rows. A flipped byte anywhere changes fp_sum
+    * with probability 1 − 2⁻⁶⁰ per row (sum collisions need coordinated
+    * multi-row corruption).
+    *
+    * Returns (groupCol, n_rows, fp_sum, fp_min, fp_max); fp_sum as a string
+    * so the exact 38-digit decimal survives any client's number type.
+    */
+  def tableFingerprint(
+      df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableFingerprint: no columns to fingerprint")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+    df.select(col(groupCol),
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("fp"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("fp").cast("decimal(38,0)")).cast("string").as("fp_sum"),
+        min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+  }
 }

@@ -421,16 +421,31 @@ object TextAnalysis {
     * [[fingerprints]], but each k-gram hashes to its md5 HEX STRING and the
     * window minimum is the lexicographic string minimum — both recomputable
     * by a SQL oracle character-for-character (the [[graft.operators.Dedup]]
-    * `wordWindowMd5` move, applied to character k-grams). Structured as two
-    * projections so the k-gram hash array materializes ONCE per row; putting
-    * it inline inside the window lambda would re-derive every md5 per window
-    * (higher-order lambdas evaluate their bodies per element).
+    * `wordWindowMd5` move, applied to character k-grams). Served by the
+    * fused `WinnowMd5HexExpr` kernel — the per-k-gram interpreted md5-lambda
+    * form ([[portableFingerprintSet]], kept as the executable definition and
+    * differential-tested) made the registered query ~19× slower at sf0.1.
     *
     * Returns (doc_id, n_fingerprints, min_fingerprint) — the registered,
     * oracle-checked form; the xxhash64 native-kernel [[fingerprints]] stays
-    * the scale path, pinned by TextAnalysisSpec/NativeKernelsSpec.
+    * the scale path for non-oracle callers, pinned by
+    * TextAnalysisSpec/NativeKernelsSpec.
     */
   def fingerprintsPortable(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        NativeExpressions.winnowMd5Hex(col("text"), k, w).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fingerprint"))
+
+  /** Column-combinator twin of the native `WinnowMd5HexExpr` kernel
+    * (bit-identical, differential-tested in NativeKernelsSpec). Structured as
+    * two projections so the k-gram hash array materializes ONCE per row;
+    * putting it inline inside the window lambda would re-derive every md5
+    * per window (higher-order lambdas evaluate their bodies per element).
+    */
+  def portableFingerprintSet(docs: DataFrame, k: Int, w: Int): DataFrame =
     docs
       .select(col("doc_id"), length(col("text")).as("len"),
         when(length(col("text")) >= k,
@@ -444,9 +459,6 @@ object TextAnalysis {
             sequence(lit(1), col("len") - (k + w - 2)),
             j => array_min(slice(col("kh"), j, lit(w))))))
           .otherwise(array().cast("array<string>")).as("fps"))
-      .select(col("doc_id"),
-        size(col("fps")).as("n_fingerprints"),
-        array_min(col("fps")).as("min_fingerprint"))
 
   /** The distinct winnowing fingerprint set of a text column —
     * Column-combinator twin of the native `WinnowingExpr` kernel
@@ -603,6 +615,59 @@ object TextAnalysis {
     *
     * Returns the top `k` of (doc_id, n_terms_hit, score).
     */
+  /** "More like this" — for each seed DOCUMENT, the top-k most similar corpus
+    * documents by tf·idf cosine in the full lexical vector space (Lucene's
+    * MoreLikeThis, the query-by-document twin of [[retrieve]]'s term-bag
+    * query). The weight is the repo's logarithm-free rarity `tf · N/df`
+    * ([[termRarity]]'s libm stance), rounded to a 6-dp decimal BEFORE any
+    * accumulation, so numerators and norms are exact order-independent
+    * decimal sums; only the final normalize touches doubles (sqrt and one
+    * division are IEEE-portable).
+    *
+    * NOT pairwise all-pairs: the corpus-side posting list joins only against
+    * the broadcast seed vectors, so candidate rows are bounded by
+    * |postings| × |seeds-per-term| — linear in the corpus for a fixed seed
+    * set (the pairwise variant is quadratic-by-output on this corpus's
+    * 31-term dense vocabulary and stays out of the registry). The per-seed
+    * top-k rides [[Ranking.topKPerKey]]'s size-capped heaps — no window
+    * sort. df joins the postings un-broadcast (the term dictionary is NOT
+    * broadcast-sized at 100 TB); AQE localizes it at test scale.
+    *
+    * Returns (seed_id, doc_id, cosine, rank), rank 1..k per seed by
+    * (cosine desc, doc_id asc), seed itself excluded.
+    */
+  def moreLikeThis(docs: DataFrame, seedIds: Seq[Long], k: Int = 10): DataFrame = {
+    require(seedIds.nonEmpty, "moreLikeThis: no seed documents")
+    val terms = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size is a bounded driver-side artifact, like the trained-model
+    // builds elsewhere
+    val nDocs = docs.count()
+    val w = tf.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * round(lit(nDocs) / col("df"), 6).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("w"))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val seedW = w.filter(col("doc_id").isin(seedIds: _*))
+      .select(col("doc_id").as("seed_id"), col("term"), col("w").as("ws"))
+    val seedNorm = norms.filter(col("doc_id").isin(seedIds: _*))
+      .select(col("doc_id").as("seed_id"), col("nrm").as("ns"))
+    val scored = w.join(broadcast(seedW), Seq("term"))
+      .filter(col("doc_id") =!= col("seed_id"))
+      .groupBy(col("seed_id"), col("doc_id"))
+      .agg(sum(col("w") * col("ws")).as("num"))
+      .join(norms, Seq("doc_id"))
+      .join(broadcast(seedNorm), Seq("seed_id"))
+      .select(col("seed_id"), col("doc_id"),
+        round(col("num").cast("double") / (col("nrm") * col("ns")), 6)
+          .as("cosine"))
+    Ranking.topKPerKey(scored, Seq("seed_id"),
+      Seq(negate(col("cosine")), col("doc_id")), k)
+  }
+
   def retrieve(docs: DataFrame, queryTerms: Seq[String], k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "empty retrieval query")
     val terms = docs

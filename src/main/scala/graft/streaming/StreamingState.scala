@@ -1045,6 +1045,105 @@ object StreamingState {
     spark.read.parquet(out).select("buy_event", "sell_event", "symbol")
   }
 
+  private val ssjOuterRuns = new ConcurrentHashMap[String, String]()
+
+  /** LEFT OUTER stream-stream interval join — the hard half of streaming
+    * joins: a buy with no sell partner must STILL emit (with nulls), but only
+    * once the engine can prove no partner will ever arrive — i.e. when the
+    * watermark passes the end of the buy's match interval and its state is
+    * evicted. The join itself is [[streamStreamJoin]]'s plan with
+    * `leftOuter`; the new problem is the STREAM TAIL: on a bounded replay
+    * the watermark never passes the last rows' intervals, so their outer
+    * rows would be silently stranded in state and the result would NOT equal
+    * the batch left join. Same cure as [[sessionSnapshot]]: the staging
+    * appends a final flush chunk with one far-future sentinel row PER SIDE
+    * (both sides' watermarks must advance — an outer row is released only by
+    * the MINIMUM of the two). The sentinels ride through the join input
+    * (filtering them before the watermark operator would stop them from
+    * advancing it); their key is outside the real symbol space, so they
+    * match only each other, and the single (flush, flush) pair plus the
+    * flush side's own outer rows are cut by the output's symbol filter.
+    *
+    * Emitted set == the batch `LEFT JOIN` on the same interval condition
+    * (the DuckDB oracle), exactly once per buy-side row or matched pair.
+    */
+  def streamStreamJoinOuter(
+      spark: SparkSession, sfDir: String,
+      window: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(durationUs(watermarkDelay) > durationUs(window),
+      s"streamStreamJoinOuter: watermarkDelay ($watermarkDelay) must exceed the join window " +
+        s"($window) or qualifying pairs can be evicted before their partner arrives")
+    val out = ssjOuterRuns.computeIfAbsent(s"$sfDir|$window|$watermarkDelay", _ => {
+      val root = workDir(sfDir).resolve(
+        "ssjo_" + s"${window}_$watermarkDelay".replaceAll("[^A-Za-z0-9.]+", "_"))
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      import org.apache.spark.sql.expressions.Window
+      val txns = Tables.transactionsWithIdTs(spark, sfDir)
+        .withColumn("chunk",
+          (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+            .cast("int"))
+      stageChunks(txns, root, staging)
+      // flush chunk: sentinelTs - delay must clear every real ts + window,
+      // computed from the caller's window/delay (a fixed margin would
+      // silently strand tail rows for larger parameters)
+      val maxTs = txns
+        .agg((max(col("ts")) + expr(s"interval $window")
+          + expr(s"interval $watermarkDelay") + expr("interval 1 hour"))
+          .as("sentinel_ts"))
+        .head().getTimestamp(0)
+      import spark.implicits._
+      val sentinels = Seq(
+        (-1L, maxTs, FlushSymbol, true, 0.0, 0),
+        (-2L, maxTs, FlushSymbol, false, 0.0, 0))
+        .toDF("event_id", "ts", "symbol", "buy", "amount", "number_shares")
+      val tmp = root.resolve("_stage_flush")
+      sentinels.coalesce(1).write.parquet(tmp.toString)
+      val part = Fs.firstWithSuffix(tmp, ".parquet")
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      Files.move(part, staging.resolve(f"chunk_${NumChunks}%02d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      Fs.deleteRecursively(tmp)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = StructType(
+        StructField("event_id", LongType) +: StructField("ts", TimestampType) +:
+          txnSchema.fields)
+      def side() = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+      val buys = side().filter(col("buy"))
+        .select(col("event_id").as("buy_event"), col("symbol"), col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", watermarkDelay)
+      val sells = side().filter(!col("buy"))
+        .select(col("event_id").as("sell_event"), col("symbol").as("s_symbol"),
+          col("ts").as("sell_ts"))
+        .withWatermark("sell_ts", watermarkDelay)
+      val joined = buys.join(sells, expr(
+        s"""symbol = s_symbol
+           |AND sell_ts >= buy_ts - interval $window
+           |AND sell_ts <= buy_ts + interval $window""".stripMargin), "leftOuter")
+        .select(col("buy_event"), col("sell_event"), col("symbol"))
+      val outDir = root.resolve("out")
+      val query = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .filter(col("symbol") =!= FlushSymbol) // the sentinels' own rows
+      .select("buy_event", "sell_event", "symbol")
+  }
+
   /** Stage one parquet file per chunk value of `txns` (chunk column dropped)
     * into `staging`, so `maxFilesPerTrigger=1` replays them as deterministic
     * micro-batches in chunk order.

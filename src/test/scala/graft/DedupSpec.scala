@@ -381,4 +381,18 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${(brute -- pruned).take(5)} extra=${(pruned -- brute).take(5)}")
     assert(brute.nonEmpty, "differential is vacuous — no pairs at all")
   }
+
+  test("bag dedup groups shuffled/repeated token sets that exact dedup misses") {
+    val docs = corpus(
+      (1L, "alpha beta gamma"),
+      (7L, "gamma alpha beta alpha"), // same SET (repeat collapses), new order
+      (3L, "alpha beta"),
+      (9L, "beta alpha"),
+      (5L, "unrelated words here"))
+    val groups = Dedup.bagDuplicateGroups(docs)
+      .select("n_docs", "survivor_id").as[(Long, Long)].collect().sortBy(_._2)
+    assert(groups.toSeq == Seq((2L, 1L), (2L, 3L)))
+    // exact content hashing sees five distinct texts — zero groups
+    assert(Dedup.exact(docs).count() == 5)
+  }
 }

@@ -185,6 +185,40 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(one == exp)
   }
 
+  test("shingleMd5Hashes60 == transform(shingles, conv(md5)) twin + hand-pinned") {
+    for (df <- Seq(docs.select("text"), fixturesDF.select("text")); n <- Seq(2, 3, 5)) {
+      val both = df.select(
+        Dedup.portableShingleHashes(col("text"), n).as("slow"),
+        NativeExpressions.shingleMd5Hashes60(col("text"), n).as("fast"))
+      assert(both.filter(not(col("slow") === col("fast"))).count() == 0,
+        s"n=$n portable shingle-hash mismatch")
+    }
+    // hand-pinned against MessageDigest directly: first 15 md5 hex chars of
+    // each 2-gram, read base-16
+    val one = Seq("a b c").toDF("text")
+      .select(NativeExpressions.shingleMd5Hashes60(col("text"), 2))
+      .as[Seq[Long]].head()
+    val exp = Seq("a b", "b c").map { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    assert(one == exp)
+  }
+
+  test("winnowMd5Hex == two-projection md5 window-min combinator twin") {
+    for (df <- Seq(docs.select("doc_id", "text"), fixturesDF);
+         (k, w) <- Seq((8, 4), (3, 2))) {
+      val slow = TextAnalysis.portableFingerprintSet(df, k, w)
+        .withColumnRenamed("fps", "slow")
+      val fast = df.select(col("doc_id"),
+        NativeExpressions.winnowMd5Hex(col("text"), k, w).as("fast"))
+      val bad = slow.join(fast, "doc_id")
+        .filter(not(col("slow") === col("fast"))).count()
+      assert(bad == 0, s"k=$k w=$w winnow-md5 mismatch")
+    }
+  }
+
   test("bloomMightContain: no false negatives; contaminatedBloom == contaminated") {
     // direct expression probe: every inserted hash answers true
     val hashes = (1L to 2000L).map(_ * 2654435761L)
@@ -240,12 +274,15 @@ class NativeKernelsSpec extends AnyFunSuite {
         TextAnalysis.wordBigramsColumn(col("text")).as("s4"),
         NativeExpressions.wordBigrams(col("text")).as("f4"),
         Dedup.wordWindowMd5Composed(col("text"), 3).as("s5"),
-        NativeExpressions.wordWindowMd5(col("text"), 3).as("f5"))
+        NativeExpressions.wordWindowMd5(col("text"), 3).as("f5"),
+        Dedup.portableShingleHashes(col("text"), 3).as("s6"),
+        NativeExpressions.shingleMd5Hashes60(col("text"), 3).as("f6"))
         .filter(not(col("s1") === col("f1")) or
           not(col("s2") === col("f2")) or
           not(col("s3") === col("f3")) or
           not(col("s4") === col("f4")) or
-          not(col("s5") === col("f5")))
+          not(col("s5") === col("f5")) or
+          not(col("s6") === col("f6")))
         .count()
       bad == 0L
     }

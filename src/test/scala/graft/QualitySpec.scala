@@ -112,4 +112,31 @@ class QualitySpec extends AnyFunSuite {
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(!got(0L) && got(1L) && got(2L))
   }
+
+  test("table fingerprint: partitioning-invariant, byte-sensitive, null-safe") {
+    import org.apache.spark.sql.functions.desc
+    val df = Seq((1L, "aaa", "x"), (2L, "bbb", "x"), (3L, "ccc", "y"))
+      .toDF("id", "payload", "grp")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Quality.tableFingerprint(d, "grp", Seq("id", "payload"))
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_rows"),
+          r.getAs[String]("fp_sum"))).toSet
+    val base = fp(df)
+    // commutative sum ⇒ any repartitioning/ordering yields the same artifact
+    assert(fp(df.repartition(7).sortWithinPartitions(desc("payload"))) == base)
+    // one flipped byte in one row changes that group's sum, not the other's
+    val corrupt = fp(Seq((1L, "aab", "x"), (2L, "bbb", "x"), (3L, "ccc", "y"))
+      .toDF("id", "payload", "grp"))
+    assert(corrupt.find(_._1 == "x") != base.find(_._1 == "x"))
+    assert(corrupt.find(_._1 == "y") == base.find(_._1 == "y"))
+    // the '<null>' sentinel keeps a NULL column from aliasing field shifts:
+    // (a, NULL) and (NULL, a) must fingerprint differently
+    val a = fp(Seq((1L, null.asInstanceOf[String], "x")).toDF("id", "payload", "grp"))
+    val b = Quality.tableFingerprint(
+      Seq((null.asInstanceOf[java.lang.Long], "1", "x")).toDF("id", "payload", "grp"),
+      "grp", Seq("id", "payload"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_rows"),
+        r.getAs[String]("fp_sum"))).toSet
+    assert(a != b)
+  }
 }

@@ -230,6 +230,33 @@ class StreamingStateSpec extends AnyFunSuite {
       "stream-stream join pairs diverged from the batch interval self-join")
   }
 
+  test("LEFT OUTER stream-stream join equals the batch left join, tail flushed") {
+    val streamed = StreamingState.streamStreamJoinOuter(spark, sfDir)
+    val t = Tables.transactionsWithIdTs(spark, sfDir)
+    val buys = t.filter(col("buy"))
+      .select(col("event_id").as("buy_event"), col("symbol"), col("ts").as("buy_ts"))
+    val sells = t.filter(!col("buy"))
+      .select(col("event_id").as("sell_event"), col("symbol").as("s_symbol"),
+        col("ts").as("sell_ts"))
+    val batch = buys.join(sells, expr(
+      """symbol = s_symbol
+        |AND sell_ts >= buy_ts - interval 30 minutes
+        |AND sell_ts <= buy_ts + interval 30 minutes""".stripMargin), "leftOuter")
+      .select("buy_event", "sell_event", "symbol")
+    // the interesting rows: buys with NO partner anywhere in the stream —
+    // these exist only if the outer-null path (state eviction) actually
+    // fired, including for the stream tail (the sentinel flush)
+    val streamedNulls = streamed.filter(col("sell_event").isNull).count()
+    val batchNulls = batch.filter(col("sell_event").isNull).count()
+    assert(batchNulls > 0, "fixture degenerate: every buy has a partner")
+    assert(streamedNulls == batchNulls,
+      s"outer-null rows diverged: streamed=$streamedNulls batch=$batchNulls " +
+        "(stranded tail state or duplicate eviction)")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "left-outer stream-stream join diverged from the batch left join")
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that

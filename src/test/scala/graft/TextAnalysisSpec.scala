@@ -268,4 +268,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(coarse.forall(r =>
       r.getAs[Boolean]("p50_within_bound") && r.getAs[Boolean]("p90_within_bound")))
   }
+
+  test("more-like-this: tf-idf cosine ranking, seed and no-overlap docs excluded") {
+    // N=5; df: apple 3, banana 4, cherry 2, durian 1. Seed doc 0's vector is
+    // (apple: 2·5/3, banana: 1·5/4). Doc 5 is an exact copy (cosine 1), doc 1
+    // shares both terms (≈0.96), doc 2 one term (≈0.157), doc 3 none (absent
+    // — a zero-cosine doc never even becomes a candidate row).
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian"),
+      (5L, "apple banana apple")).toDF("doc_id", "text")
+    val out = TextAnalysis.moreLikeThis(docs, Seq(0L), k = 10)
+      .orderBy("rank").select("doc_id", "cosine", "rank")
+      .as[(Long, Double, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(5L, 1L, 2L))
+    assert(out.head._2 == 1.0)
+    assert(out(1)._2 > 0.9 && out(2)._2 < 0.2)
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+  }
+
+  test("more-like-this: k caps each seed's list independently") {
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple cherry"),
+      (2L, "apple durian"),
+      (3L, "banana cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.moreLikeThis(docs, Seq(0L, 1L), k = 2).collect()
+    val bySeed = out.groupBy(_.getAs[Long]("seed_id")).view.mapValues(_.length)
+    assert(bySeed(0L) == 2 && bySeed(1L) == 2)
+    assert(out.forall(r => r.getAs[Long]("seed_id") != r.getAs[Long]("doc_id")))
+  }
 }
