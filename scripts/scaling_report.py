@@ -66,6 +66,40 @@ FAMILIES = {
         "q_streaming_session", "q_streaming_funnel",
         "q_streaming_dedup_incremental", "q_streaming_join",
         "q_streaming_enriched", "q_changelog_per_record",
+        "q_streaming_cdc", "q_streaming_rate_limit",
+        "q_streaming_join_outer", "q_streaming_late_drop",
+    ],
+    "olap (star joins / rollups / window-over-agg)": [
+        "q_olap_pricing", "q_olap_volume", "q_olap_priority", "q_olap_heavy",
+        "q_olap_returns", "q_olap_rollup", "q_olap_backlog", "q_olap_not_in",
+        "q_layout_zorder", "q_layout_linear",
+    ],
+    "graph (iterative / motif)": [
+        "q_graph_pagerank", "q_graph_triangles",
+    ],
+    "event analytics (sessionized / windowed)": [
+        "q_events_anomaly", "q_events_bitmap", "q_events_cdc",
+        "q_events_cooccurrence", "q_events_correlation", "q_events_heatmap",
+        "q_events_histogram", "q_events_rate_limit", "q_events_scd2",
+        "q_events_transitions", "q_events_trending",
+        "q_sketch_kmv", "q_sketch_kmv_jaccard", "q_sketch_window_users",
+    ],
+    "text scoring (trained models / retrieval)": [
+        "q_text_bm25", "q_text_perplexity", "q_text_deciles", "q_text_mlt",
+        "q_text_token_dist_approx", "q_quality_blend", "q_quality_topk",
+        "q_quality_expectations", "q_quality_referential",
+        "q_quality_checksum",
+    ],
+    "dedup extensions (chunk / provenance / fuzzy / bag)": [
+        "q_dedup_bag", "q_dedup_chunks", "q_dedup_chunk_overlap",
+        "q_dedup_ratio", "q_dedup_source_overlap", "q_fuzzy_customers",
+        "q_split_leakage", "q_curation_forget",
+    ],
+    "embedding clustering / mining": [
+        "q_embed_clusters", "q_embed_cluster_profile", "q_embed_dim_stats",
+        "q_sample_clusters", "q_sample_importance",
+        "q_similarity_knn_clustered", "q_similarity_negatives",
+        "q_pipeline_semdedup",
     ],
 }
 

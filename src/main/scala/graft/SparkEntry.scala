@@ -631,6 +631,11 @@ object SparkEntry {
     // the batch LEFT JOIN exactly
     "q_streaming_join_outer" -> ((s, dir) =>
       StreamingState.streamStreamJoinOuter(s, dir)),
+    // late-data drop audit: deliberately displaced rows arrive behind the
+    // watermark; the oracle models the per-batch watermark arithmetic
+    // exactly and must reproduce the post-drop counts row for row
+    "q_streaming_late_drop" -> ((s, dir) =>
+      StreamingState.lateDropSnapshot(s, dir)),
     // hierarchical accounting: ROLLUP grouping sets in one aggregate pass
     "q_text_rollup" -> ((s, dir) => TextAnalysis.tokenRollup(Tables.documents(s, dir))),
     // per-source language-mix pivot over a fixed language list
@@ -705,6 +710,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.kmeansAssignments(emb, k = 8, iters = 3,
         precomputedCentroids = Some(kcents(dir, emb)))
+    }),
+    // SemDeDup: the full semantic-dedup composition — k-means cells +
+    // exact pruned cosine ε-pairs → min-id dominance keep/drop per vector
+    // (both inputs individually oracle-verified; the composition is too)
+    "q_pipeline_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = Similarity.kmeansAssignments(emb, k = 8, iters = 3,
+        precomputedCentroids = Some(kcents(dir, emb)))
+        .select(col("vec_id"), col("cell"))
+      val pairs = Similarity.cosinePairsPruned(emb, threshold = 0.45,
+        cents(dir, emb), precomputedRadii = Some(radii(dir, emb)))
+      Similarity.semDedupKeep(emb, asg, pairs)
     }),
     // per-cluster curation profile: size, majority label (ties to lowest),
     // purity, decimal-exact mean distance-to-centroid
@@ -2055,6 +2072,33 @@ object SparkEntry {
          |  ON b.symbol = s.symbol AND b.buy AND NOT s.buy
          | AND s.ts >= b.ts - INTERVAL 30 MINUTE
          | AND s.ts <= b.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // late-drop: the engine's eviction arithmetic replayed in SQL — a row
+    // in arrival batch k survives iff its 1 h window's end exceeds
+    // max(event-ms of batches <= k-2) − 179 min (eviction lags one batch
+    // behind the data that advanced the watermark — the same `arr - 2` lag
+    // as q_streaming_dedup_bounded's oracle; fewer than 2 prior batches →
+    // nothing evicted yet → counts)
+    "q_streaming_late_drop" ->
+      s"""WITH tc AS (SELECT event_id,
+         |        concat('U', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS symbol,
+         |        epoch_ns(ts) // 1000000 AS ms,
+         |        ntile(${StreamingState.NumChunks}) OVER (
+         |          ORDER BY epoch_ns(ts) // 1000, event_id) - 1 AS c
+         |      FROM events),
+         |cm AS (SELECT c, max(ms) AS cmax FROM tc GROUP BY c),
+         |a AS (SELECT tc.*, CASE WHEN event_id % 5 = 0 AND ms >= cmax - 21600000
+         |                        THEN c + 2 ELSE c END AS arr
+         |      FROM tc JOIN cm USING (c)),
+         |bmax AS (SELECT arr, max(ms) AS mx FROM a GROUP BY arr),
+         |wm AS (SELECT x.arr, max(b.mx) - 10740000 AS wm_ms
+         |       FROM (SELECT DISTINCT arr FROM a) x
+         |       JOIN bmax b ON b.arr <= x.arr - 2 GROUP BY x.arr),
+         |keep AS (SELECT a.* FROM a LEFT JOIN wm ON wm.arr = a.arr
+         |         WHERE wm.wm_ms IS NULL
+         |            OR ((a.ms // 3600000) + 1) * 3600000 > wm.wm_ms)
+         |SELECT (ms // 3600000) * 3600 AS window_start_s, symbol,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM keep GROUP BY 1, 2""".stripMargin,
     // outer ssj: the SAME interval condition as a batch LEFT JOIN over the
     // buy side — the streaming form must emit exactly this (nulls included)
     "q_streaming_join_outer" ->
@@ -2389,6 +2433,21 @@ object SparkEntry {
         |         FROM dist GROUP BY 1)
         |SELECT vec_id, label, dist, cut, dist > cut AS is_outlier
         |FROM dist JOIN cuts USING (label)""".stripMargin,
+    // SemDeDup: Lloyd replay for the cells + brute-force ε-pairs + the same
+    // min-id same-cell dominance — the whole composition in one query
+    "q_pipeline_semdedup" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+         |n AS ($simNormCte),
+         |s AS ($simPairsBody),
+         |p AS (SELECT vec_a, vec_b FROM s WHERE raw >= 0.45),
+         |sc AS (SELECT p.vec_a, p.vec_b FROM p
+         |       JOIN afin ca ON ca.vec_id = p.vec_a
+         |       JOIN afin cb ON cb.vec_id = p.vec_b
+         |       WHERE ca.cell = cb.cell),
+         |dom AS (SELECT DISTINCT vec_b AS vec_id FROM sc)
+         |SELECT a.vec_id, e.label, a.cell, dom.vec_id IS NULL AS keep
+         |FROM afin a JOIN e USING (vec_id)
+         |LEFT JOIN dom ON dom.vec_id = a.vec_id""".stripMargin,
     // k-means assignments: the full seeded Lloyd replay (kmeansCtes), then
     // the final assignment joined back for the label and 6-dp distance
     "q_embed_clusters" ->

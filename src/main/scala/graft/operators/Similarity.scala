@@ -1088,6 +1088,42 @@ object Similarity {
     * reads before sampling per cluster. One (cell,label) hash-aggregate +
     * one k-row reduction; empty cells simply have no row.
     */
+  /** SemDeDup keep/drop decisions — the full semantic-dedup composition
+    * (Abbas et al.: cluster the embedding space, drop near-identical vectors
+    * within each cluster, keep one representative). Inputs are two already-
+    * verified artifacts: k-means [[kmeansAssignments]] cells and the exact
+    * cosine ε-pair list ([[cosinePairsPruned]] — IVF + triangle-pruned,
+    * identical to brute force). The keep rule is MIN-ID DOMINANCE, stated
+    * exactly: drop v iff some same-cell u < v has cos(u, v) ≥ the pair
+    * threshold. Deterministic, single-pass relational — no iteration, no
+    * driver loop — and coarser than connected-components-min only on chains
+    * whose middle link was itself dropped (documented choice: at 100 TB the
+    * dominance rule is one distinct + one anti-join over the pair list,
+    * while CC needs the label-propagation loop).
+    *
+    * Scale shape: pair list ⋈ assignments (two key equi-joins, pair-list-
+    * sized), one distinct over dominated ids, one left-anti-shaped join back
+    * to the corpus. Everything rides the already-pruned pair plan.
+    *
+    * Returns (vec_id, label, cell, keep).
+    */
+  def semDedupKeep(
+      embeddings: DataFrame, assignments: DataFrame, pairs: DataFrame): DataFrame = {
+    val sameCell = pairs
+      .join(assignments.select(col("vec_id").as("vec_a"), col("cell").as("cell_a")),
+        Seq("vec_a"))
+      .join(assignments.select(col("vec_id").as("vec_b"), col("cell").as("cell_b")),
+        Seq("vec_b"))
+      .filter(col("cell_a") === col("cell_b"))
+    val dominated = sameCell.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dom", lit(true))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(assignments, Seq("vec_id"))
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cell"),
+        col("dom").isNull.as("keep"))
+  }
+
   def kmeansProfile(
       embeddings: DataFrame, k: Int = 8, iters: Int = 3,
       precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {

@@ -1144,16 +1144,136 @@ object StreamingState {
       .select("buy_event", "sell_event", "symbol")
   }
 
+  private val lateDropRuns = new ConcurrentHashMap[String, String]()
+
+  /** LATE-DATA DROP as an oracle-checked RESULT — the watermark's data-loss
+    * contract, pinned exactly. The replay deliberately displaces a
+    * deterministic subset of rows (`event_id % lateEvery == 0` within the
+    * last `lateHorizonHours` of their time chunk) one micro-batch later than
+    * event-time order, so they arrive BEHIND the watermark. Spark's windowed
+    * aggregation drops an arriving row whose window the watermark has
+    * already closed (its state was evicted — that bounded state is the whole
+    * point of watermarks); with `delay` < the displacement, part of the
+    * displaced set dies and part (the newest windows) survives — a MIXED
+    * outcome, which is what makes the audit informative.
+    *
+    * APPEND mode is the mode with the drop contract — measured, not
+    * assumed: in UPDATE mode the engine does NOT filter late rows (a row
+    * for an already-evicted window simply re-creates state and emits a
+    * fresh update — verified empirically on this exact replay: 10,000 of
+    * 10,000 events survive at sf0.01). Append emits a window exactly once,
+    * at eviction, so a row arriving after its window's eviction MUST be
+    * dropped or the sink would see a duplicate — that drop is the loss
+    * contract this query pins. Eviction itself LAGS one batch behind the
+    * data that advanced the watermark (also measured: a window's state is
+    * removed at the END of the first batch whose ACTIVE watermark covers
+    * it, and the active watermark is computed from strictly earlier
+    * batches), so rows displaced by ONE batch are always merged into their
+    * still-live window — the displacement here is TWO batches, the same
+    * `arr − 2` lag `q_streaming_dedup_bounded`'s oracle encodes. The
+    * stream tail is flushed [[sessionSnapshot]]-style by a far-future
+    * sentinel row in its own final chunk.
+    *
+    * The oracle recomputes the engine's arithmetic exactly, in SQL: a row
+    * arriving in batch k survives iff its tumbling window's end (ms —
+    * the engine's watermark unit) exceeds max(event ms of batches ≤ k−2)
+    * − delay, i.e. the watermark that was active while its window could
+    * last have been evicted. `watermarkDelay` defaults off the minute grid
+    * (179 min) so an exact boundary tie between a window end and the
+    * watermark cannot occur on real microsecond data.
+    *
+    * Returns (window_start_s, symbol, n_events) — append output, one row
+    * per surviving (window, symbol).
+    */
+  def lateDropSnapshot(
+      spark: SparkSession, sfDir: String,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "179 minutes",
+      lateEvery: Int = 5, lateHorizonHours: Int = 6): DataFrame = {
+    val out = lateDropRuns.computeIfAbsent(
+      s"$sfDir|$windowDuration|$watermarkDelay|$lateEvery|$lateHorizonHours", _ => {
+        val root = workDir(sfDir).resolve(
+          "latedrop_" + s"${windowDuration}_${watermarkDelay}_${lateEvery}_$lateHorizonHours"
+            .replaceAll("[^A-Za-z0-9.]+", "_"))
+        Fs.deleteRecursively(root)
+        val staging = root.resolve("staging")
+        Files.createDirectories(staging)
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.transactionsWithIdTs(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("symbol"))
+          .withColumn("ms", expr("unix_micros(ts) div 1000"))
+          .withColumn("c",
+            (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+              .cast("int"))
+        val cm = t.groupBy("c").agg(max(col("ms")).as("cmax"))
+        val arr = t.join(cm, Seq("c"))
+          .withColumn("chunk",
+            when(col("event_id") % lateEvery === 0 &&
+              col("ms") >= col("cmax") - lit(lateHorizonHours * 3600000L),
+              col("c") + 2).otherwise(col("c")).cast("int"))
+          .select(col("ts"), col("symbol"), col("chunk"))
+          .localCheckpoint(true)
+        // batches 0..NumChunks+1: base chunks plus the two trailing
+        // displaced-only batches (possibly empty at tiny SFs — an empty
+        // parquet file is a fine empty micro-batch)
+        stageChunks(arr, root, staging, NumChunks + 2)
+        // final chunk: the flush sentinel alone — after its batch the
+        // watermark clears every real window and the engine's no-data
+        // micro-batch emits the survivors
+        val sentinelTs = t
+          .agg((max(col("ts")) + expr(s"interval $windowDuration")
+            + expr(s"interval $watermarkDelay") + expr("interval 1 hour"))
+            .as("sentinel_ts"))
+          .head().getTimestamp(0)
+        import spark.implicits._
+        val flush = Seq((sentinelTs, FlushSymbol)).toDF("ts", "symbol")
+        val tmp = root.resolve("_stage_flush")
+        flush.coalesce(1).write.parquet(tmp.toString)
+        val part = Fs.firstWithSuffix(tmp, ".parquet")
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        Files.move(part, staging.resolve(f"chunk_${NumChunks + 2}%02d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+        Fs.deleteRecursively(tmp)
+
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val source = spark.readStream
+          .schema(StructType(Seq(
+            StructField("ts", TimestampType), StructField("symbol", StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staging.toString)
+        val agg = source.withWatermark("ts", watermarkDelay)
+          .groupBy(window(col("ts"), windowDuration), col("symbol"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_timestamp(col("window.start")).as("window_start_s"),
+            col("symbol"), col("n_events"))
+        val outDir = root.resolve("out")
+        val query = agg.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("checkpoint").toString)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet")
+          .option("path", outDir.toString)
+          .start()
+        query.awaitTermination()
+        outDir.toString
+      })
+    spark.read.parquet(out)
+      .filter(col("symbol") =!= FlushSymbol) // the sentinel's own window
+      .select("window_start_s", "symbol", "n_events")
+  }
+
   /** Stage one parquet file per chunk value of `txns` (chunk column dropped)
     * into `staging`, so `maxFilesPerTrigger=1` replays them as deterministic
     * micro-batches in chunk order.
     */
-  private[graft] def stageChunks(txns: DataFrame, root: Path, staging: Path): Unit = {
+  private[graft] def stageChunks(txns: DataFrame, root: Path, staging: Path,
+      nChunks: Int = NumChunks): Unit = {
     // one write job runs per chunk below; without cutting lineage each job
     // re-executes the caller's chunk assignment (for the time-ordered
     // replays, a global sort) NumChunks times over
     val mat = txns.localCheckpoint(true)
-    (0 until NumChunks).foreach { i =>
+    (0 until nChunks).foreach { i =>
       val tmp = root.resolve(s"_stage_$i")
       mat.filter(col("chunk") === i).drop("chunk")
         .coalesce(1).write.parquet(tmp.toString)

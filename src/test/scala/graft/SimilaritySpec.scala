@@ -555,4 +555,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
     assert(r.forall(_.getAs[Int]("n_label") == 3))
   }
+
+  test("semDedupKeep: min-id dominance within cells, cross-cell pairs ignored") {
+    val emb = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
+      .toDF("vec_id", "label")
+    val asg = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0), (5L, 1))
+      .toDF("vec_id", "cell")
+    // 1~2 and 2~3 inside cell 0: 2 and 3 both dominated (3 by the dropped 2
+    // — the documented dominance-vs-CC choice); 4~5 crosses cells: ignored
+    val pairs = Seq((1L, 2L, 0.99), (2L, 3L, 0.97), (4L, 5L, 0.98))
+      .toDF("vec_a", "vec_b", "score")
+    val keep = Similarity.semDedupKeep(emb, asg, pairs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true))
+  }
 }

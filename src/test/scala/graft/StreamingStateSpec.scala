@@ -257,6 +257,36 @@ class StreamingStateSpec extends AnyFunSuite {
       "left-outer stream-stream join diverged from the batch left join")
   }
 
+  test("late-drop snapshot: displaced rows die or survive exactly as the watermark dictates") {
+    // denser late fixture than the registered defaults: at sf0.001 (~1.4
+    // events/h) the default 6 h horizon displaces too few rows to guarantee
+    // any fall behind the watermark
+    val s = StreamingState.lateDropSnapshot(spark, sfDir,
+      lateEvery = 2, lateHorizonHours = 48)
+    val batch = Tables.transactionsWithTs(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("symbol"))
+      .agg(count(lit(1)).as("bn"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("symbol"), col("bn"))
+    val j = s.join(batch, Seq("window_start_s", "symbol"), "full_outer")
+    // a window whose rows ALL arrived late may vanish entirely — but the
+    // streaming side must never emit a (window, symbol) batch never saw,
+    // nor exceed the batch count anywhere
+    assert(j.filter(col("n_events").isNotNull && col("bn").isNull).isEmpty)
+    assert(j.filter(col("n_events") > col("bn")).isEmpty)
+    val streamTotal = s.agg(sum("n_events")).head().getLong(0)
+    val batchTotal = batch.agg(sum("bn")).head().getLong(0)
+    assert(streamTotal < batchTotal,
+      s"no drops ($streamTotal vs $batchTotal) — the late fixture is vacuous")
+    // a watermark beyond the displacement drops NOTHING: snapshot == batch
+    val generous = StreamingState.lateDropSnapshot(spark, sfDir,
+      watermarkDelay = "30 days", lateEvery = 2, lateHorizonHours = 48)
+    val b2 = batch.withColumnRenamed("bn", "n_events")
+    assert(generous.count() == b2.count())
+    assert(generous.except(b2).isEmpty && b2.except(generous).isEmpty,
+      "generous-watermark snapshot diverged from the batch windowed counts")
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
