@@ -1001,6 +1001,23 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.hardNegativesPruned(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         cents(dir, emb), precomputedRadii = Some(radii(dir, emb)))
+    }),
+    // per-customer rolling order-history features (sequence index, lag
+    // price, gap, trailing-3 spend, lifetime spend): ONE window spec — a
+    // single custkey exchange + in-partition sort feeds every feature
+    "q_features_rolling" -> ((s, dir) =>
+      Features.rollingOrderFeatures(Tables.orders(s, dir))),
+    // corpus snapshot diff (v2 drops doc_id%5==0, edits doc_id%3==0 in
+    // place): each side reduces to (key, md5) at the scan; one full-outer
+    // hash join classifies added/removed/changed, unchanged keys dropped
+    "q_diff_snapshots" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, upper(col("text")))
+            .otherwise(col("text")))
+      Versioning.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
     })
   )
 
@@ -3155,7 +3172,44 @@ object SparkEntry {
         |      FROM tf JOIN model USING (bigram) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, num2 // (2 * n_bigrams) AS avg_nll_micro,
         |  CAST(num2 // (2 * n_bigrams) AS DOUBLE) / 1000000.0 AS avg_nll
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // rolling features: identical window spec (frames row-bounded, decimal
+    // money folds, ties broken by orderkey) replayed in DuckDB
+    "q_features_rolling" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_s,
+        |  CAST(round(o_totalprice, 6) AS DECIMAL(18,6)) AS p FROM orders)
+        |SELECT o_orderkey, o_custkey, order_s,
+        |  CAST(row_number() OVER w AS BIGINT) AS order_idx,
+        |  CAST(lag(p, 1) OVER w AS DOUBLE) AS prev_price,
+        |  order_s - lag(order_s, 1) OVER w AS gap_s,
+        |  CAST(sum(p) OVER (PARTITION BY o_custkey ORDER BY order_s, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS hist_sum,
+        |  count(p) OVER (PARTITION BY o_custkey ORDER BY order_s, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS hist_cnt,
+        |  CAST(sum(p) OVER (PARTITION BY o_custkey ORDER BY order_s, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_spend
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_s, o_orderkey)"""
+        .stripMargin,
+    // snapshot diff: the same md5('|'-joined payload) fingerprints and the
+    // same full-outer classification, unchanged keys filtered out
+    "q_diff_snapshots" ->
+      """WITH v1 AS (SELECT doc_id,
+        |         md5(concat_ws('|', text, lang, source)) AS h
+        |       FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id, md5(concat_ws('|',
+        |         CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+        |         lang, source)) AS h
+        |       FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |       CASE WHEN v1.h IS NULL THEN 'added'
+        |            WHEN v2.h IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status,
+        |       v1.h AS old_hash, v2.h AS new_hash
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE v1.h IS NULL OR v2.h IS NULL OR v1.h <> v2.h""".stripMargin
   )
 
   /** CDC compaction oracle — shared by the batch compactor and its

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Features, Versioning}
+
+/** Rolling-history feature engineering + snapshot diff, on hand-computed
+  * fixtures (the registered forms are oracle-checked against DuckDB).
+  */
+class FeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val day = 86400L
+
+  test("rolling features: idx / lag / gap / trailing-3 / cumulative") {
+    val orders = Seq(
+      (101L, 1L, "1993-01-01 00:00:00", 10.0),
+      (102L, 1L, "1993-01-02 00:00:00", 20.0),
+      (103L, 1L, "1993-01-03 00:00:00", 30.0),
+      (105L, 1L, "1993-01-04 00:00:00", 50.0), // same ts as 104 —
+      (104L, 1L, "1993-01-04 00:00:00", 40.0), // orderkey breaks the tie
+      (201L, 2L, "1993-01-01 00:00:00", 5.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val rows = Features.rollingOrderFeatures(orders)
+      .orderBy("o_custkey", "order_idx").collect()
+
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(101L, 102L, 103L, 104L, 105L, 201L), "orderkey tiebreak within day")
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 1L))
+    // prev_price: null, 10, 20, 30, 40, null
+    assert(rows.head.isNullAt(4) && rows.last.isNullAt(4))
+    assert(rows.slice(1, 5).map(_.getDouble(4)).toSeq ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+    // gap_s: null, day, day, day, 0 (same-day pair), null
+    assert(rows.head.isNullAt(5))
+    assert(rows.slice(1, 5).map(_.getLong(5)).toSeq == Seq(day, day, day, 0L))
+    // trailing-3 spend (current row excluded): null, 10, 30, 60, 90
+    assert(rows.head.isNullAt(6), "empty trailing frame sums to null")
+    assert(rows.slice(1, 5).map(_.getDouble(6)).toSeq ==
+      Seq(10.0, 30.0, 60.0, 90.0))
+    assert(rows.map(_.getLong(7)).toSeq == Seq(0L, 1L, 2L, 3L, 3L, 0L))
+    // lifetime spend including current: 10, 30, 60, 100, 150, 5
+    assert(rows.map(_.getDouble(8)).toSeq ==
+      Seq(10.0, 30.0, 60.0, 100.0, 150.0, 5.0))
+  }
+
+  test("rolling features plan: one exchange, one sort, one Window") {
+    val orders = Seq((1L, 1L, "1993-01-01 00:00:00", 1.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val plan = Features.rollingOrderFeatures(orders)
+      .queryExecution.executedPlan.toString
+    def n(marker: String) = marker.r.findAllIn(plan).length
+    assert(n("Exchange") == 1, s"every feature must share ONE shuffle:\n$plan")
+    assert(n("(?i)\\bsort\\b") == 1, s"and ONE in-partition sort:\n$plan")
+  }
+
+  test("snapshot diff classifies added / removed / changed, drops unchanged") {
+    val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "en"))
+      .toDF("id", "t", "lang")
+    val v2 = Seq((2L, "b", "en"), (3L, "C", "en"), (4L, "d", "de"))
+      .toDF("id", "t", "lang")
+    val rows = Versioning.snapshotDiff(v1, v2, "id", Seq("t", "lang"))
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    // removed rows carry only the old hash, added only the new
+    assert(!rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(!rows(1).isNullAt(2) && !rows(1).isNullAt(3) &&
+      rows(1).getString(2) != rows(1).getString(3))
+    assert(rows(2).isNullAt(2) && !rows(2).isNullAt(3))
+  }
+
+  test("snapshot diff: identical snapshots produce an empty diff") {
+    val v = Seq((1L, "a", "en"), (2L, "b", "fr")).toDF("id", "t", "lang")
+    assert(Versioning.snapshotDiff(v, v, "id", Seq("t", "lang")).isEmpty)
+  }
+}
