@@ -1018,7 +1018,16 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, upper(col("text")))
             .otherwise(col("text")))
       Versioning.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
-    })
+    }),
+    // streaming trending leaderboard: per-hour top-3 event types maintained
+    // incrementally in keyed state (counts per window, bounded by the type
+    // vocabulary) — the continuous twin of q_events_trending, same oracle
+    "q_streaming_trending" -> ((s, dir) =>
+      StreamingState.trendingSnapshot(s, dir)),
+    // streaming KMV sketch: the k-minimum-values distinct sketch maintained
+    // in O(k) keyed state as the log replays — order-independent, so the
+    // final sketch equals the batch sketch exactly
+    "q_streaming_kmv" -> ((s, dir) => StreamingState.kmvSnapshot(s, dir))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2311,15 +2320,10 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     // trending: rank per window by count desc, name asc — the same total
     // order the bounded heap's (-n_events, event_type) struct encodes
-    "q_events_trending" ->
-      """SELECT window_start_s, event_type, n_events, CAST(rn AS INT) AS rank
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY window_start_s
-        |        ORDER BY n_events DESC, event_type) AS rn
-        |      FROM (SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
-        |              event_type, CAST(count(*) AS BIGINT) AS n_events
-        |            FROM events GROUP BY 1, 2))
-        |WHERE rn <= 3""".stripMargin,
+    "q_events_trending" -> trendingOracleSql,
+    // the streaming leaderboard maintains the same per-window top-3
+    // incrementally — shared oracle so the semantics cannot drift
+    "q_streaming_trending" -> trendingOracleSql,
     // transitions: lead over the same (us, event_id) per-user order
     "q_events_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
@@ -2390,6 +2394,27 @@ object SparkEntry {
          |  round(abs(raw - n_distinct) / n_distinct, 6) AS rel_err,
          |  (abs(raw - n_distinct) / n_distinct <= 0.19) AS within_bound
          |FROM e""".stripMargin,
+    // streaming KMV: the same distinct-hash ranking, estimate-only columns
+    // (exact n_distinct is what the BOUNDED streaming state cannot hold)
+    "q_streaming_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    md5(CAST(epoch_us(ts) AS VARCHAR)) AS h
+         |  FROM events),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct
+         |      FROM h GROUP BY 1),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM h),
+         |kv AS (SELECT event_type,
+         |         ${Sketches.hexPrefixToLongSql("h")} AS v
+         |       FROM r WHERE rn = 256)
+         |SELECT n.event_type,
+         |  CAST(least(n.n_distinct, 256) AS BIGINT) AS n_sketch,
+         |  round(CASE WHEN n.n_distinct < 256 THEN CAST(n.n_distinct AS DOUBLE)
+         |        ELSE CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+         |             / greatest(kv.v, 1)
+         |        END, 6) AS kmv_est
+         |FROM n LEFT JOIN kv USING (event_type)""".stripMargin,
     // erasure sweep: survivors = events whose user is NOT tombstoned
     "q_curation_forget" ->
       """SELECT user_id, event_id FROM events
@@ -3211,6 +3236,18 @@ object SparkEntry {
         |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
         |WHERE v1.h IS NULL OR v2.h IS NULL OR v1.h <> v2.h""".stripMargin
   )
+
+  /** Trending-leaderboard oracle — shared by the batch top-k and its
+    * incrementally-maintained streaming twin. */
+  private lazy val trendingOracleSql: String =
+    """SELECT window_start_s, event_type, n_events, CAST(rn AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY window_start_s
+      |        ORDER BY n_events DESC, event_type) AS rn
+      |      FROM (SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+      |              event_type, CAST(count(*) AS BIGINT) AS n_events
+      |            FROM events GROUP BY 1, 2))
+      |WHERE rn <= 3""".stripMargin
 
   /** CDC compaction oracle — shared by the batch compactor and its
     * streaming twin so the last-writer-wins semantics cannot drift. */

@@ -598,6 +598,201 @@ object StreamingState {
         col("last.last_value").as("last_value"))
   }
 
+  /** One event for the streaming trending leaderboard (hour window key). */
+  final case class TrendEvent(event_type: String, ws: Long)
+
+  /** Per-window leaderboard state: batches applied + per-type counts. */
+  final case class TrendState(n_updates: Long, counts: Map[String, Long])
+
+  /** One cumulative leaderboard emission (per touched window, per batch). */
+  final case class TrendTop(event_type: String, n_events: Long)
+  final case class TrendEmit(
+      window_start_s: Long, n_updates: Long, tops: Seq[TrendTop])
+
+  private val trendingRuns = new ConcurrentHashMap[String, String]()
+
+  /** Streaming trending leaderboard — the CONTINUOUS twin of
+    * [[graft.operators.EventAnalytics.trendingTypes]]: per tumbling hour
+    * window, the top-k event types by count, maintained incrementally as
+    * the log replays in time-ordered micro-batches. `flatMapGroupsWithState`
+    * keeps each window's per-type counts (state bounded by the type
+    * vocabulary, not the event volume) and emits that window's CURRENT
+    * top-k after every batch that touches it — the live "what moved this
+    * hour" board, where the batch operator is the retrospective one.
+    *
+    * Counts are commutative, so no intra-batch ordering is needed (unlike
+    * the CDC compactor); the final leaderboard per window is the emission
+    * with the highest n_updates (strictly increasing per applied batch) —
+    * an order-free `max_by` — and equals the batch operator row-for-row
+    * (ties broken by type name both ways). Same DuckDB oracle.
+    *
+    * Scale: state per open window is one count per distinct type (a bounded
+    * vocabulary); on a continuous ingest, pair with event-time timeout so
+    * closed hours evict (the [[streamingDedupBounded]] move). Emission
+    * volume is k rows per touched window per batch.
+    */
+  def trendingSnapshot(
+      spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val out = trendingRuns.computeIfAbsent(s"$sfDir|$k", _ => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.expressions.Window
+      val root = workDir(sfDir).resolve(s"trending_$k")
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val staged = Tables.events(spark, sfDir).select(
+        col("event_type"),
+        expr("(unix_micros(ts) DIV 3600000000) * 3600").as("ws"),
+        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+          .cast("int").as("chunk"))
+      stageChunks(staged, root, staging)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val source = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_type", StringType), StructField("ws", LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .as[TrendEvent]
+
+      val updates = source
+        .groupByKey(_.ws)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (ws: Long, rows: Iterator[TrendEvent], state: GroupState[TrendState]) =>
+            val st = state.getOption.getOrElse(TrendState(0L, Map.empty))
+            var m = st.counts
+            rows.foreach { e =>
+              m = m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            val st2 = TrendState(st.n_updates + 1, m)
+            state.update(st2)
+            val tops = m.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .map { case (t, n) => TrendTop(t, n) }
+            Iterator.single(TrendEmit(ws, st2.n_updates, tops))
+        }
+
+      val outDir = root.resolve("out")
+      val query = updates.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .groupBy("window_start_s")
+      .agg(max_by(col("tops"), col("n_updates")).as("tops"))
+      .select(col("window_start_s"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("window_start_s"), col("t.event_type").as("event_type"),
+        col("t.n_events").as("n_events"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** One hashed value for the streaming KMV sketch (key = group). */
+  final case class KmvRow(grp: String, h: String)
+
+  /** Per-group KMV state: batches applied + the ≤k smallest distinct
+    * hashes, ascending. */
+  final case class KmvState(n_updates: Long, mins: Seq[String])
+
+  /** One cumulative KMV emission: sketch fill + the k-th hash's 52-bit
+    * prefix (−1 while the sketch is not yet full). */
+  final case class KmvEmit(
+      event_type: String, n_updates: Long, n_sketch: Int, kth13: Long)
+
+  private val kmvRuns = new ConcurrentHashMap[String, String]()
+
+  /** Streaming KMV distinct sketch — the INCREMENTAL twin of
+    * [[graft.operators.Sketches.kmvDistinctAudit]]: per event type, the
+    * k-minimum-values sketch over distinct md5(value) hashes is maintained
+    * in keyed streaming state as the log replays. This is the
+    * sketch-as-state demonstration: state is O(k) per key FOREVER (the k
+    * smallest distinct hashes — a duplicate inside the range is rejected by
+    * set membership, anything above the current k-th is dropped unseen,
+    * which is exactly KMV's merge rule), where an exact distinct count
+    * would need unbounded seen-set state. The estimate (k−1)·2⁵²/kth is
+    * computed over the SNAPSHOT with the same Column arithmetic as the
+    * batch audit, so the two paths cannot drift numerically.
+    *
+    * Equals the batch sketch exactly: KMV's k-min set is order-independent,
+    * so replay order cannot change the final state. Oracle replays the
+    * distinct-hash ranking in SQL (same 13-hex-char 52-bit expansion).
+    *
+    * Scale: state per key is k strings; emissions one row per touched key
+    * per batch.
+    */
+  def kmvSnapshot(spark: SparkSession, sfDir: String, k: Int = 256): DataFrame = {
+    val out = kmvRuns.computeIfAbsent(s"$sfDir|$k", _ => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.expressions.Window
+      val root = workDir(sfDir).resolve(s"kmv_$k")
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val staged = Tables.events(spark, sfDir).select(
+        col("event_type").as("grp"),
+        md5(unix_micros(col("ts")).cast("string").cast("binary")).as("h"),
+        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+          .cast("int").as("chunk"))
+      stageChunks(staged, root, staging)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val source = spark.readStream
+        .schema(StructType(Seq(
+          StructField("grp", StringType), StructField("h", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .as[KmvRow]
+
+      val updates = source
+        .groupByKey(_.grp)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (grp: String, rows: Iterator[KmvRow], state: GroupState[KmvState]) =>
+            val st = state.getOption.getOrElse(KmvState(0L, Seq.empty))
+            var mins = scala.collection.immutable.TreeSet.empty[String] ++ st.mins
+            rows.foreach { r =>
+              if (mins.size < k) mins += r.h
+              else if (r.h < mins.last && !mins.contains(r.h)) {
+                mins += r.h; mins -= mins.last
+              }
+            }
+            val st2 = KmvState(st.n_updates + 1, mins.toSeq)
+            state.update(st2)
+            val kth13 =
+              if (mins.size == k)
+                java.lang.Long.parseLong(mins.last.substring(0, 13), 16)
+              else -1L
+            Iterator.single(KmvEmit(grp, st2.n_updates, mins.size, kth13))
+        }
+
+      val outDir = root.resolve("out")
+      val query = updates.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(max_by(struct(col("n_sketch"), col("kth13")), col("n_updates")).as("s"))
+      .select(col("event_type"), col("s.n_sketch").cast("long").as("n_sketch"),
+        round(
+          when(col("s.n_sketch") < k, col("s.n_sketch").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /
+              greatest(col("s.kth13"), lit(1L)).cast("double")), 6)
+          .as("kmv_est"))
+  }
+
   /** A day-keyed event for the streaming rate limiter. */
   final case class DayEvent(event_id: Long, user_id: Long, day: Int, us: Long)
 

@@ -177,6 +177,32 @@ class StreamingStateSpec extends AnyFunSuite {
       "streaming last-writer-wins state diverged from the batch compaction")
   }
 
+  test("streaming trending leaderboard equals the batch per-window top-k") {
+    import graft.operators.EventAnalytics
+    val streamed = StreamingState.trendingSnapshot(spark, sfDir)
+    val batch = EventAnalytics.trendingTypes(Tables.events(spark, sfDir))
+    assert(streamed.count() == batch.count(),
+      "every window must surface exactly its top-k rows in the snapshot")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "incrementally maintained leaderboard diverged from the batch top-k")
+  }
+
+  test("streaming KMV sketch equals the batch sketch estimate") {
+    import graft.operators.Sketches
+    val streamed = StreamingState.kmvSnapshot(spark, sfDir)
+    val batch = Sketches.kmvDistinctAudit(
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us")),
+      "event_type", "us", k = 256)
+      .select(col("event_type"),
+        least(col("n_distinct"), lit(256L)).cast("long").as("n_sketch"),
+        col("kmv_est"))
+    assert(streamed.count() == batch.count(),
+      "one sketch row per event type")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "incrementally maintained KMV sketch diverged from the batch sketch")
+  }
+
   test("streaming incremental dedup verdicts equal the batch operator") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)
