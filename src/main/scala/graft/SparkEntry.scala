@@ -1027,7 +1027,29 @@ object SparkEntry {
     // streaming KMV sketch: the k-minimum-values distinct sketch maintained
     // in O(k) keyed state as the log replays — order-independent, so the
     // final sketch equals the batch sketch exactly
-    "q_streaming_kmv" -> ((s, dir) => StreamingState.kmvSnapshot(s, dir))
+    "q_streaming_kmv" -> ((s, dir) => StreamingState.kmvSnapshot(s, dir)),
+    // resample the sparse hourly per-symbol aggregate onto the full hourly
+    // grid with forward-fill (the serving-table / feature-store shape):
+    // grid = map-side sequence explode, fill = one windowed last(ignoreNulls)
+    "q_features_resample" -> ((s, dir) =>
+      Features.resampleFill(
+        windowedAgg(s, dir).select(col("symbol"), col("window_start_s"),
+          col("number_shares")),
+        "symbol", "window_start_s", "number_shares", step = 3600L)),
+    // key-skew profile of the event log's user_id — the pre-shuffle audit:
+    // one map-combined aggregate at data scale, bounded-scalar distribution,
+    // TakeOrdered top-k
+    "q_quality_skew" -> ((s, dir) =>
+      Quality.skewProfile(Tables.events(s, dir), "user_id", k = 10)),
+    // connected components of the chunk-overlap provenance graph (the
+    // cluster-discovery step on a dedup pair list): min-label propagation,
+    // diameter rounds, never a materialized closure
+    "q_graph_components" -> ((s, dir) =>
+      Graph.connectedComponents(
+        Dedup.chunkOverlapPairs(Tables.documents(s, dir),
+          chunkChars = 64, minShared = 2, maxPostings = 50)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .select(col("node"), col("component"), col("n_members")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2354,21 +2376,26 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // triangles: same chunk-overlap edge CTE, same wedge + closing join
     "q_graph_triangles" ->
-      """WITH h AS (SELECT DISTINCT doc_id,
-        |    md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS chunk_md5
-        |  FROM (SELECT doc_id, text,
-        |          unnest(range((length(text) + 63) // 64)) AS i
-        |        FROM documents)),
-        |u AS (SELECT chunk_md5 FROM h GROUP BY chunk_md5
-        |      HAVING count(*) > 1 AND count(*) <= 50),
-        |hf AS (SELECT h.doc_id, h.chunk_md5 FROM h JOIN u USING (chunk_md5)),
-        |e AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |      FROM hf a JOIN hf b
-        |        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      s"""WITH $chunkGraphCtes
         |SELECT e1.u AS doc_a, e1.v AS doc_b, e2.v AS doc_c
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
         |          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    // connected components over the same chunk-overlap graph: min-reachable
+    // label via closure (oracle scale), sizes joined back
+    "q_graph_components" ->
+      s"""WITH RECURSIVE $chunkGraphCtes,
+        |edges AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+        |  WHERE e2.v <> r.u),
+        |base AS (SELECT u AS node, least(u, min(v)) AS component
+        |         FROM reach GROUP BY u),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM base GROUP BY 1)
+        |SELECT b.node, b.component, s.n_members
+        |FROM base b JOIN sz s USING (component)""".stripMargin,
     // KMV: the whole sketch replayed in SQL — k-th smallest md5 of the
     // distinct per-type timestamp strings, 13-hex fraction, same
     // (k-1)*2^52/v quotient, same 0.19 bound
@@ -2394,6 +2421,41 @@ object SparkEntry {
          |  round(abs(raw - n_distinct) / n_distinct, 6) AS rel_err,
          |  (abs(raw - n_distinct) / n_distinct <= 0.19) AS within_bound
          |FROM e""".stripMargin,
+    // resample+fill: islands formulation (cumulative non-null count → island
+    // id → island max) — same fill as last(ignoreNulls) without relying on
+    // DuckDB's IGNORE NULLS window support
+    "q_features_resample" ->
+      s"""$WW,
+         |m AS (SELECT max(window_start_s) AS gmax FROM wagg),
+         |st AS (SELECT symbol, min(window_start_s) AS s0 FROM wagg GROUP BY 1),
+         |grid AS (SELECT st.symbol,
+         |           unnest(generate_series(st.s0, m.gmax, 3600)) AS window_start_s
+         |         FROM st, m),
+         |j AS (SELECT g.symbol, g.window_start_s, w.number_shares AS v
+         |      FROM grid g LEFT JOIN wagg w USING (symbol, window_start_s)),
+         |i AS (SELECT symbol, window_start_s, v,
+         |        count(v) OVER (PARTITION BY symbol ORDER BY window_start_s) AS grp
+         |      FROM j)
+         |SELECT symbol, window_start_s,
+         |  max(v) OVER (PARTITION BY symbol, grp) AS number_shares,
+         |  (v IS NULL) AS is_gap
+         |FROM i""".stripMargin,
+    // skew profile: same counts/quantiles/top-k; ANSI quantile_cont matches
+    // Spark percentile, deterministic key tiebreak on the leaderboard
+    "q_quality_skew" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+        |        round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+        |        CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+        |t AS (SELECT user_id, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM c)
+        |SELECT CAST(t.rn AS INT) AS rank, t.user_id, t.cnt,
+        |  round(CAST(t.cnt AS DOUBLE) / s.n_rows, 6) AS share,
+        |  s.n_keys, s.n_rows, s.p50_cnt, s.p99_cnt, s.max_cnt
+        |FROM t, s WHERE t.rn <= 10""".stripMargin,
     // streaming KMV: the same distinct-hash ranking, estimate-only columns
     // (exact n_distinct is what the BOUNDED streaming state cannot hold)
     "q_streaming_kmv" ->
@@ -3236,6 +3298,23 @@ object SparkEntry {
         |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
         |WHERE v1.h IS NULL OR v2.h IS NULL OR v1.h <> v2.h""".stripMargin
   )
+
+  /** Chunk-overlap copy-provenance graph CTEs (h → u → hf → e) — shared by
+    * the triangle and connected-components oracles so the graph definition
+    * cannot drift between them. */
+  private lazy val chunkGraphCtes: String =
+    """h AS (SELECT DISTINCT doc_id,
+      |    md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS chunk_md5
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range((length(text) + 63) // 64)) AS i
+      |        FROM documents)),
+      |u AS (SELECT chunk_md5 FROM h GROUP BY chunk_md5
+      |      HAVING count(*) > 1 AND count(*) <= 50),
+      |hf AS (SELECT h.doc_id, h.chunk_md5 FROM h JOIN u USING (chunk_md5)),
+      |e AS (SELECT a.doc_id AS u, b.doc_id AS v
+      |      FROM hf a JOIN hf b
+      |        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   /** Trending-leaderboard oracle — shared by the batch top-k and its
     * incrementally-maintained streaming twin. */

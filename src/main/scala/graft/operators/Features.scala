@@ -55,4 +55,41 @@ object Features {
       count(col("p")).over(trailing).as("hist_cnt"),
       sum(col("p")).over(lifetime).cast("double").as("cum_spend"))
   }
+
+  /** Resample a sparse per-key time series onto a regular grid with
+    * forward-fill — the serving-table / feature-store shape ("what was the
+    * symbol's last known hourly volume at hour t, for EVERY t"), where the
+    * raw aggregate only has rows for hours with activity.
+    *
+    * Each key's grid runs from its own first observation to the GLOBAL last
+    * grid point (once an entity exists it has a row every step), so the
+    * first row per key is never null and the fill is total. Grid generation
+    * is a map-side `sequence` explode off the bounded per-key minima — grid
+    * cardinality is keys × steps, independent of the raw event volume. The
+    * global max is one bounded scalar aggregate (a driver artifact, the
+    * repo's trained-model move). Fill is `last(value, ignoreNulls)` over the
+    * key-partitioned hour order: one exchange + one in-partition sort after
+    * the grid⋈observations hash join — two key-partitioned shuffles total
+    * at any scale.
+    *
+    * Returns (keyCol, timeCol, <valueCol> filled, is_gap).
+    */
+  def resampleFill(
+      series: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+      step: Long): DataFrame = {
+    val gmax = series.agg(max(col(timeCol))).head().getLong(0)
+    val grid = series
+      .groupBy(col(keyCol))
+      .agg(min(col(timeCol)).as("s0"))
+      .select(col(keyCol),
+        explode(sequence(col("s0"), lit(gmax), lit(step))).as(timeCol))
+    val w = Window.partitionBy(keyCol).orderBy(timeCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(series.select(col(keyCol), col(timeCol), col(valueCol).as("_v")),
+        Seq(keyCol, timeCol), "left")
+      .select(col(keyCol), col(timeCol),
+        last(col("_v"), ignoreNulls = true).over(w).as(valueCol),
+        col("_v").isNull.as("is_gap"))
+  }
 }

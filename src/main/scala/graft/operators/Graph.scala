@@ -156,4 +156,27 @@ object Graph {
       .select(col("e1.u").as("doc_a"), col("e1.v").as("doc_b"),
         col("e2.v").as("doc_c"))
   }
+
+  /** Connected components of an undirected edge list (`u`, `v`) — the third
+    * classic graph primitive next to PageRank and triangles, and the
+    * cluster-discovery step every dedup/provenance pipeline runs on its
+    * pair list. Delegates to the same min-label propagation loop as
+    * [[Dedup.nearDedupLabels]] (per round one join + one hash aggregate,
+    * `localCheckpoint` lineage cuts, label-sum convergence — diameter
+    * rounds, never a materialized transitive closure), over the node set
+    * derived from the edges.
+    *
+    * Returns (node, component, n_members); component = the minimum node id
+    * reachable, sizes via one component-keyed aggregate + an equi-join
+    * (components ≤ nodes — broadcastable once components are few).
+    */
+  def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val pairs = edges.select(col("u").as("doc_a"), col("v").as("doc_b"))
+    val nodes = edges.select(col("u").as("doc_id"))
+      .union(edges.select(col("v").as("doc_id"))).distinct()
+    val lbl = Dedup.nearDedupLabels(nodes, pairs, maxIterations)
+      .select(col("doc_id").as("node"), col("canonical_id").as("component"))
+    val sizes = lbl.groupBy("component").agg(count(lit(1)).as("n_members"))
+    lbl.join(sizes, "component").select("node", "component", "n_members")
+  }
 }

@@ -244,4 +244,40 @@ object Quality {
         sum(col("fp").cast("decimal(38,0)")).cast("string").as("fp_sum"),
         min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
   }
+
+  /** Key-skew profile for a prospective shuffle/join key — the "know your
+    * exchange before you pay for it" audit a 100 TB pipeline runs before
+    * keying anything by `keyCol`: the top-`k` heaviest keys with their share
+    * of all rows, alongside the key-count distribution (distinct keys, total
+    * rows, p50/p99 per-key count, max). A max/p50 ratio in the thousands is
+    * the signal to salt or let AQE split that key.
+    *
+    * Shape: ONE hash aggregate over the raw rows (map-side combined — the
+    * only pass at data scale), then everything downstream works on |keys|
+    * rows: the distribution is one bounded scalar aggregate (driver
+    * artifact, the repo's trained-model move), the top-k plans as
+    * TakeOrderedAndProject (bounded per-partition heaps, never a full
+    * sort), and the final rank window touches exactly `k` rows.
+    *
+    * Returns (rank, keyCol, cnt, share, n_keys, n_rows, p50_cnt, p99_cnt,
+    * max_cnt).
+    */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val s = counts.agg(
+      count(lit(1)).as("nk"), sum(col("cnt")).as("nr"),
+      round(percentile(col("cnt"), lit(0.5)), 6).as("p50"),
+      round(percentile(col("cnt"), lit(0.99)), 6).as("p99"),
+      max(col("cnt")).as("mx")).head()
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col(keyCol)))
+          .cast("int"))
+      .select(col("rank"), col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / lit(s.getLong(1)), 6).as("share"),
+        lit(s.getLong(0)).as("n_keys"), lit(s.getLong(1)).as("n_rows"),
+        lit(s.getDouble(2)).as("p50_cnt"), lit(s.getDouble(3)).as("p99_cnt"),
+        lit(s.getLong(4)).as("max_cnt"))
+  }
 }

@@ -58,6 +58,19 @@ class FeaturesSpec extends AnyFunSuite {
     assert(n("(?i)\\bsort\\b") == 1, s"and ONE in-partition sort:\n$plan")
   }
 
+  test("resample+fill: per-key grid to the global max, forward-filled") {
+    val series = Seq(
+      ("A", 0L, 5L), ("A", 20L, 7L), // A misses t=10
+      ("B", 10L, 1L))                // B starts late, misses t=20
+      .toDF("k", "t", "v")
+    val rows = Features.resampleFill(series, "k", "t", "v", step = 10L)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSeq == Seq(
+      ("A", 0L, 5L, false), ("A", 10L, 5L, true), ("A", 20L, 7L, false),
+      ("B", 10L, 1L, false), ("B", 20L, 1L, true)))
+  }
+
   test("snapshot diff classifies added / removed / changed, drops unchanged") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "en"))
       .toDF("id", "t", "lang")

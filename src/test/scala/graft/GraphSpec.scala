@@ -133,4 +133,15 @@ class GraphSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     assert(runAt(edges).sameElements(runAt(edges.repartition(7))))
   }
+
+  test("connected components: min labels and sizes on a two-component graph") {
+    import spark.implicits._
+    // chain 1-2-3 (component 1, size 3) and pair 10-11 (component 10, size 2)
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val rows = Graph.connectedComponents(edges).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
 }

@@ -139,4 +139,19 @@ class QualitySpec extends AnyFunSuite {
         r.getAs[String]("fp_sum"))).toSet
     assert(a != b)
   }
+
+  test("skew profile: top-k shares and count distribution, hand-computed") {
+    // key h: 6 rows, m: 3, a/b/c: 1 each -> n_keys=5, n_rows=12
+    val df = (Seq.fill(6)("h") ++ Seq.fill(3)("m") ++ Seq("a", "b", "c"))
+      .toDF("k")
+    val rows = Quality.skewProfile(df, "k", k = 3).orderBy("rank").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "h", 6L), (2, "m", 3L), (3, "a", 1L)),
+      "count-desc order with key tiebreak")
+    assert(rows.head.getDouble(3) == 0.5)
+    assert(rows.head.getLong(4) == 5L && rows.head.getLong(5) == 12L)
+    // counts sorted: 1,1,1,3,6 -> p50 = 1.0, max = 6
+    assert(rows.head.getDouble(6) == 1.0)
+    assert(rows.head.getLong(8) == 6L)
+  }
 }
