@@ -68,6 +68,7 @@ FAMILIES = {
         "q_streaming_enriched", "q_changelog_per_record",
         "q_streaming_cdc", "q_streaming_rate_limit",
         "q_streaming_join_outer", "q_streaming_late_drop",
+        "q_streaming_trending", "q_streaming_kmv",
     ],
     "olap (star joins / rollups / window-over-agg)": [
         "q_olap_pricing", "q_olap_volume", "q_olap_priority", "q_olap_heavy",
@@ -75,7 +76,11 @@ FAMILIES = {
         "q_layout_zorder", "q_layout_linear",
     ],
     "graph (iterative / motif)": [
-        "q_graph_pagerank", "q_graph_triangles",
+        "q_graph_pagerank", "q_graph_triangles", "q_graph_components",
+    ],
+    "feature engineering / versioning": [
+        "q_features_rolling", "q_features_resample", "q_diff_snapshots",
+        "q_quality_skew",
     ],
     "event analytics (sessionized / windowed)": [
         "q_events_anomaly", "q_events_bitmap", "q_events_cdc",
