@@ -1012,12 +1012,15 @@ object SparkEntry {
     // hash join classifies added/removed/changed, unchanged keys dropped
     "q_diff_snapshots" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
-      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 3 === 0, upper(col("text")))
-            .otherwise(col("text")))
-      Versioning.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+      Versioning.snapshotDiff(snapV1(docs), snapV2(docs), "doc_id",
+        Seq("text", "lang", "source"))
+    }),
+    // distribution drift between the same two snapshots: per-source counts,
+    // char sums, and snapshot-share deltas (the mixture-drift report) —
+    // bounded per-group aggregates meeting in one full-outer join
+    "q_diff_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Versioning.driftReport(snapV1(docs), snapV2(docs), "source", "n_chars")
     }),
     // streaming trending leaderboard: per-hour top-3 event types maintained
     // incrementally in keyed state (counts per window, bounded by the type
@@ -2440,6 +2443,26 @@ object SparkEntry {
          |  max(v) OVER (PARTITION BY symbol, grp) AS number_shares,
          |  (v IS NULL) AS is_gap
          |FROM i""".stripMargin,
+    // drift report: same per-source aggregates, totals as scalar subqueries,
+    // IEEE share divisions rounded at 6 dp on both sides
+    "q_diff_drift" ->
+      """WITH v1 AS (SELECT source, n_chars FROM documents
+        |            WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT source, n_chars FROM documents WHERE doc_id % 5 <> 0),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_v1,
+        |        CAST(sum(n_chars) AS BIGINT) AS size_v1 FROM v1 GROUP BY 1),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_v2,
+        |        CAST(sum(n_chars) AS BIGINT) AS size_v2 FROM v2 GROUP BY 1),
+        |t AS (SELECT (SELECT count(*) FROM v1) AS t1,
+        |             (SELECT count(*) FROM v2) AS t2)
+        |SELECT coalesce(a.source, b.source) AS source,
+        |  coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2,
+        |  coalesce(size_v1, 0) AS size_v1, coalesce(size_v2, 0) AS size_v2,
+        |  round(CAST(coalesce(n_v1, 0) AS DOUBLE) / t1, 6) AS share_v1,
+        |  round(CAST(coalesce(n_v2, 0) AS DOUBLE) / t2, 6) AS share_v2,
+        |  round(CAST(coalesce(n_v2, 0) AS DOUBLE) / t2
+        |        - CAST(coalesce(n_v1, 0) AS DOUBLE) / t1, 6) AS share_delta
+        |FROM a FULL JOIN b ON a.source = b.source, t""".stripMargin,
     // skew profile: same counts/quantiles/top-k; ANSI quantile_cont matches
     // Spark percentile, deterministic key tiebreak on the leaderboard
     "q_quality_skew" ->
@@ -3298,6 +3321,17 @@ object SparkEntry {
         |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
         |WHERE v1.h IS NULL OR v2.h IS NULL OR v1.h <> v2.h""".stripMargin
   )
+
+  /** The deterministic snapshot pair for the versioning queries — v2 drops
+    * doc_id%5==0 and upper-cases doc_id%3==0 in place; shared by
+    * q_diff_snapshots and q_diff_drift so their staging cannot drift. */
+  private def snapV1(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+  private def snapV2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text")))
 
   /** Chunk-overlap copy-provenance graph CTEs (h → u → hf → e) — shared by
     * the triangle and connected-components oracles so the graph definition

@@ -42,4 +42,45 @@ object Versioning {
       .filter(col("old_hash").isNull || col("new_hash").isNull ||
         col("old_hash") =!= col("new_hash"))
   }
+
+  /** Distribution drift between two snapshots, grouped by `groupCol` —
+    * the "did the source/language mix move" report a retraining run reads
+    * next to the row-level diff: per group, doc counts and size sums on
+    * each side plus the group's SHARE of its snapshot and the share delta
+    * (mixture drift, the quantity data-mixing recipes are written in).
+    *
+    * Scale shape: each snapshot collapses to one bounded per-group
+    * aggregate at the scan (rows = |groups|); the two aggregates meet in a
+    * full-outer group-keyed join (appeared/vanished groups included, counts
+    * coalesced to 0); snapshot totals are one bounded scalar aggregate
+    * injected as literals (the driver-artifact move). Counts and sums stay
+    * exact integers; shares are single IEEE divisions rounded at 6 dp.
+    *
+    * Returns (groupCol, n_v1, n_v2, size_v1, size_v2, share_v1, share_v2,
+    * share_delta).
+    */
+  def driftReport(
+      v1: DataFrame, v2: DataFrame, groupCol: String,
+      sizeCol: String): DataFrame = {
+    def side(df: DataFrame, n: String, sz: String) =
+      df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as(n), sum(col(sizeCol)).as(sz))
+    val a = side(v1, "n_v1", "size_v1")
+    val b = side(v2, "n_v2", "size_v2").withColumnRenamed(groupCol, "g2")
+    val t1 = v1.agg(count(lit(1))).head().getLong(0)
+    val t2 = v2.agg(count(lit(1))).head().getLong(0)
+    val s1 = round(coalesce(col("n_v1"), lit(0L)).cast("double") / lit(t1.toDouble), 6)
+    val s2 = round(coalesce(col("n_v2"), lit(0L)).cast("double") / lit(t2.toDouble), 6)
+    a.join(b, col(groupCol) === col("g2"), "full_outer")
+      .select(
+        coalesce(col(groupCol), col("g2")).as(groupCol),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        coalesce(col("size_v1"), lit(0L)).as("size_v1"),
+        coalesce(col("size_v2"), lit(0L)).as("size_v2"),
+        s1.as("share_v1"), s2.as("share_v2"),
+        round(coalesce(col("n_v2"), lit(0L)).cast("double") / lit(t2.toDouble)
+          - coalesce(col("n_v1"), lit(0L)).cast("double") / lit(t1.toDouble), 6)
+          .as("share_delta"))
+  }
 }

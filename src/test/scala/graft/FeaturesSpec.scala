@@ -91,4 +91,18 @@ class FeaturesSpec extends AnyFunSuite {
     val v = Seq((1L, "a", "en"), (2L, "b", "fr")).toDF("id", "t", "lang")
     assert(Versioning.snapshotDiff(v, v, "id", Seq("t", "lang")).isEmpty)
   }
+
+  test("drift report: counts, sums, shares, and a vanished group") {
+    // v1: x has 3 docs (30 chars), y has 1 (5); v2: x has 1 (10), z appears
+    val v1 = Seq(("x", 10L), ("x", 10L), ("x", 10L), ("y", 5L)).toDF("src", "n")
+    val v2 = Seq(("x", 10L), ("z", 7L)).toDF("src", "n")
+    val rows = Versioning.driftReport(v1, v2, "src", "n")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.toSeq == Seq(
+      ("x", 3L, 1L, 30L, 10L, 0.75, 0.5, -0.25),
+      ("y", 1L, 0L, 5L, 0L, 0.25, 0.0, -0.25),
+      ("z", 0L, 1L, 0L, 7L, 0.0, 0.5, 0.5)))
+  }
 }
