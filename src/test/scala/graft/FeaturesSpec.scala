@@ -71,6 +71,20 @@ class FeaturesSpec extends AnyFunSuite {
       ("B", 10L, 1L, false), ("B", 20L, 1L, true)))
   }
 
+  test("resample+fill plan: no cartesian, no nested loop, bounded exchanges") {
+    val series = Seq(("A", 0L, 5L), ("A", 20L, 7L), ("B", 10L, 1L))
+      .toDF("k", "t", "v")
+    val plan = Features.resampleFill(series, "k", "t", "v", step = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"grid generation must stay an explode, never a cross join:\n$plan")
+    // per-key minima agg, grid⋈series join, key-partitioned window — the
+    // plan may reuse exchanges but must never exceed these four
+    assert("Exchange".r.findAllIn(plan).length <= 4,
+      s"resample grew an unexpected shuffle:\n$plan")
+  }
+
   test("snapshot diff classifies added / removed / changed, drops unchanged") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "en"))
       .toDF("id", "t", "lang")
