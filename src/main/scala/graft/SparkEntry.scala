@@ -2851,7 +2851,12 @@ object SparkEntry {
         |JOIN pt pb ON pb.event_type = c.event_type
         |GROUP BY 1, 2, pa.n_t, pb.n_t""".stripMargin,
     // table fingerprint: same canonical string, same 15-hex-char → 60-bit
-    // key (nibble arithmetic = the engine's conv), exact decimal sum
+    // key. The per-row fp is an explicit 15-term BIGINT multiply-add against
+    // a power-of-16 literal table — no '<<' shifts and no intermediate
+    // aggregate, so fp stays BIGINT on every DuckDB version (an inner
+    // sum(BIGINT) would promote to HUGEINT and surface fp_min/fp_max as
+    // floats client-side — the r08 hash-mismatch). fp_sum accumulates in
+    // exact DECIMAL(38,0), mirroring the Spark side.
     "q_quality_checksum" ->
       """WITH r AS (SELECT doc_id, source,
         |    substr(md5(concat_ws('|',
@@ -2862,13 +2867,24 @@ object SparkEntry {
         |      coalesce(CAST(n_chars AS VARCHAR), '<null>'))), 1, 15) AS hx
         |  FROM documents),
         |f AS (SELECT source,
-        |    sum((strpos('0123456789abcdef',
-        |           substr(hx, CAST(i AS INT) + 1, 1)) - 1)::BIGINT
-        |        << ((14 - CAST(i AS INT)) * 4)) AS fp
-        |  FROM r, (SELECT unnest(range(15)) AS i) ii
-        |  GROUP BY source, doc_id, hx)
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * CAST(72057594037927936 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * CAST(4503599627370496 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * CAST(281474976710656 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * CAST(17592186044416 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * CAST(1099511627776 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * CAST(68719476736 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * CAST(4294967296 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * CAST(16777216 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) * CAST(1048576 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 11, 1)) - 1) * CAST(65536 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 12, 1)) - 1) * CAST(4096 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 13, 1)) - 1) * CAST(256 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 14, 1)) - 1) * CAST(16 AS BIGINT)
+        |  + (strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) * CAST(1 AS BIGINT) AS fp
+        |  FROM r)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |       CAST(CAST(sum(fp) AS DECIMAL(38,0)) AS VARCHAR) AS fp_sum,
+        |       CAST(SUM(CAST(fp AS DECIMAL(38,0))) AS VARCHAR) AS fp_sum,
         |       MIN(fp) AS fp_min, MAX(fp) AS fp_max
         |FROM f GROUP BY source""".stripMargin,
     // expectations: same null-safe rule predicates, same single-pass
@@ -3303,15 +3319,19 @@ object SparkEntry {
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_s, o_orderkey)"""
         .stripMargin,
-    // snapshot diff: the same md5('|'-joined payload) fingerprints and the
-    // same full-outer classification, unchanged keys filtered out
+    // snapshot diff: the same md5('|'-joined payload) fingerprints — with
+    // the same per-column '<null>' sentinels — and the same full-outer
+    // classification, unchanged keys filtered out
     "q_diff_snapshots" ->
       """WITH v1 AS (SELECT doc_id,
-        |         md5(concat_ws('|', text, lang, source)) AS h
+        |         md5(concat_ws('|',
+        |           coalesce(text, '<null>'), coalesce(lang, '<null>'),
+        |           coalesce(source, '<null>'))) AS h
         |       FROM documents WHERE doc_id % 7 <> 0),
         |v2 AS (SELECT doc_id, md5(concat_ws('|',
-        |         CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
-        |         lang, source)) AS h
+        |         coalesce(CASE WHEN doc_id % 3 = 0 THEN upper(text)
+        |                       ELSE text END, '<null>'),
+        |         coalesce(lang, '<null>'), coalesce(source, '<null>'))) AS h
         |       FROM documents WHERE doc_id % 5 <> 0)
         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
         |       CASE WHEN v1.h IS NULL THEN 'added'

@@ -77,7 +77,21 @@ object Features {
   def resampleFill(
       series: DataFrame, keyCol: String, timeCol: String, valueCol: String,
       step: Long): DataFrame = {
-    val gmax = series.agg(max(col(timeCol))).head().getLong(0)
+    // the scalar aggregate returns one row with a NULL max on empty input —
+    // read it nullably and return the declared (empty) schema rather than NPE
+    val gmaxRow = series.agg(max(col(timeCol))).head()
+    if (gmaxRow.isNullAt(0)) {
+      val spark = series.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          series.schema(keyCol),
+          series.schema(timeCol),
+          series.schema(valueCol).copy(name = valueCol),
+          org.apache.spark.sql.types.StructField(
+            "is_gap", org.apache.spark.sql.types.BooleanType, nullable = true))))
+    }
+    val gmax = gmaxRow.getLong(0)
     val grid = series
       .groupBy(col(keyCol))
       .agg(min(col(timeCol)).as("s0"))

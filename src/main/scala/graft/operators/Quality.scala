@@ -270,6 +270,15 @@ object Quality {
       round(percentile(col("cnt"), lit(0.5)), 6).as("p50"),
       round(percentile(col("cnt"), lit(0.99)), 6).as("p99"),
       max(col("cnt")).as("mx")).head()
+    // empty input: the scalar row carries NULL sum/percentiles/max — the
+    // top-k below is empty anyway, so return it before reading the nulls
+    if (s.isNullAt(1)) {
+      return counts.limit(0)
+        .select(lit(0).cast("int").as("rank"), col(keyCol),
+          col("cnt"), lit(0.0).as("share"), lit(0L).as("n_keys"),
+          lit(0L).as("n_rows"), lit(0.0).as("p50_cnt"),
+          lit(0.0).as("p99_cnt"), lit(0L).as("max_cnt"))
+    }
     counts.orderBy(col("cnt").desc, col(keyCol)).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cnt").desc, col(keyCol)))

@@ -19,7 +19,10 @@ object Versioning {
 
   /** Classify every key across two snapshots as added / removed / changed,
     * dropping unchanged keys. `payload` columns are fingerprinted with
-    * md5(concat_ws(|, ...)) — the repo's portable content hash.
+    * md5(concat_ws(|, ...)) — the repo's portable content hash — with
+    * explicit '<null>' sentinels per column (concat_ws silently SKIPS
+    * nulls, which would alias (a,NULL,b) with (a,b,NULL) and misclassify a
+    * column-shift edit as unchanged).
     *
     * Returns (<key>, status, old_hash, new_hash).
     */
@@ -28,7 +31,8 @@ object Versioning {
       payload: Seq[String]): DataFrame = {
     def fp(df: DataFrame) =
       df.select(col(key),
-        md5(concat_ws("|", payload.map(col): _*)).as("h"))
+        md5(concat_ws("|", payload.map(c =>
+          coalesce(col(c).cast("string"), lit("<null>"))): _*)).as("h"))
     val a = fp(v1).withColumnRenamed("h", "old_hash")
     val b = fp(v2).withColumnRenamed("h", "new_hash")
       .withColumnRenamed(key, "k2")

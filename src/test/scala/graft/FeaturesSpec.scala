@@ -71,6 +71,24 @@ class FeaturesSpec extends AnyFunSuite {
       ("B", 10L, 1L, false), ("B", 20L, 1L, true)))
   }
 
+  test("resample+fill: empty input returns the declared schema, no NPE") {
+    val series = Seq(("A", 0L, 5L)).toDF("k", "t", "v").limit(0)
+    val out = Features.resampleFill(series, "k", "t", "v", step = 10L)
+    assert(out.columns.toSeq == Seq("k", "t", "v", "is_gap"))
+    assert(out.count() == 0L)
+  }
+
+  test("snapshot diff: null payloads get sentinels — a column-shift edit " +
+    "is 'changed', not aliased to unchanged") {
+    val v1 = Seq((1L, Some("a"), None: Option[String]))
+      .toDF("id", "c1", "c2")
+    val v2 = Seq((1L, None: Option[String], Some("a")))
+      .toDF("id", "c1", "c2")
+    val rows = Versioning.snapshotDiff(v1, v2, "id", Seq("c1", "c2")).collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "changed",
+      "(a,NULL) vs (NULL,a) must fingerprint differently")
+  }
+
   test("resample+fill plan: no cartesian, no nested loop, bounded exchanges") {
     val series = Seq(("A", 0L, 5L), ("A", 20L, 7L), ("B", 10L, 1L))
       .toDF("k", "t", "v")

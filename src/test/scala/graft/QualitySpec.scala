@@ -154,4 +154,12 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.head.getDouble(6) == 1.0)
     assert(rows.head.getLong(8) == 6L)
   }
+
+  test("skew profile: empty input returns the declared schema, no NPE") {
+    val df = Seq("h").toDF("k").limit(0)
+    val out = Quality.skewProfile(df, "k", k = 3)
+    assert(out.columns.toSeq == Seq("rank", "k", "cnt", "share", "n_keys",
+      "n_rows", "p50_cnt", "p99_cnt", "max_cnt"))
+    assert(out.count() == 0L)
+  }
 }
