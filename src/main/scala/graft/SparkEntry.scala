@@ -92,6 +92,15 @@ object SparkEntry {
   private val vocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** Trained BPE model (merge table + type→tokens memo) — a bounded model
+    * artifact built once per corpus, like the language profiles. */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Bpe.Model]()
+  private val BpeMerges = 24
+  private def bpeModel(dir: String, docs: DataFrame): Bpe.Model =
+    bpeModels.computeIfAbsent(dir,
+      _ => Bpe.train(docs, "text", numMerges = BpeMerges))
+
   /** Survivor labelings — like the materialized state, a derived artifact
     * computed once per corpus (the label-propagation output is already
     * materialized via localCheckpoint; re-running the whole iteration per
@@ -545,6 +554,38 @@ object SparkEntry {
     // doc_id order per (shard, bin)
     "q_pack_payloads" -> ((s, dir) =>
       Packing.packedPayloads(Tables.documents(s, dir), budget = 1024)),
+    // the trained BPE merge table itself — registered so the oracle checks
+    // the full training trajectory (rank order, pair choices, counts) by
+    // re-training the same merges in unrolled SQL iterations
+    "q_text_bpe_vocab" -> ((s, dir) =>
+      Bpe.mergeTable(s, bpeModel(dir, Tables.documents(s, dir)))),
+    // subword encoding of every document: word stream → broadcast memo →
+    // ordered token stream, fingerprinted (md5 of the space-joined tokens —
+    // a bit-exact witness of the encoding, not just its length)
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.encode(docs, "text", bpeModel(dir, docs))
+    }),
+    // greedy packing re-budgeted in MODEL tokens (the accounting training
+    // actually runs on) — same shards/order/fold as q_pack_greedy, counts
+    // from the subword tokenizer instead of whitespace words
+    "q_pack_greedy_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Packing.packGreedyCounted(
+        Bpe.tokenCounts(docs, "text", bpeModel(dir, docs)), budget = 2048).toDF()
+    }),
+    // drift→mixture closed loop: rebalance snapshot v2 back to v1's source
+    // mixture (the shares driftReport measured moving) — per-source hash
+    // thresholds at the largest total servable without upsampling
+    "q_sample_rebalance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n1 = snapV1(docs).groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val tot = n1.map(_._2).sum
+      Sampling.rebalanceSample(
+        snapV2(docs).select("doc_id", "source"), "source", "doc_id",
+        n1.toSeq.sortBy(_._1).map { case (src, n) => (src, n.toDouble / tot) })
+    }),
     // benchmark decontamination: corpus docs sharing any 3-gram shingle with
     // the benchmark slice (doc_id % 50 == 0), matched-shingle counts
     "q_decontaminate" -> ((s, dir) => {
@@ -1320,6 +1361,71 @@ object SparkEntry {
        |         CASE WHEN p.cum + d.n_tokens > $budget THEN d.n_tokens ELSE p.cum + d.n_tokens END
        |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)""".stripMargin
 
+  /** Unrolled BPE training replay (shared by the q_text_bpe_* and
+    * q_pack_greedy_tokens oracles) — mirrors [[graft.operators.Bpe.train]]
+    * iteration for iteration: s1 is the capped word-type table with
+    * character tokens; each iteration k counts all adjacent pairs weighted
+    * by type frequency (p_k), picks the winner with ties to the
+    * lexicographically least pair (b_k), and applies it left-to-right
+    * non-overlapping via gaps-and-islands parity (s_{k+1}): flagged
+    * positions group into runs of consecutive indices, merges start at odd
+    * offsets within each run, and the position after a merge start is
+    * dropped. Every stage is MATERIALIZED — inlining 24 chained iterations
+    * would re-evaluate (and re-open) the base scan combinatorially.
+    */
+  private def bpeTrainCtes(k: Int): String = {
+    val s1 =
+      """s1 AS MATERIALIZED (
+        |  SELECT w AS word, freq, [w[i:i] FOR i IN range(1, len(w)+1)] AS toks
+        |  FROM (SELECT w, freq,
+        |          row_number() OVER (ORDER BY freq DESC, w ASC) AS rn
+        |        FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |              WHERE len(w) > 0 GROUP BY w))
+        |  WHERE rn <= 100000)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT toks[i] AS a, toks[i+1] AS b, sum(freq) AS cnt
+         |  FROM (SELECT freq, toks, unnest(range(1, len(toks))) AS i FROM s$i)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p$i
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |s${i + 1} AS MATERIALIZED (
+         |  SELECT word, freq, list(tok ORDER BY i) AS toks FROM (
+         |    SELECT word, freq, i,
+         |      CASE WHEN ms THEN tok || nxt ELSE tok END AS tok,
+         |      lag(ms) OVER (PARTITION BY word ORDER BY i) AS pms, ms
+         |    FROM (
+         |      SELECT word, freq, i, tok, nxt, flg,
+         |        CASE WHEN flg THEN (row_number() OVER (PARTITION BY word, grp ORDER BY i) % 2 = 1)
+         |             ELSE FALSE END AS ms
+         |      FROM (
+         |        SELECT word, freq, i, tok, nxt, flg,
+         |          i - row_number() OVER (PARTITION BY word, flg ORDER BY i) AS grp
+         |        FROM (
+         |          SELECT s.word, s.freq, u.i, s.toks[u.i] AS tok, s.toks[u.i+1] AS nxt,
+         |            coalesce(s.toks[u.i] = (SELECT a FROM b$i)
+         |                 AND s.toks[u.i+1] = (SELECT b FROM b$i), FALSE) AS flg
+         |          FROM s$i s, LATERAL unnest(range(1, len(s.toks)+1)) AS u(i))
+         |      )
+         |    )
+         |  ) WHERE NOT coalesce(pms, FALSE)
+         |  GROUP BY word, freq)""".stripMargin
+    }
+    (s1 +: iters).mkString(",\n")
+  }
+
+  /** Word-stream + memo-join CTEs over the final BPE state (compose after
+    * [[bpeTrainCtes]]): per-doc positioned words joined to the type→tokens
+    * memo, OOV words to the explicit `<unk>` token.
+    */
+  private def bpeEncodeCtes(k: Int): String =
+    s"""m AS MATERIALIZED (SELECT word, toks FROM s${k + 1}),
+       |wds AS (SELECT doc_id, unnest([{'pos': i, 'w': sp[i]} FOR i IN range(1, len(sp)+1)], recursive := true)
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+       |j AS (SELECT doc_id, pos, coalesce(m.toks, ['<unk>']) AS toks
+       |      FROM (SELECT * FROM wds WHERE len(w) > 0) w LEFT JOIN m ON w.w = m.word)""".stripMargin
+
   /** Session-window oracle (batch q_session_agg AND streaming
     * q_streaming_session): gaps-and-islands on exact microsecond timestamps —
     * break only when the gap to the previous event is STRICTLY over 30 min
@@ -2017,6 +2123,74 @@ object SparkEntry {
          |  string_agg(d.text, chr(10) ORDER BY d.doc_id) AS payload
          |FROM packed p JOIN documents d USING (doc_id)
          |GROUP BY p.shard, p.bin_id""".stripMargin,
+    // BPE vocab: the oracle RE-TRAINS the merges in unrolled SQL iterations
+    // and must reproduce the engine's full training trajectory
+    "q_text_bpe_vocab" ->
+      s"""WITH ${bpeTrainCtes(BpeMerges)},
+         |mt AS (${(1 to BpeMerges).map(i =>
+               s"""SELECT $i AS rank, a AS "left", b AS "right", a || b AS merged, cnt AS pair_count FROM b$i""")
+             .mkString("\nUNION ALL\n")})
+         |SELECT CAST(rank AS INT) AS rank, "left", "right", merged, pair_count
+         |FROM mt""".stripMargin,
+    // BPE encode: same re-trained final state as the memo, same ordered
+    // token stream, same md5 fingerprint of the space-joined tokens
+    "q_text_bpe_encode" ->
+      s"""WITH ${bpeTrainCtes(BpeMerges)},
+         |${bpeEncodeCtes(BpeMerges)}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' ')) AS tokens_hash
+         |FROM j GROUP BY doc_id""".stripMargin,
+    // token-budgeted packing: the same recursive greedy fold as
+    // q_pack_greedy, fed by the re-trained subword token counts
+    "q_pack_greedy_tokens" ->
+      s"""WITH RECURSIVE ${bpeTrainCtes(BpeMerges)},
+         |${bpeEncodeCtes(BpeMerges)},
+         |cnts AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(len(toks)) AS INT) AS n_tokens
+         |  FROM j GROUP BY doc_id),
+         |d AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         |  FROM (SELECT doc_id,
+         |               substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         |               n_tokens
+         |        FROM cnts)),
+         |packed(shard, rn, doc_id, n_tokens, bin_id, cum) AS (
+         |  SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         |         CASE WHEN p.cum + d.n_tokens > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.cum + d.n_tokens > 2048 THEN d.n_tokens ELSE p.cum + d.n_tokens END
+         |  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+         |SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id,
+         |  CAST(n_tokens AS INT) AS n_tokens
+         |FROM packed""".stripMargin,
+    // rebalance: same share arithmetic (v1 shares as DOUBLE, achievable
+    // total T = min n2/share, per-source floor(frac·65536) hex thresholds)
+    // and the same salted-hash admission filter over v2
+    "q_sample_rebalance" ->
+      """WITH v1 AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0),
+        |n1 AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n1
+        |      FROM v1 GROUP BY source),
+        |sh AS (SELECT source,
+        |         CAST(n1 AS DOUBLE) / (SELECT CAST(count(*) AS BIGINT) FROM v1) AS share
+        |       FROM n1),
+        |n2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n2
+        |       FROM v2 GROUP BY source),
+        |r AS (SELECT source, share, n2, n2 / share AS ratio
+        |      FROM sh JOIN n2 USING (source) WHERE share > 0),
+        |thr AS (SELECT source,
+        |          CASE WHEN v = 65536 THEN 'g'
+        |               ELSE lpad(lower(hex(v)), 4, '0') END AS thr
+        |        FROM (SELECT source,
+        |                least(CAST(floor(share * (SELECT min(ratio) FROM r) / n2 * 65536) AS BIGINT),
+        |                      65536) AS v
+        |              FROM r))
+        |SELECT d.doc_id, d.source
+        |FROM v2 d JOIN thr USING (source)
+        |WHERE substring(md5('rb:' || CAST(doc_id AS VARCHAR)), 1, 4) < thr.thr""".stripMargin,
     // decontamination: same distinct word-3-gram shingle definition as the
     // near-dup oracle; the engine joins on shingle HASHES (collision odds
     // documented at the operator)

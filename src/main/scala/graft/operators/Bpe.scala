@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Subword (BPE) tokenization — the one first-class LLM-pipeline stage the
+  * corpus operators previously lacked: everywhere else token accounting is
+  * whitespace-word based, but sequence packing and context-window budgeting
+  * are written in MODEL tokens. This module trains greedy byte-pair merge
+  * rules over the corpus and encodes documents with them, so downstream
+  * budgets (see `q_pack_greedy_tokens`) can be expressed in subword tokens.
+  *
+  * Training is the repo's bounded-model-artifact move: word TYPES and their
+  * frequencies are one distributed hash aggregate (top `vocabCap` types by
+  * frequency, deterministic tie-break), then the merge loop runs driver-side
+  * over ≤ vocabCap short strings — O(vocabCap · wordLen · numMerges), a
+  * model-training cost independent of corpus row count, exactly like the
+  * language-ID profiles and IVF centroids. The *corpus-sized* work (the
+  * encode pass) stays fully distributed.
+  *
+  * Encoding at scale: real tokenizer runtimes memoize word → tokens; here
+  * the memo IS the model artifact (type-level tokenization of the training
+  * vocabulary), applied as a broadcast hash join against the exploded words
+  * — per-doc cost is split + join probe + ordered reassembly, no shuffle
+  * beyond the final per-doc aggregate, and the memo is bounded by vocabCap
+  * regardless of corpus size. Out-of-vocabulary words take an explicit
+  * `<unk>` token (the capped-vocab policy; `encodeWord` remains exact for
+  * any string and is what a memo-miss fallback pass would run).
+  *
+  * Semantics (mirrored nibble-for-nibble by the DuckDB oracle, which
+  * re-trains the same merges in unrolled SQL iterations):
+  *   - words = text split on single spaces, empties dropped;
+  *   - initial tokens = the word's characters (no end-of-word marker);
+  *   - each iteration counts ALL adjacent token pairs (overlapping included)
+  *     weighted by word frequency, picks the most frequent pair with ties to
+  *     the lexicographically least (left, right), and merges its
+  *     occurrences left-to-right non-overlapping in every word;
+  *   - training stops at `numMerges` or when no adjacent pair remains.
+  */
+object Bpe {
+
+  /** One trained merge rule: `rank` is 1-based selection order and
+    * `pairCount` the frequency-weighted adjacent-pair count that won the
+    * iteration (part of the artifact so the oracle checks the training
+    * trajectory, not just the end state).
+    */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** A trained BPE model: the ranked merge table plus the type-level memo
+    * (word → final tokens) for the training vocabulary.
+    */
+  final case class Model(merges: Seq[Merge], memo: Map[String, Seq[String]]) {
+
+    /** Encode an arbitrary word by replaying the merge table from its
+      * characters — exact for any string (used for memo misses and specs);
+      * for training-vocabulary words this equals `memo(word)` by
+      * construction.
+      */
+    def encodeWord(word: String): Seq[String] = {
+      var toks: Vector[String] = word.map(_.toString).toVector
+      merges.foreach { m =>
+        if (toks.length > 1) {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == m.left && toks(i + 1) == m.right) {
+              out += (m.left + m.right); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+        }
+      }
+      toks
+    }
+  }
+
+  /** Train `numMerges` merge rules from the corpus. One distributed
+    * aggregate builds the (word type, frequency) table — capped at
+    * `vocabCap` types by (frequency desc, word asc), the same deterministic
+    * cut the oracle replays — then the merge loop is pure driver compute
+    * over the bounded type table.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      vocabCap: Int = 100000): Model = {
+    require(numMerges > 0, s"train: numMerges must be positive, got $numMerges")
+    val types: Array[(String, Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var state: Array[(String, Long, Vector[String])] =
+      types.map { case (w, f) => (w, f, w.map(_.toString).toVector) }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (_, f, toks) =>
+        var i = 0
+        while (i + 1 < toks.length) {
+          val k = (toks(i), toks(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // most frequent pair; ties to the lexicographically least (left, right)
+        val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += Merge(rank, a, b, c)
+        state = state.map { case (w, f, toks) =>
+          if (toks.length < 2) (w, f, toks)
+          else {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += toks(i); i += 1 }
+            }
+            (w, f, out.result())
+          }
+        }
+        rank += 1
+      }
+    }
+    Model(merges.result(),
+      state.map { case (w, _, toks) => (w, toks: Seq[String]) }.toMap)
+  }
+
+  /** The merge table as a DataFrame — the model artifact itself, registered
+    * so the oracle verifies the full training trajectory (rank order, pair
+    * choices, winning counts).
+    */
+  def mergeTable(spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(model.merges.map(m =>
+        Row(m.rank, m.left, m.right, m.left + m.right, m.pairCount)): _*),
+      schema)
+  }
+
+  /** Encode `docs` with the trained model: per document, words in order are
+    * mapped through the broadcast type→tokens memo (OOV → `<unk>`) and the
+    * flattened token stream is fingerprinted. Returns
+    * (doc_id, n_words, n_tokens, tokens_hash) where tokens_hash is
+    * md5 of the space-joined token stream — a bit-exact witness of the full
+    * encoding, not just its length.
+    *
+    * Shape: map-side split+posexplode, ONE broadcast hash join against the
+    * bounded memo, one per-doc hash aggregate; reassembly sorts only each
+    * doc's word structs (array_sort on the collected pairs — deterministic
+    * regardless of collection order, same move as packedPayloads).
+    */
+  def encode(docs: DataFrame, textCol: String, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types._
+    val memoSchema = StructType(Seq(
+      StructField("w", StringType, nullable = false),
+      StructField("toks", ArrayType(StringType, containsNull = false), nullable = false)))
+    val memoRows = model.memo.toSeq.sortBy(_._1)
+      .map { case (w, t) => Row(w, t) }
+    val memo = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(memoRows: _*), memoSchema))
+    docs
+      .select(col("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .join(memo, Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("toks"), array(lit("<unk>"))).as("toks"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("toks"))).as("n_tokens"),
+        md5(concat_ws(" ",
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("toks")))),
+            x => x.getField("toks"))))).as("tokens_hash"))
+  }
+
+  /** Per-document subword token counts only — the packing/budgeting input
+    * (doc_id, n_tokens). Same plan as [[encode]] minus the reassembly: the
+    * aggregate carries a running sum instead of collected structs.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types._
+    val memoSchema = StructType(Seq(
+      StructField("w", StringType, nullable = false),
+      StructField("n_tok", IntegerType, nullable = false)))
+    val memoRows = model.memo.toSeq.sortBy(_._1)
+      .map { case (w, t) => Row(w, t.length) }
+    val memo = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(memoRows: _*), memoSchema))
+    docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(memo, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("n_tok"), lit(1))).cast("int").as("n_tokens"))
+  }
+}

@@ -34,19 +34,31 @@ object Packing {
   /** One packed document: `bin_id` is 0-based within (shard). */
   final case class PackedDoc(doc_id: Long, shard: String, bin_id: Int, n_tokens: Int)
 
-  /** Pack `docs` (needs doc_id + text) into per-shard token bins.
+  /** Pack `docs` (needs doc_id + text) into per-shard token bins, budgeting
+    * in whitespace words.
     * Returns (doc_id, shard, bin_id, n_tokens), one row per input document.
     */
-  def packGreedy(docs: DataFrame, budget: Int, salt: String = "shard"): Dataset[PackedDoc] = {
+  def packGreedy(docs: DataFrame, budget: Int, salt: String = "shard"): Dataset[PackedDoc] =
+    packGreedyCounted(
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+      budget, salt)
+
+  /** Pack pre-counted documents (doc_id, n_tokens) — the form a SUBWORD
+    * budget uses (see [[Bpe.tokenCounts]]): the token accounting is supplied
+    * by the caller, so bins can be budgeted in model tokens rather than
+    * words. Same sharding, ordering, and greedy fold as [[packGreedy]].
+    */
+  def packGreedyCounted(counted: DataFrame, budget: Int,
+      salt: String = "shard"): Dataset[PackedDoc] = {
     require(budget > 0, s"packGreedy: budget must be positive, got $budget")
-    val spark = docs.sparkSession
+    val spark = counted.sparkSession
     import spark.implicits._
-    docs
+    counted
       .select(
         substring(md5(concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 1)
           .as("shard"),
         col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"))
+        col("n_tokens").cast("int").as("n_tokens"))
       .as[PackInput]
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "doc_id")

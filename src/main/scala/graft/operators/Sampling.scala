@@ -233,4 +233,45 @@ object Sampling {
         sum(col("tf")).as("n_tokens"),
         round(sum(col("tf") * col("w")).cast("double"), 6).as("importance"))
   }
+
+  /** Rebalance the corpus mixture to explicit TARGET shares — the operator
+    * that closes the drift→mixture loop: [[graft.operators.Versioning
+    * .driftReport]] measures how the source mix moved; this takes the
+    * desired shares (e.g. the previous snapshot's mix) and downsamples each
+    * source so the OUTPUT mixture matches them, at the largest total the
+    * corpus can serve without upsampling any source.
+    *
+    * Per-source sampling fractions: with current counts n_s and target
+    * shares t_s, the achievable total is T = min over s of n_s / t_s
+    * (the binding source keeps everything); each source keeps
+    * frac_s = t_s · T / n_s of its rows via the salted-hash threshold
+    * filter shared with [[mixtureSample]] — deterministic, partitioning-
+    * invariant, engine-portable.
+    *
+    * Scale shape: one map-combined per-source count (bounded, collected as
+    * the driver artifact), thresholds broadcast, then ONE codegen'd
+    * map-side filter over the corpus — no shuffle of the data itself.
+    * Target sources absent from the data (or with zero share) simply
+    * contribute nothing; data sources absent from the target are dropped.
+    */
+  def rebalanceSample(df: DataFrame, sourceCol: String, keyCol: String,
+      targetShares: Seq[(String, Double)], salt: String = "rb"): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.forall(_._2 >= 0),
+      s"rebalanceSample: target shares must be non-negative, got $targetShares")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val present = targetShares.filter { case (s, sh) => sh > 0 && counts.contains(s) }
+    require(present.nonEmpty,
+      "rebalanceSample: no positive-share target source present in the data")
+    val t = present.map { case (s, sh) => counts(s) / sh }.min
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = broadcast(present.map { case (s, sh) =>
+      val v = math.min(math.floor(sh * t / counts(s) * 65536).toLong, 65536L)
+      (s, if (v == 65536L) "g" else f"$v%04x")
+    }.toDF(sourceCol, "_thr"))
+    df.join(thresholds, Seq(sourceCol))
+      .filter(substring(keyHash(salt, col(keyCol)), 1, 4) < col("_thr"))
+      .drop("_thr")
+  }
 }
