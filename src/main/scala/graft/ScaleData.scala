@@ -33,12 +33,38 @@ import org.apache.spark.sql.functions._
   *   - `customer`/`nation`/`region`/`supplier`/`part`: copied verbatim —
   *     dimensions don't scale with the fact tables.
   *
-  * Usage: ScaleData <srcSfDir> <destDir> <factor>
+  * CONSTANT-DENSITY mode (`salted` as the 4th arg): the default replication
+  * above is deliberately adversarial — every original doc gains 9 NEAR
+  * duplicates and every vector 9 EXACT duplicates, so the true-pair output
+  * of the dedup/similarity families grows ~quadratically in the factor and
+  * their measured times conflate plan cost with output volume. Salted mode
+  * makes each replica an INDEPENDENT epoch with the same internal duplicate
+  * structure, so true pairs grow ~linearly and the measurement isolates plan
+  * cost:
+  *   - `documents`: in replica i>0, every 3rd word (positions ≡ 0 mod 3) is
+  *     replaced by the replica token `r<i>` — every 3-word shingle contains
+  *     a replaced position, so NO shingle survives across replicas (zero
+  *     cross-replica near-dup pairs), while two docs that overlapped within
+  *     the base overlap the same way inside each replica (the same
+  *     positions carry the same salt). n_chars tracks the rewritten text.
+  *   - `embeddings`: replica i applies a SIGNED PERMUTATION of the 64
+  *     dimensions (rotate by 7·i, flip sign on alternating indices) — an
+  *     orthogonal transform, so every within-replica cosine is bit-exact
+  *     preserved (pair structure replicates exactly) while cross-replica
+  *     cosines scatter to ~0 (no cross-replica pairs at any sane ε).
+  *   - events and the TPC-H tables replicate as in the default mode.
+  *
+  * Usage: ScaleData <srcSfDir> <destDir> <factor> [salted]
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleData <srcSfDir> <destDir> <factor>")
-    val Array(src, dest, factorStr) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleData <srcSfDir> <destDir> <factor> [salted]")
+    val Array(src, dest, factorStr) = args.take(3)
+    val salted = args.length == 4 && {
+      require(args(3) == "salted", s"unknown mode '${args(3)}' (expected 'salted')")
+      true
+    }
     val factor = factorStr.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -67,19 +93,35 @@ object ScaleData {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docN = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     replicate(docs) { (d, i) =>
+      val text =
+        if (i == 0) col("text")
+        else if (!salted) concat(col("text"), lit(s" repl$i"))
+        else array_join(
+          zip_with(
+            split(col("text"), " "),
+            sequence(lit(0), size(split(col("text"), " ")) - 1),
+            (w, p) => when(p % 3 === 0, lit(s"r$i")).otherwise(w)),
+          " ")
       d.select(
         (col("doc_id") + lit(i) * docN).as("doc_id"),
-        (if (i == 0) col("text") else concat(col("text"), lit(s" repl$i"))).as("text"),
+        text.as("text"),
         col("lang"), col("source"),
         (if (i == 0) col("n_chars")
-         else col("n_chars") + lit(s" repl$i".length)).as("n_chars"))
+         else if (!salted) col("n_chars") + lit(s" repl$i".length)
+         else length(text).cast("long")).as("n_chars"))
     }.write.mode("overwrite").parquet(s"$dest/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vecN = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
     replicate(emb) { (d, i) =>
+      val vec =
+        if (i == 0 || !salted) col("embedding")
+        else transform(sequence(lit(0), lit(dims - 1)), j =>
+          element_at(col("embedding"), ((j + lit(i * 7)) % dims) + 1) *
+            when((j + lit(i)) % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f)))
       d.select((col("vec_id") + lit(i) * vecN).as("vec_id"),
-        col("embedding"), col("label"))
+        vec.as("embedding"), col("label"))
     }.write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
     val ord = spark.read.parquet(s"$src/orders.parquet")
@@ -98,7 +140,8 @@ object ScaleData {
         .write.mode("overwrite").parquet(s"$dest/$t.parquet")
     }
 
-    println(s"staged ${factor}x of $src at $dest")
+    println(s"staged ${factor}x of $src at $dest" +
+      (if (salted) " (salted: constant duplicate density)" else ""))
     spark.stop()
   }
 }
