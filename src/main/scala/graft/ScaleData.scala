@@ -41,12 +41,16 @@ import org.apache.spark.sql.functions._
   * makes each replica an INDEPENDENT epoch with the same internal duplicate
   * structure, so true pairs grow ~linearly and the measurement isolates plan
   * cost:
-  *   - `documents`: in replica i>0, every 3rd word (positions ≡ 0 mod 3) is
-  *     replaced by the replica token `r<i>` — every 3-word shingle contains
-  *     a replaced position, so NO shingle survives across replicas (zero
-  *     cross-replica near-dup pairs), while two docs that overlapped within
-  *     the base overlap the same way inside each replica (the same
-  *     positions carry the same salt). n_chars tracks the rewritten text.
+  *   - `documents`: replica i>0 RENAMES the whole vocabulary — every word
+  *     w becomes `w~i`. The renaming is a token-space isomorphism, so every
+  *     within-replica shingle-set relationship (jaccard, containment,
+  *     span/chunk hashes, term frequencies) is EXACTLY the base corpus's,
+  *     while replicas share zero shingles and zero terms (disjoint
+  *     vocabularies — zero cross-replica candidates even at the
+  *     prefix-filter stage). An earlier variant that replaced every 3rd
+  *     word with one shared replica token measured 9–14× on 10× data: the
+  *     high-frequency salt token manufactured spurious within-replica
+  *     shingle overlap. n_chars tracks the rewritten text.
   *   - `embeddings`: replica i applies a SIGNED PERMUTATION of the 64
   *     dimensions (rotate by 7·i, flip sign on alternating indices) — an
   *     orthogonal transform, so every within-replica cosine is bit-exact
@@ -97,10 +101,7 @@ object ScaleData {
         if (i == 0) col("text")
         else if (!salted) concat(col("text"), lit(s" repl$i"))
         else array_join(
-          zip_with(
-            split(col("text"), " "),
-            sequence(lit(0), size(split(col("text"), " ")) - 1),
-            (w, p) => when(p % 3 === 0, lit(s"r$i")).otherwise(w)),
+          transform(split(col("text"), " "), w => concat(w, lit(s"~$i"))),
           " ")
       d.select(
         (col("doc_id") + lit(i) * docN).as("doc_id"),
