@@ -574,6 +574,17 @@ object SparkEntry {
       Packing.packGreedyCounted(
         Bpe.tokenCounts(docs, "text", bpeModel(dir, docs)), budget = 2048).toDF()
     }),
+    // token-mass-weighted priority sample: top-100 of an integer-weight
+    // exponential race (min-of-w salted md5 tickets — exactly
+    // weight-proportional per draw, engine-portable string arithmetic)
+    "q_sample_weighted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.weightedSample(
+        docs.select(col("doc_id"),
+          (lit(1) + floor(size(split(col("text"), " ")) / 256.0).cast("int"))
+            .as("w")),
+        "doc_id", "w", k = 100)
+    }),
     // drift→mixture closed loop: rebalance snapshot v2 back to v1's source
     // mixture (the shares driftReport measured moving) — per-source hash
     // thresholds at the largest total servable without upsampling
@@ -2166,6 +2177,19 @@ object SparkEntry {
          |SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id,
          |  CAST(n_tokens AS INT) AS n_tokens
          |FROM packed""".stripMargin,
+    // weighted sample: the same min-of-w salted-ticket race replayed with a
+    // per-row list comprehension, same (ticket, doc_id) ordering
+    "q_sample_weighted" ->
+      """WITH c AS (SELECT doc_id,
+        |    1 + CAST(floor(len(string_split(text, ' ')) / 256.0) AS INT) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, w,
+        |    list_min([md5('wt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))
+        |              FOR j IN range(1, w + 1)]) AS ticket
+        |  FROM c)
+        |SELECT doc_id, w, ticket,
+        |       CAST(row_number() OVER (ORDER BY ticket, doc_id) AS INT) AS rank
+        |FROM t ORDER BY ticket, doc_id LIMIT 100""".stripMargin,
     // rebalance: same share arithmetic (v1 shares as DOUBLE, achievable
     // total T = min n2/share, per-source floor(frac·65536) hex thresholds)
     // and the same salted-hash admission filter over v2

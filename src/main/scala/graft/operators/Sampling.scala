@@ -234,6 +234,44 @@ object Sampling {
         round(sum(col("tf") * col("w")).cast("double"), 6).as("importance"))
   }
 
+  /** Weighted priority sample WITHOUT replacement: the top-`k` rows of an
+    * integer-weight exponential race. Each row holds `weightCol` ≥ 1 salted
+    * md5 tickets and races on its MINIMUM ticket; taking the k smallest
+    * minima draws k rows without replacement with inclusion driven by
+    * weight — for the first draw exactly P(row) = w/Σw (the minimum of Σw
+    * i.i.d. tickets belongs to a given row with probability proportional to
+    * its ticket count), and each subsequent draw is the same race over the
+    * remainder — the Efraimidis–Spirakis keyed sample restricted to integer
+    * weights, in arithmetic every engine reproduces bit-for-bit (string-min
+    * over md5 hex; no pow/log whose last-ulp behavior differs across
+    * libms).
+    *
+    * Scale shape: the ticket minimum is a per-row `array_min∘transform` —
+    * pure map-side, NO explode and no shuffle — and the top-k plans as
+    * TakeOrderedAndProject (bounded per-partition heaps). Cost is one pass
+    * at Σw ticket hashes; keep weights small integers (a capped bucketing
+    * of the raw importance signal, e.g. 1 + tokens/256), which is also what
+    * keeps the race honest — a 10⁶-weight row would be certainty, not
+    * sampling.
+    *
+    * Returns the input columns plus `ticket` and `rank` (1-based).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = "wt"): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val ticket = array_min(transform(
+      sequence(lit(1), col(weightCol)),
+      j => md5(concat(lit(salt + ":"), col(keyCol).cast("string"),
+        lit(":"), j.cast("string")))))
+    df.withColumn("ticket", ticket)
+      .orderBy(col("ticket"), col(keyCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("ticket"), col(keyCol)))
+          .cast("int"))
+  }
+
   /** Rebalance the corpus mixture to explicit TARGET shares — the operator
     * that closes the drift→mixture loop: [[graft.operators.Versioning
     * .driftReport]] measures how the source mix moved; this takes the

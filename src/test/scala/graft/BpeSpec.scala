@@ -83,6 +83,36 @@ class BpeSpec extends AnyFunSuite {
     assert(bySrc("a") > 0 && bySrc("a") < 80)
   }
 
+  test("weighted sample: min-of-w ticket race, deterministic and partition-invariant") {
+    val df = (1L to 50L).map(i => (i, 1 + (i % 4).toInt)).toDF("doc_id", "w")
+    val a = Sampling.weightedSample(df.repartition(1), "doc_id", "w", k = 10)
+      .select("rank", "doc_id", "ticket").collect().toSeq
+    val b = Sampling.weightedSample(df.repartition(13), "doc_id", "w", k = 10)
+      .select("rank", "doc_id", "ticket").collect().toSeq
+    assert(a == b, "the race must not depend on partitioning")
+    assert(a.map(_.getInt(0)) == (1 to 10), "dense 1-based ranks")
+    // the min ticket equals the brute-force min over the w salted hashes
+    val row = a.head
+    val id = row.getLong(1)
+    val w = 1 + (id % 4).toInt
+    val brute = (1 to w).map { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wt:$id:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.min
+    assert(row.getString(2) == brute)
+  }
+
+  test("weighted sample: higher weight wins proportionally more often") {
+    // two rows, weights 9 and 1: row A's min over 9 tickets beats row B's
+    // single ticket ~90% of the time across independent salts
+    val df = Seq((1L, 9), (2L, 1)).toDF("doc_id", "w")
+    val wins = (0 until 40).count { s =>
+      Sampling.weightedSample(df, "doc_id", "w", k = 1, salt = s"p$s")
+        .collect().head.getLong(0) == 1L
+    }
+    assert(wins > 28, s"weight-9 row won only $wins/40 races")
+  }
+
   test("rebalance: zero-share and absent sources are dropped/ignored") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
     val out = Sampling.rebalanceSample(df, "source", "doc_id",
