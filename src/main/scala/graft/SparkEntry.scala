@@ -70,6 +70,17 @@ object SparkEntry {
     kmeansCentroids.computeIfAbsent(dir,
       _ => Similarity.trainKmeans(emb, k = 8, iters = 3))
 
+  /** Product-quantization codebooks (m=4 subspaces × k=16 codes over 16-dim
+    * slices) — trained once per corpus like the other model artifacts and
+    * shared by the encode and the ADC recall audit.
+    */
+  private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  private def pqBooks(dir: String, emb: DataFrame): Array[Array[Array[Double]]] =
+    pqCodebooks.computeIfAbsent(dir,
+      _ => Similarity.trainPqCodebooks(emb, m = 4, k = 16, iters = 2))
+
   /** Self-KNN index: the own-cell seed join costs Σ_c m_c² ≈ N²/cells, so
     * the cell count must GROW with the corpus — ~√N cells keeps the seed
     * phase ~N^1.5 and the radii tight enough to prune (a fixed small cell
@@ -382,6 +393,31 @@ object SparkEntry {
           precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
         Similarity.topKPerQuery(scored, 10),
         scored, emb, qids, k = 10)
+    }),
+    // product quantization: per-subspace Lloyd codebooks (m=4 × k=16 over
+    // 16-dim slices) — the compressed index a 100 TB serving tier stores (4
+    // code bytes + one norm instead of 256 float bytes per vector); output
+    // is every vector's codes plus its reconstruction distortion, and the
+    // oracle RE-TRAINS all four codebooks in SQL and must reproduce every
+    // code and the 6-dp distortion
+    "q_embed_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqEncode(emb, pqBooks(dir, emb))
+    }),
+    // PQ ANN recall audit: ADC shortlist (per-query code-table lookups over
+    // exact stored norms — the scan never touches the float vectors) →
+    // exact re-rank of the shortlist only → recall vs the pruned-exact
+    // top-k, same verdict contract as the LSH/IVF audits
+    "q_similarity_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val shortlist = Similarity.pqShortlist(emb, qids, pqBooks(dir, emb), l = 50)
+      Similarity.recallAudit(
+        Similarity.ivfExactTopK(emb, qids, k = 10, cents(dir, emb),
+          precomputedRadii = Some(radii(dir, emb)),
+          precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
+        Similarity.rerankExact(emb, shortlist, qids, k = 10),
+        shortlist, emb, qids, k = 10)
     }),
     // exact self-KNN join (every vector's top-k neighbors — the SemDeDup /
     // kNN-graph primitive): IVF own-cell seed floors + triangle-inequality
@@ -1175,6 +1211,46 @@ object SparkEntry {
     }
     (Seq(head) ++ steps ++ Seq(assign("afin", s"c$iters"))).mkString(",\n")
   }
+
+  /** Per-subspace PQ Lloyd replay — [[kmeansCtes]] generalized to run over
+    * the `[lo:hi]` subvector slice with `s{s}_`-prefixed CTE names, so the
+    * q_embed_pq oracle re-trains all `m` codebooks in one statement with
+    * the identical seed / decimal-mean / tie-break conventions.
+    */
+  private def pqCtes(m: Int, dsub: Int, k: Int, iters: Int): String =
+    (0 until m).map { s =>
+      val p = s"s${s}_"
+      val lo = s * dsub + 1
+      val hi = (s + 1) * dsub
+      def d2(cAlias: String) =
+        s"""list_sum(list_transform(range(1, len(e.embedding)+1),
+           |          i -> (e.embedding[i]::DOUBLE - $cAlias.cv[i])
+           |             * (e.embedding[i]::DOUBLE - $cAlias.cv[i])))""".stripMargin
+      def assign(name: String, centTable: String) =
+        s"""$name AS (SELECT vec_id, cell, d2 FROM (
+           |  SELECT vec_id, cell, d2,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           |  FROM (SELECT e.vec_id, c.cell, ${d2("c")} AS d2
+           |        FROM ${p}e e, $centTable c)) WHERE rn = 1)""".stripMargin
+      val head =
+        s"""${p}e AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+           |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+           |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |       FROM (SELECT vec_id, embedding FROM ${p}e ORDER BY vec_id LIMIT $k))""".stripMargin
+      val steps = (0 until iters).map { t =>
+        s"""${assign(s"${p}a$t", s"${p}c$t")},
+           |${p}m$t AS (SELECT a.cell, d.i,
+           |          CAST(SUM(CAST(CAST(d.v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+           |            / COUNT(*) AS c
+           |        FROM ${p}a$t a JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           |                                unnest(embedding) AS v FROM ${p}e) d USING (vec_id)
+           |        GROUP BY 1, 2),
+           |${p}c${t + 1} AS (SELECT p.cell, coalesce(mc.cv, p.cv) AS cv
+           |            FROM ${p}c$t p LEFT JOIN (SELECT cell, list(c ORDER BY i) AS cv
+           |                                  FROM ${p}m$t GROUP BY cell) mc USING (cell))""".stripMargin
+      }
+      (Seq(head) ++ steps :+ assign(s"${p}afin", s"${p}c$iters")).mkString(",\n")
+    }.mkString(",\n")
 
   /** Near-dup oracle pieces, shared by q_dedup_near and q_dedup_survivors. */
   private val dedupShCte: String =
@@ -2950,6 +3026,31 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_exact,
         |  TRUE AS recall_beats_random""".stripMargin,
     "q_similarity_ivf" ->
+      """SELECT 10 AS k,
+        |  CAST(5 AS BIGINT) AS n_queries,
+        |  CAST(50 AS BIGINT) AS n_exact,
+        |  TRUE AS recall_beats_random""".stripMargin,
+    // PQ encode: re-train all four subspace codebooks (same Lloyd replay as
+    // the clustering oracles, one per 16-dim slice) and reproduce every
+    // code and the 6-dp reconstruction distortion — codes tie to the lowest
+    // on equal d2, and the four subspace d2's sum left-to-right in double
+    // exactly as the Spark side folds them
+    "q_embed_pq" ->
+      s"""WITH ${pqCtes(4, 16, 16, 2)}
+         |SELECT e.vec_id, e.label,
+         |  a0.cell AS code_0, a1.cell AS code_1,
+         |  a2.cell AS code_2, a3.cell AS code_3,
+         |  round(sqrt(a0.d2 + a1.d2 + a2.d2 + a3.d2), 6) AS quant_err
+         |FROM embeddings e
+         |JOIN s0_afin a0 ON a0.vec_id = e.vec_id
+         |JOIN s1_afin a1 ON a1.vec_id = e.vec_id
+         |JOIN s2_afin a2 ON a2.vec_id = e.vec_id
+         |JOIN s3_afin a3 ON a3.vec_id = e.vec_id""".stripMargin,
+    // PQ ANN: like the LSH/IVF audits, the recall NUMBER depends on the
+    // trained sketch, so the oracle asserts the SQL-recomputable counts and
+    // the verdict (shortlist of 50/query must beat random candidate
+    // selection by the fixed margin)
+    "q_similarity_pq" ->
       """SELECT 10 AS k,
         |  CAST(5 AS BIGINT) AS n_queries,
         |  CAST(50 AS BIGINT) AS n_exact,

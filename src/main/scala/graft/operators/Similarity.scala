@@ -1177,4 +1177,155 @@ object Similarity {
       col("mn").cast("double").as("v_min"),
       col("mx").cast("double").as("v_max"))
   }
+
+  // --------------------------------------------------------------------------
+  // Product quantization (PQ) — the compressed-vector scale path for
+  // embedding search at 100 TB: each vector is split into `m` subvectors and
+  // every subvector is replaced by the id of its nearest centroid in a
+  // per-subspace codebook (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011). Storage per vector drops from
+  // dim × 4 bytes of floats to m code bytes (64-dim float → 4 bytes at
+  // m=4, k=16), and approximate distances are served from per-query lookup
+  // tables without touching the floats at all — the asymmetric distance
+  // computation (ADC) scan.
+  // --------------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks — `m` deterministic Lloyd runs (the exact
+    * [[trainKmeans]] conventions: lowest-`vec_id` seeds, decimal-exact
+    * centroid means, sequential double distance folds, argmin ties to the
+    * lowest code) over the `dim/m`-wide subvector slices. A bounded model
+    * artifact: m × k × (dim/m) doubles live on the driver and broadcast as
+    * literals into every encode/scan plan, exactly like the IVF centroids.
+    *
+    * Returns codebooks(s)(c) = centroid c of subspace s.
+    */
+  private[graft] def trainPqCodebooks(
+      embeddings: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val probe = embeddings.select(size(col("embedding")).as("dim")).limit(1).collect()
+    require(probe.nonEmpty && !probe(0).isNullAt(0),
+      "trainPqCodebooks: empty corpus or null embedding — rejected loudly")
+    val dim = probe(0).getInt(0)
+    require(m > 0 && dim % m == 0,
+      s"trainPqCodebooks: dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      trainKmeans(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
+        k, iters)
+    }.toArray
+  }
+
+  /** PQ-encode the corpus: (vec_id, label, code_0..code_{m-1}, quant_err)
+    * where code_s is the nearest codebook centroid of subvector s (ties to
+    * the lowest code, mirroring the Lloyd assignment) and quant_err is the
+    * total reconstruction distance — sqrt of the left-to-right sum of the
+    * per-subspace squared distances, rounded to 6 dp at the very end. The
+    * per-vector distortion is the curation signal (a vector the codebook
+    * cannot represent is an outlier to the corpus geometry) and the codes
+    * are the compressed index a 100 TB ANN serving tier stores instead of
+    * the floats.
+    *
+    * Map-only: codebooks ride in as literals; nothing shuffles.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    def dists(s: Int): Column = {
+      val sub = slice(col("embedding"), s * dsub + 1, dsub)
+      array(codebooks(s).toIndexedSeq.map(c => dist2To(sub, c)): _*)
+    }
+    val codeCols = (0 until m).map { s =>
+      val d = dists(s)
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"code_$s")
+    }
+    val err = round(sqrt(
+      (0 until m).map(s => array_min(dists(s))).reduce(_ + _)), 6)
+      .as("quant_err")
+    embeddings.select(
+      (Seq(col("vec_id"), col("label")) ++ codeCols :+ err): _*)
+  }
+
+  /** ADC shortlist: per query, the `l` corpus vectors with the highest
+    * APPROXIMATE cosine — dot(q, x) estimated as the sum of per-subspace
+    * lookup-table entries lut_s[code_s(x)] (the m×k table of
+    * query-subvector · codebook-centroid dots, computed once per query on
+    * the driver), divided by ‖q‖ and the EXACT stored ‖x‖ (the one extra
+    * scalar per vector that makes IP-trained PQ serve cosine — codes alone
+    * cannot carry the norm).
+    *
+    * Scale shape: the scan touches only the m code columns and the norm —
+    * never the float vectors — as one map-only pass per query branch over
+    * the shared encode, and the per-query top-l is the size-capped
+    * [[graft.functions.BoundedTopKAgg]]; shuffle ≤ queries × partitions × l.
+    */
+  def pqShortlist(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      codebooks: Array[Array[Array[Double]]],
+      l: Int = 50): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col("embedding"), s * dsub + 1, dsub)
+      val d = array(codebooks(s).toIndexedSeq.map(c => dist2To(sub, c)): _*)
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"c$s")
+    }
+    val base = embeddings.select(
+      (Seq(col("vec_id").as("neighbor_id"),
+        norm(col("embedding")).as("nn")) ++ codeCols): _*)
+    val qvecs = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    require(qvecs.length == queryIds.distinct.length,
+      s"pqShortlist: ${queryIds.distinct.length} query ids, found ${qvecs.length}")
+    val branches = qvecs.map { case (qid, q) =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val approxDot = (0 until m).map { s =>
+        val lut = codebooks(s).map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) { acc += q(s * dsub + i) * c(i); i += 1 }
+          acc
+        }
+        element_at(array(lut.toIndexedSeq.map(lit): _*), col(s"c$s") + 1)
+      }.reduce(_ + _)
+      base.filter(col("neighbor_id") =!= qid).select(
+        lit(qid).as("query_id"), col("neighbor_id"),
+        round(approxDot / (lit(qn) * col("nn")), 6).as("score"))
+    }
+    topKPerQuery(branches.reduce(_ unionByName _), l)
+  }
+
+  /** Exact-cosine re-rank of candidate (query_id, neighbor_id) pairs —
+    * the second PQ phase: only the shortlist's floats are ever read, one
+    * equi-join on neighbor_id against the corpus plus a broadcast of the
+    * query vectors, then the size-capped top-k. Same scoring arithmetic
+    * (and 6-dp rounding before ranking) as every other cosine path.
+    */
+  def rerankExact(
+      embeddings: DataFrame,
+      candidates: DataFrame,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      norm(col("embedding")).as("nn"))
+    val queries = broadcast(embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn")))
+    val scored = broadcast(candidates.select("query_id", "neighbor_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("nv"), col("qv")) / (col("nn") * col("qn")), 6)
+          .as("score"))
+    topKPerQuery(scored, k)
+  }
 }
