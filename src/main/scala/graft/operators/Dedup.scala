@@ -301,6 +301,41 @@ object Dedup {
     * emits the pair. Every candidate is then re-checked with the exact
     * containment over the full shingle-hash sets.
     *
+    * Between candidate generation and the array re-check sit PPJoin's two
+    * cheap EXACT prunes (both provably never drop a true pair):
+    *
+    *  - length filter: |A∩B| ≤ |B|, so containment(a→b) ≥ t needs
+    *    |B| ≥ ceil(t·|A|) — applied per matched row, inside the join.
+    *  - positional filter: both docs' shingle lists are ranked by the SAME
+    *    global total order (df asc, hash asc). For a candidate pair let
+    *    m = |prefix(A) ∩ B| (the join emits exactly these matches), and let
+    *    e* be the matched element ranked LAST in A (rank i* in A, j* in B).
+    *    Every shared shingle outside A's prefix is ordered strictly after
+    *    e* — in A by prefix construction, hence in B too, both lists being
+    *    sorted by the one global order — so it occupies a B-rank in
+    *    (j*, |B|]. Thus |A∩B| ≤ m + min(|A|−i*, |B|−j*), and a pair with
+    *    that bound below ceil(t·|A|) is pruned before any array is shuffled.
+    *
+    * Why this matters at scale: the candidate join is input-linear, but the
+    * re-check attaches the full shingle arrays (~0.5 KB/pair) through two
+    * shuffling joins — measured at 100× (sf10s, 500k docs) the unfiltered
+    * re-check moved 69M candidate pairs / 39 GB through the doc_b exchange
+    * and spilled 36 GB in its sort, for 51k true rows. The two prunes cost
+    * one narrow groupBy (replacing the distinct() the plan needed anyway)
+    * and cut the array-carrying joins to the near-survivors.
+    *
+    * The prunes above are rank-arithmetic and go soft when candidate docs
+    * have near-identical length/rarity profiles (measured: only 57M → 46M
+    * on the 100× corpus), so a third EXACT prune sits between them and the
+    * array re-check: a 256-bit per-doc Bloom mask (4 long columns, bit
+    * index = low 8 bits of the shingle hash). Every bit set in
+    * bloom_a & ~bloom_b is witnessed only by elements of A∖B, so
+    * |A∖B| ≥ popcount(bloom_a & ~bloom_b) and
+    * |A∩B| ≤ |A| − popcount(bloom_a & ~bloom_b) — a sound upper bound that
+    * costs two 32-byte-payload joins instead of two 0.5-KB-payload joins,
+    * entirely in codegen'd bitwise ops. Only its survivors (true pairs plus
+    * hash-collision borderliners) ever see a shingle array.
+    *
     * Scale shape: one document-frequency aggregate, one per-doc sort to rank
     * shingles by global rarity (window keyed by doc — partition-bounded by
     * the doc's own shingle count), then the candidate equi-join. The probe
@@ -326,19 +361,49 @@ object Dedup {
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
     val exploded = withSz.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
     val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = exploded.join(dfreq, "h")
+    // every shingle of every doc, ranked by the one global rarity order —
+    // feeds BOTH join sides so the positional filter's rank comparison is
+    // against a shared total order (the window exchange is reused)
+    val ranked = exploded.join(dfreq, "h")
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("h"))))
-      .filter(col("rn") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("h"))
+      .select(col("id"), col("n_sh"), col("h"), col("rn"))
+    val prefix = ranked.filter(col("rn") <=
+      col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+    val minOverlap = ceil(lit(threshold) * col("n_a"))
     val candidates = prefix
-      .join(exploded.select(col("id").as("id_b"), col("h")), Seq("h"))
-      .filter(col("id") =!= col("id_b"))
-      .select(col("id").as("doc_a"), col("id_b").as("doc_b"))
-      .distinct()
+      .select(col("id").as("doc_a"), col("n_sh").as("n_a"),
+        col("h"), col("rn").as("rn_a"))
+      .join(ranked.select(col("id").as("doc_b"), col("n_sh").as("n_b"),
+        col("h"), col("rn").as("rn_b")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b") && col("n_b") >= minOverlap)
+      .groupBy("doc_a", "n_a", "doc_b", "n_b")
+      .agg(count(lit(1)).as("m"),
+        max(col("rn_a")).as("i_star"),
+        max_by(col("rn_b"), col("rn_a")).as("j_star"))
+      .filter(col("m") +
+        least(col("n_a") - col("i_star"), col("n_b") - col("j_star")) >=
+        minOverlap)
+    // 256-bit Bloom mask per doc as four long words; bit = low 8 bits of
+    // the 64-bit shingle hash (uniform by construction of the hash)
+    def bloomWords(shCol: String): Seq[Column] = (0 until 4).map { w =>
+      expr(s"aggregate(filter($shCol, x -> ((x & 255L) div 64) = $w), 0L," +
+        s" (acc, x) -> acc | shiftleft(1L, int(x & 63L)))").as(s"bf$w")
+    }
+    val bloomTbl = withSz.select(col("id") +: bloomWords("sh"): _*)
+    def rename(suffix: String) = bloomTbl.select(
+      col("id").as(s"doc_$suffix") +:
+        (0 until 4).map(w => col(s"bf$w").as(s"bf${w}_$suffix")): _*)
+    val diffBits = (0 until 4).map(w =>
+      bit_count(col(s"bf${w}_a").bitwiseAND(bitwise_not(col(s"bf${w}_b")))))
+      .reduce(_ + _)
+    val survivors = candidates
+      .join(rename("a"), "doc_a")
+      .join(rename("b"), "doc_b")
+      .filter(col("n_a") - diffBits >= minOverlap)
+      .select(col("doc_a"), col("doc_b"))
     val sets = withSz.select(col("id"), col("sh"))
-    candidates
+    survivors
       .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
