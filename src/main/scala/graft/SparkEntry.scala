@@ -887,6 +887,19 @@ object SparkEntry {
     // per-dimension embedding health: decimal-exact moments + range per dim
     "q_embed_dim_stats" -> ((s, dir) =>
       Similarity.dimStats(Tables.embeddings(s, dir))),
+    // Matryoshka truncation audit: per candidate prefix width, how far the
+    // truncated cosine drifts from the full-dimension cosine on the
+    // deterministic (even, even+1) pair sample — error-as-data, like the
+    // sketch/ANN audits
+    "q_embed_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaFidelity(Tables.embeddings(s, dir))),
+    // Matryoshka retrieval recall: what recall@10 a d-prefix first-pass
+    // scan keeps vs the full-dimension exact top-10 (query set shipped as
+    // a bounded literal artifact + bounded top-k heaps — join-free scan;
+    // 64 rides along as the recall==1 self-check)
+    "q_embed_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
     // rank-normalized quality blend: per-source percentile ranks of three
     // signals fused into one score (round-before-rank, doc_id-totalized)
     "q_quality_blend" -> ((s, dir) =>
@@ -3283,6 +3296,90 @@ object SparkEntry {
         |    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)), 6) AS std,
         |  CAST(mn AS DOUBLE) AS v_min, CAST(mx AS DOUBLE) AS v_max
         |FROM m""".stripMargin,
+    // Matryoshka audit: same prefix-fold cosine as the engine (left-to-right
+    // double accumulation over the sliced list, zero-norm prefix scores 0),
+    // errors rounded to DECIMAL(18,6) BEFORE the exact sum
+    "q_embed_matryoshka" ->
+      """WITH p AS (
+        |  SELECT a.embedding AS va, b.embedding AS vb
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 2 = 0),
+        |x AS (SELECT trunc_dim, va, vb
+        |      FROM p, (SELECT unnest([8, 16, 32, 64]) AS trunc_dim) d),
+        |s AS (SELECT trunc_dim,
+        |  list_sum(list_transform(range(1, trunc_dim + 1),
+        |    i -> va[i]::DOUBLE * vb[i]::DOUBLE)) AS dab,
+        |  list_sum(list_transform(range(1, trunc_dim + 1),
+        |    i -> va[i]::DOUBLE * va[i]::DOUBLE)) AS daa,
+        |  list_sum(list_transform(range(1, trunc_dim + 1),
+        |    i -> vb[i]::DOUBLE * vb[i]::DOUBLE)) AS dbb,
+        |  list_sum(list_transform(range(1, len(va) + 1),
+        |    i -> va[i]::DOUBLE * vb[i]::DOUBLE)) AS fab,
+        |  list_sum(list_transform(range(1, len(va) + 1),
+        |    i -> va[i]::DOUBLE * va[i]::DOUBLE)) AS faa,
+        |  list_sum(list_transform(range(1, len(va) + 1),
+        |    i -> vb[i]::DOUBLE * vb[i]::DOUBLE)) AS fbb
+        |  FROM x),
+        |c AS (SELECT trunc_dim,
+        |  CASE WHEN daa * dbb > 0 THEN dab / (sqrt(daa) * sqrt(dbb))
+        |       ELSE 0.0 END AS cos_d,
+        |  CASE WHEN faa * fbb > 0 THEN fab / (sqrt(faa) * sqrt(fbb))
+        |       ELSE 0.0 END AS cos_full
+        |  FROM s),
+        |e AS (SELECT trunc_dim,
+        |  CAST(round(abs(cos_d - cos_full), 6) AS DECIMAL(18,6)) AS err FROM c)
+        |SELECT CAST(trunc_dim AS INT) AS trunc_dim,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mean_abs_err,
+        |  CAST(max(err) AS DOUBLE) AS max_abs_err,
+        |  round(CAST(sum(CASE WHEN err <= 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS close_pair_pct
+        |FROM e GROUP BY trunc_dim""".stripMargin,
+    // Matryoshka recall: rank on the 6-dp-rounded truncated cosine with the
+    // neighbor-id tie-break (the q_similarity_topk convention), zero-norm
+    // prefixes guarded to 0 exactly as the engine does
+    "q_embed_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |dd AS (SELECT unnest([8, 16, 32, 64]) AS trunc_dim),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id, trunc_dim,
+        |  round(CASE WHEN
+        |      list_sum(list_transform(range(1, trunc_dim + 1),
+        |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |    * list_sum(list_transform(range(1, trunc_dim + 1),
+        |        i -> qv[i]::DOUBLE * qv[i]::DOUBLE)) > 0
+        |    THEN list_sum(list_transform(range(1, trunc_dim + 1),
+        |           i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(range(1, trunc_dim + 1),
+        |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(range(1, trunc_dim + 1),
+        |           i -> qv[i]::DOUBLE * qv[i]::DOUBLE))))
+        |    ELSE 0.0 END, 6) AS sd,
+        |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |          i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))), 6) AS sf
+        |  FROM embeddings e, q, dd WHERE e.vec_id <> query_id),
+        |t AS (SELECT trunc_dim, query_id, neighbor_id FROM (
+        |  SELECT trunc_dim, query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id, trunc_dim
+        |                       ORDER BY sd DESC, neighbor_id) AS rn
+        |  FROM s) WHERE rn <= 10),
+        |f AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sf DESC, neighbor_id) AS rn
+        |  FROM s WHERE trunc_dim = 64) WHERE rn <= 10)
+        |SELECT CAST(trunc_dim AS INT) AS trunc_dim,
+        |  CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+        |  round(CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |                 END) AS DOUBLE)
+        |        / (count(DISTINCT t.query_id) * 10), 6) AS mean_recall
+        |FROM t LEFT JOIN f ON t.query_id = f.query_id
+        |                  AND t.neighbor_id = f.neighbor_id
+        |GROUP BY trunc_dim""".stripMargin,
     // rank blend: round-before-rank signals, doc_id-totalized row_number,
     // pr = (rn-1)/(n-1), blend averaged from the UNROUNDED prs
     "q_quality_blend" -> qualityBlendSql,

@@ -1178,6 +1178,134 @@ object Similarity {
       col("mx").cast("double").as("v_max"))
   }
 
+  /** Matryoshka (prefix-truncation) fidelity audit — for each candidate
+    * truncation width `d`, how faithfully the d-dimensional PREFIX of each
+    * embedding preserves the full-dimension cosine (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022: nested prefixes as
+    * progressively cheaper representations). The operational question for a
+    * 100 TB embedding store is "how many dimensions can the first-pass index
+    * drop": this audit answers it as data, the same error-as-data move as
+    * the sketch and ANN recall audits.
+    *
+    * Pair sample: the deterministic (vec_id even, vec_id+1) pairing — one
+    * equi-join, no sampling RNG, linear in N. Per pair and per d the
+    * truncated cosine is computed over `slice(embedding, 1, d)` with the
+    * same left-to-right double fold as every other cosine in this module;
+    * a zero-norm prefix scores 0 (guarded identically in the oracle).
+    * Errors round to DECIMAL(18,6) before the exact sum, so the mean is
+    * reproducible bit-for-bit in SQL.
+    *
+    * Plan shape: one shuffled equi-join on the pair key, a |dims|-way
+    * generate, map-side cosine arithmetic, one 4-group hash aggregate —
+    * input-linear at any scale, output constant (one row per d).
+    *
+    * Returns (trunc_dim, n_pairs, mean_abs_err, max_abs_err,
+    * close_pair_pct) where close_pair_pct is the share of pairs whose
+    * truncated cosine lands within 0.05 of the full-dimension cosine.
+    */
+  def matryoshkaFidelity(
+      embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val lhs = embeddings.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("pid"), col("embedding").as("va"))
+    val rhs = embeddings
+      .select((col("vec_id") - 1).as("pid"), col("embedding").as("vb"))
+    def cosAt(d: Column): Column = {
+      val xa = slice(col("va"), lit(1), d)
+      val xb = slice(col("vb"), lit(1), d)
+      when(dot(xa, xa) * dot(xb, xb) > 0,
+        dot(xa, xb) / (norm(xa) * norm(xb))).otherwise(lit(0.0))
+    }
+    lhs.join(rhs, "pid")
+      .select(explode(array(dims.map(lit): _*)).as("trunc_dim"),
+        col("va"), col("vb"))
+      .select(col("trunc_dim"),
+        round(abs(cosAt(col("trunc_dim")) - cosAt(size(col("va")))), 6)
+          .cast("decimal(18,6)").as("err"))
+      .groupBy("trunc_dim")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("err")).as("se"),
+        max(col("err")).cast("double").as("max_abs_err"),
+        sum(when(col("err") <= 0.05, 1L).otherwise(0L)).as("nc"))
+      .select(
+        col("trunc_dim"), col("n_pairs"),
+        round(col("se").cast("double") / col("n_pairs"), 6).as("mean_abs_err"),
+        col("max_abs_err"),
+        round(col("nc").cast("double") / col("n_pairs"), 6).as("close_pair_pct"))
+  }
+
+  /** Matryoshka retrieval-recall audit — the actionable half of the
+    * truncation story: per prefix width `d`, the recall@k a d-dimensional
+    * first-pass scan keeps against the full-dimension exact top-k for the
+    * fixed query set. (64 is included as a built-in self-check: the full
+    * prefix must score recall exactly 1.)
+    *
+    * Plan shape: the query set is a BOUNDED MODEL ARTIFACT — ≤|queryIds|
+    * vectors collected once and shipped into the plan as literal structs,
+    * the same move as the IVF centroids — so the scan is map-only (scan →
+    * generate ×|queries| → generate ×|dims| → project), linear in N for a
+    * fixed query set, then size-capped [[graft.functions.BoundedTopKAgg]]
+    * heaps per (query, d) group: shuffle carries at most queries × dims ×
+    * partitions × k entries and NO join appears anywhere in the plan.
+    * Scores round to 6 dp BEFORE ranking with the neighbor-id tie-break,
+    * the same engine-portable convention as [[bruteForceTopK]]; a
+    * zero-norm prefix scores 0 (guarded identically in the oracle).
+    *
+    * Returns (trunc_dim, n_queries, mean_recall).
+    */
+  def matryoshkaRecall(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    // bounded artifact: one ≤|queryIds|-row action, broadcast as literals
+    val qvecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val qArtifact = array(qvecs.map { case (id, v) =>
+      struct(lit(id).as("query_id"), typedLit(v).as("qv"))
+    }: _*)
+    def cosAt(d: Column): Column = {
+      val xe = slice(col("nv"), lit(1), d)
+      val xq = slice(col("qv"), lit(1), d)
+      when(dot(xe, xe) * dot(xq, xq) > 0,
+        dot(xe, xq) / (norm(xe) * norm(xq))).otherwise(lit(0.0))
+    }
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .select(col("neighbor_id"), col("nv"), explode(qArtifact).as("q"))
+      .select(col("neighbor_id"), col("nv"),
+        col("q.query_id").as("query_id"), col("q.qv").as("qv"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        explode(array(dims.map(lit): _*)).as("trunc_dim"),
+        col("nv"), col("qv"))
+      .select(col("query_id"), col("neighbor_id"), col("trunc_dim"),
+        round(cosAt(col("trunc_dim")), 6).as("sd"),
+        round(cosAt(size(col("nv"))), 6).as("sf"))
+    def top(scoreCol: String, keys: Seq[Column]): DataFrame = {
+      val item = struct(negate(col(scoreCol)).as("neg"),
+        col("neighbor_id").as("id"))
+      scored.groupBy(keys: _*)
+        .agg(graft.functions.BoundedTopKAgg.boundedTopK(item, k).as("top"))
+        .select(keys :+ explode(col("top")).as("t"): _*)
+        .select(keys :+ col("t.id").as("neighbor_id"): _*)
+    }
+    val topD = top("sd", Seq(col("query_id"), col("trunc_dim")))
+    // the full-dimension reference set is d-independent; dedup to one copy
+    val topFull = top("sf", Seq(col("query_id"), col("trunc_dim")))
+      .filter(col("trunc_dim") === dims.max).drop("trunc_dim")
+      .withColumn("hit", lit(1L))
+    topD.join(topFull, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("trunc_dim")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("hit"), lit(0L))).as("nh"))
+      .select(col("trunc_dim"), col("n_queries"),
+        round(col("nh").cast("double") /
+          (col("n_queries") * lit(k.toLong)), 6).as("mean_recall"))
+  }
+
   // --------------------------------------------------------------------------
   // Product quantization (PQ) — the compressed-vector scale path for
   // embedding search at 100 TB: each vector is split into `m` subvectors and

@@ -570,4 +570,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(keep == Map(1L -> true, 2L -> false, 3L -> false,
       4L -> true, 5L -> true))
   }
+
+  test("matryoshka: hand-built pair, zero-norm prefix guard, exact full-dim") {
+    // pair (0,1): 2-prefixes orthogonal, full vectors nearly parallel;
+    // pair (2,3): identical vectors whose 2-prefix is all-zero (zero-norm
+    // guard path). Full width must reproduce the full cosine exactly.
+    val df = vecs(
+      (0L, Seq(1f, 0f, 3f, 4f)), (1L, Seq(0f, 1f, 3f, 4f)),
+      (2L, Seq(0f, 0f, 1f, 2f)), (3L, Seq(0f, 0f, 1f, 2f)))
+    val r = Similarity.matryoshkaFidelity(df, dims = Seq(2, 4))
+      .collect().map(x => x.getAs[Int]("trunc_dim") ->
+        (x.getAs[Long]("n_pairs"), x.getAs[Double]("mean_abs_err"),
+          x.getAs[Double]("close_pair_pct"))).toMap
+    assert(r(4)._1 == 2L)
+    assert(r(4)._2 == 0.0) // full width == full cosine, exactly
+    assert(r(4)._3 == 1.0)
+    assert(r(2)._1 == 2L)
+    // pair (0,1): prefix-2 cosine 0 (orthogonal) vs a high full cosine;
+    // pair (2,3): identical vectors with a zero-norm 2-prefix -> guarded
+    // cos_2 = 0 vs cos_full = 1, err exactly 1 -> mean strictly positive
+    assert(r(2)._2 > 0.0 && r(2)._2 <= 1.0)
+  }
+
+  test("matryoshka fidelity improves with width on the real corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.matryoshkaFidelity(emb).collect()
+      .map(r => r.getAs[Int]("trunc_dim") -> r.getAs[Double]("mean_abs_err"))
+      .toMap
+    assert(rows.keySet == Set(8, 16, 32, 64))
+    assert(rows(64) == 0.0) // the full prefix IS the full cosine
+    assert(rows(8) >= rows(32)) // wider prefix, lower drift
+    assert(rows(32) > 0.0)
+    // n_pairs identical across widths (same pair sample exploded per d)
+    val np = Similarity.matryoshkaFidelity(emb).collect()
+      .map(_.getAs[Long]("n_pairs")).toSet
+    assert(np.size == 1 && np.head > 0)
+  }
+
+  test("matryoshka recall: full width is exact, no nested-loop join") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = Similarity.matryoshkaRecall(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"nested-loop in matryoshka recall plan:\n$plan")
+    val r = df.collect().map(x => x.getAs[Int]("trunc_dim") ->
+      (x.getAs[Long]("n_queries"), x.getAs[Double]("mean_recall"))).toMap
+    assert(r.keySet == Set(8, 16, 32, 64))
+    assert(r.values.forall { case (nq, rec) =>
+      nq == 5L && rec >= 0.0 && rec <= 1.0 })
+    assert(r(64)._2 == 1.0) // the full prefix reproduces the reference set
+    assert(r(8)._2 <= r(64)._2)
+  }
 }
