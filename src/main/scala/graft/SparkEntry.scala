@@ -285,6 +285,13 @@ object SparkEntry {
     // output is exactly the pairs with jaccard >= 0.7 (oracle: brute force)
     "q_dedup_near" -> ((s, dir) =>
       Dedup.nearDuplicatePairs(Tables.documents(s, dir), n = 3, threshold = 0.7)),
+    // LSH banding calibration: measured band-collision rate vs the analytic
+    // 1-(1-j^r)^b S-curve per exact-Jaccard decile, over a linear-size pair
+    // sample (offset grid + map-side prefix truncations) — the tuning audit
+    // behind the (bands, rows) choice in q_dedup_near, on the portable
+    // seed-prefixed md5 hash family so the oracle replays signatures exactly
+    "q_dedup_lsh_curve" -> ((s, dir) =>
+      Dedup.lshCalibration(Tables.documents(s, dir))),
     // directional (truncated-copy) containment — the axis Jaccard banding
     // misses; PPJoin-style rarest-prefix candidates + exact re-check
     "q_dedup_containment" -> ((s, dir) =>
@@ -455,6 +462,12 @@ object SparkEntry {
     "q_text_mlt" -> ((s, dir) =>
       TextAnalysis.moreLikeThis(Tables.documents(s, dir),
         seedIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+    // per-doc TF-IDF keyword extraction: top-3 salient terms per document
+    // (smoothed idf, round-before-rank, term-asc ties) — tf and the df
+    // dictionary from one exploded aggregate, un-broadcast dictionary join,
+    // bounded per-doc heaps
+    "q_text_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, dir), k = 3)),
     // fixed-window token chunking with overlap (training-sequence prep):
     // pure map-side row expansion, no shuffle
     "q_text_chunks" -> ((s, dir) =>
@@ -590,6 +603,11 @@ object SparkEntry {
     // doc_id order per (shard, bin)
     "q_pack_payloads" -> ((s, dir) =>
       Packing.packedPayloads(Tables.documents(s, dir), budget = 1024)),
+    // length-bucketed batching audit: power-of-two bucket routing (floor 16,
+    // cap 1024, truncation at the cap) + per-bucket padding-waste accounting
+    // — one map projection, one hash aggregate on <=8 keys
+    "q_pack_length_buckets" -> ((s, dir) =>
+      Packing.lengthBuckets(Tables.documents(s, dir), cap = 1024)),
     // the trained BPE merge table itself — registered so the oracle checks
     // the full training trajectory (rank order, pair choices, counts) by
     // re-training the same merges in unrolled SQL iterations
@@ -1123,6 +1141,15 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Versioning.driftReport(snapV1(docs), snapV2(docs), "source", "n_chars")
     }),
+    // embedding-space drift between two vector-table snapshots (vec_id%7
+    // vs vec_id%5 holdouts): per-dimension decimal-exact moments on each
+    // side, one |dims|-row join, shifts from 6-dp-rounded means
+    "q_diff_embed_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Versioning.embeddingDrift(
+        emb.filter(col("vec_id") % 7 =!= 0),
+        emb.filter(col("vec_id") % 5 =!= 0))
+    }),
     // streaming trending leaderboard: per-hour top-3 event types maintained
     // incrementally in keyed state (counts per window, bounded by the type
     // vocabulary) — the continuous twin of q_events_trending, same oracle
@@ -1294,6 +1321,64 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
       |        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7""".stripMargin
+
+  /** LSH calibration oracle (q_dedup_lsh_curve): replays
+    * [[graft.operators.Dedup.lshCalibration]] exactly — 16 seed-prefixed md5
+    * 60-bit minhashes per shingle set (hex decoded by the same 15-term
+    * BIGINT multiply-add ladder as the q_quality_checksum oracle; md5
+    * computed once per (seed, shingle) via the inner comprehension), the
+    * +1/+2/+5 offset grid plus the 25/50/75/95% prefix-truncation pairs,
+    * 4×4 band-equality collisions, and the analytic curve as explicit
+    * multiply chains — portable arithmetic end to end.
+    */
+  private val lshCurveOracle: String = {
+    val ladder = (0 until 15).map { i =>
+      s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (14 - i))} AS BIGINT)"
+    }.mkString(" + ")
+    def sig(ss: String): String =
+      s"""[ list_min([ CAST($ladder AS BIGINT)
+         |      FOR h IN [ substr(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15)
+         |                 FOR s IN $ss ] ])
+         |    FOR j IN range(0, 16) ]""".stripMargin
+    val bandHit = (0 until 4).map { b =>
+      (0 until 4).map(k => s"ga[${b * 4 + k + 1}]=gb[${b * 4 + k + 1}]")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH tk0 AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+       |             WHERE len(string_split(text,' ')) >= 3),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([array_to_string(tk[i:i+2], ' ')
+       |                 for i in range(1, len(tk) - 1)]) AS ss
+       |  FROM tk0),
+       |sg AS (SELECT doc_id, ss, ${sig("ss")} AS sig FROM sh),
+       |grid AS (SELECT a.ss AS sa, b.ss AS sb, a.sig AS ga, b.sig AS gb
+       |  FROM sg a CROSS JOIN (VALUES (1),(2),(5)) AS o(d)
+       |  JOIN sg b ON b.doc_id = a.doc_id + o.d),
+       |trm AS (SELECT doc_id, tk AS tka,
+       |    tk[1:CAST(greatest(3, floor(len(tk) * q / 100.0)) AS INT)] AS tkm
+       |  FROM tk0 CROSS JOIN (VALUES (25),(50),(75),(95)) AS f(q)),
+       |trs AS (SELECT
+       |  list_distinct([array_to_string(tka[i:i+2], ' ')
+       |                 for i in range(1, len(tka) - 1)]) AS sa,
+       |  list_distinct([array_to_string(tkm[i:i+2], ' ')
+       |                 for i in range(1, len(tkm) - 1)]) AS sb
+       |  FROM trm),
+       |trg AS (SELECT sa, sb, ${sig("sa")} AS ga, ${sig("sb")} AS gb FROM trs),
+       |p AS (SELECT * FROM grid UNION ALL SELECT * FROM trg),
+       |j AS (SELECT len(list_intersect(sa, sb))::DOUBLE
+       |        / len(list_distinct(list_concat(sa, sb))) AS jac,
+       |  CASE WHEN $bandHit THEN 1 ELSE 0 END AS hit FROM p),
+       |j2 AS (SELECT jac, hit, jac*jac*jac*jac AS p4 FROM j),
+       |j3 AS (SELECT jac, hit, (1.0 - p4) AS y FROM j2),
+       |t AS (SELECT CAST(least(floor(jac*10), 9) AS INT) AS decile, hit,
+       |   CAST(round(1.0 - y*y*y*y, 6) AS DECIMAL(18,6)) AS p6 FROM j3)
+       |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(hit) AS BIGINT) AS n_collide,
+       |  round(SUM(hit)::DOUBLE / COUNT(*), 6) AS collide_rate,
+       |  round(CAST(SUM(p6) AS DOUBLE) / COUNT(*), 6) AS theory_rate
+       |FROM t GROUP BY decile""".stripMargin
+  }
 
   /** Cosine ε-pair oracle pieces, shared by q_similarity_pairs and
     * q_similarity_dedup.
@@ -1674,6 +1759,12 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS survivor_id
         |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "q_dedup_near" -> s"WITH sh AS ($dedupShCte) $dedupNearBody",
+    // LSH calibration: replays the seed-prefixed md5 60-bit minhash
+    // signature bit-for-bit (hex -> int via the 15-term BIGINT multiply-add
+    // ladder, no shifts/HUGEINT — the q_quality_checksum arithmetic), the
+    // same offset grid + prefix-truncation pair sample, band-equality
+    // collision test, and the multiply-chain S-curve (no libm pow)
+    "q_dedup_lsh_curve" -> lshCurveOracle,
     // portable simhash replayed end-to-end: per-shingle 60-bit hash = first
     // 15 md5 hex chars base-16 (nibble arithmetic below = the engine's conv),
     // 60 per-bit majority votes, 4×16-bit bands (bits 60–63 constant 0),
@@ -2223,6 +2314,25 @@ object SparkEntry {
          |  string_agg(d.text, chr(10) ORDER BY d.doc_id) AS payload
          |FROM packed p JOIN documents d USING (doc_id)
          |GROUP BY p.shard, p.bin_id""".stripMargin,
+    // length-bucket padding audit: same explicit power-of-two CASE ladder
+    // (floor 16, cap 1024), truncation at the cap, integer-exact token sums
+    "q_pack_length_buckets" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+        |b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |         WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |         WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |         ELSE 1024 END AS bucket,
+        |       least(n, 1024) AS kept,
+        |       CASE WHEN n > 1024 THEN 1 ELSE 0 END AS trunc
+        |  FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+        |  CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+        |  round(1.0 - SUM(kept)::DOUBLE / (COUNT(*) * bucket), 6)
+        |    AS waste_ratio,
+        |  CAST(SUM(trunc) AS BIGINT) AS truncated_docs
+        |FROM b GROUP BY bucket""".stripMargin,
     // BPE vocab: the oracle RE-TRAINS the merges in unrolled SQL iterations
     // and must reproduce the engine's full training trajectory
     "q_text_bpe_vocab" ->
@@ -2750,6 +2860,40 @@ object SparkEntry {
         |  round(CAST(coalesce(n_v2, 0) AS DOUBLE) / t2
         |        - CAST(coalesce(n_v1, 0) AS DOUBLE) / t1, 6) AS share_delta
         |FROM a FULL JOIN b ON a.source = b.source, t""".stripMargin,
+    // embedding drift: the q_embed_dim_stats decimal-moment CTE evaluated
+    // on each vec_id-holdout snapshot, joined on dim; mean_shift subtracts
+    // the 6-dp-ROUNDED means (mirroring Versioning.embeddingDrift)
+    "q_diff_embed_drift" ->
+      """WITH xa AS (SELECT CAST(d AS INT) AS dim,
+        |    CAST(round(CAST(embedding[CAST(d + 1 AS BIGINT)] AS DOUBLE), 6)
+        |         AS DECIMAL(18,6)) AS v
+        |  FROM (SELECT embedding, unnest(range(len(embedding))) AS d
+        |        FROM embeddings WHERE vec_id % 7 <> 0)),
+        |xb AS (SELECT CAST(d AS INT) AS dim,
+        |    CAST(round(CAST(embedding[CAST(d + 1 AS BIGINT)] AS DOUBLE), 6)
+        |         AS DECIMAL(18,6)) AS v
+        |  FROM (SELECT embedding, unnest(range(len(embedding))) AS d
+        |        FROM embeddings WHERE vec_id % 5 <> 0)),
+        |ma AS (SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+        |       FROM xa GROUP BY dim),
+        |mb AS (SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+        |       FROM xb GROUP BY dim),
+        |pa AS (SELECT dim, CAST(n AS BIGINT) AS n_v1,
+        |    round(CAST(s AS DOUBLE) / n, 6) AS mean_v1,
+        |    round(sqrt(greatest(CAST(ss AS DOUBLE) / n
+        |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)), 6)
+        |      AS std_v1
+        |  FROM ma),
+        |pb AS (SELECT dim, CAST(n AS BIGINT) AS n_v2,
+        |    round(CAST(s AS DOUBLE) / n, 6) AS mean_v2,
+        |    round(sqrt(greatest(CAST(ss AS DOUBLE) / n
+        |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)), 6)
+        |      AS std_v2
+        |  FROM mb)
+        |SELECT dim, mean_v1, mean_v2,
+        |  round(mean_v2 - mean_v1, 6) AS mean_shift,
+        |  std_v1, std_v2, n_v1, n_v2
+        |FROM pa JOIN pb USING (dim)""".stripMargin,
     // skew profile: same counts/quantiles/top-k; ANSI quantile_cont matches
     // Spark percentile, deterministic key tiebreak on the leaderboard
     "q_quality_skew" ->
@@ -3001,6 +3145,27 @@ object SparkEntry {
         |        PARTITION BY seed_id ORDER BY cosine DESC, doc_id) AS rank
         |      FROM cos)
         |WHERE rank <= 10""".stripMargin,
+    // TF-IDF keywords: same tf/df aggregates as the MLT oracle, smoothed
+    // ln((N+1)/(df+1)) idf, rank on the 6-dp-rounded score with term-asc
+    // ties (round-before-rank, mirroring the engine's bounded heaps).
+    // df counts (doc_id, term) GROUPS — tf rows — which equals distinct
+    // docs per term, same as the engine's second aggregate over tf
+    "q_text_keywords" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 6)
+        |          AS score
+        |      FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       score, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |WHERE rank <= 3""".stripMargin,
     // ranked retrieval: df restricted to the query terms, same no-ln weight
     // and decimal accumulation as the rarity join; LIMIT is deterministic
     // because ties break on doc_id after the 6-dp rounded score

@@ -31,8 +31,15 @@ object Dedup {
   /** Distinct word n-gram shingles. Documents shorter than n tokens get an
     * empty shingle set.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** Distinct word n-gram shingles of an already-tokenized column — the
+    * array-input twin of [[shingles]], for callers that slice or rewrite
+    * the token array before shingling (e.g. [[lshCalibration]]'s prefix
+    * truncations).
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + lit(j))): _*))
@@ -1021,6 +1028,119 @@ object Dedup {
         NativeExpressions.editWithin1(col("name_a"), col("name_b")))
       .filter(col("distance") >= 0)
       .distinct()
+  }
+
+  /** LSH banding calibration curve — measured band-collision rate vs the
+    * analytic S-curve 1-(1-j^r)^b, per exact-Jaccard decile, over a
+    * SYSTEMATIC pair grid (doc_id offsets +1, +2, +5 — linear in the corpus,
+    * never all-pairs). This is the tuning audit behind
+    * [[nearDuplicatePairs]]: before committing a (bands, rows) choice at
+    * 100 TB you want the collision probability it actually delivers at each
+    * similarity level, measured on your own corpus's shingle geometry, next
+    * to the theory curve the parameters were picked from (Leskovec et al.,
+    * Mining of Massive Datasets §3.4, the standard banding analysis).
+    *
+    * The signature here uses the PORTABLE seed-prefixed md5 60-bit hash
+    * family (the engine's production path uses xxhash64 —
+    * [[minhashSignatureFromHashes]]): the audit's subject is the banding
+    * GEOMETRY (b, r), which is hash-family-independent, and md5 lets a SQL
+    * oracle replay the signature bit-for-bit. The analytic curve is
+    * computed with explicit multiplication chains (j·j·j·j), not pow() —
+    * repeated IEEE multiplies are deterministic across engines where libm
+    * pow is not; per-pair values round to 6 dp into DECIMAL(18,6) before
+    * the mean so the aggregation is exact.
+    *
+    * The pair sample unions two linear-size families: a cross-document
+    * OFFSET GRID (doc_id +1/+2/+5 — the honest dissimilar baseline, one
+    * explode + one equi-join) and per-document PREFIX TRUNCATIONS (each doc
+    * vs its first 25/50/75/95% of tokens — computed entirely map-side, no
+    * join), which sweep Jaccard across the deciles by construction so the
+    * S-curve's transition region is actually populated; a grid of unrelated
+    * documents alone collapses into decile 0.
+    *
+    * Distributed shape: one projection computes each doc's signature once
+    * (numHashes·|shingles| md5 calls, bounded); the offset grid is one
+    * explode (3 rows per doc) + ONE equi-join on doc_id+offset; truncation
+    * pairs are a map-only explode (4 rows per doc); then one hash aggregate
+    * onto ≤10 decile keys. No candidate blowup anywhere — the sample is
+    * (|offsets|+|fracs|)·N pairs by construction.
+    *
+    * Returns (decile, n_pairs, n_collide, collide_rate, theory_rate).
+    */
+  def lshCalibration(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      offsets: Seq[Int] = Seq(1, 2, 5),
+      fracs: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(offsets.nonEmpty && offsets.forall(_ > 0), "offsets must be positive")
+    require(fracs.forall(q => q > 0 && q <= 100), "fracs must be in (0,100]")
+    val r = numHashes / bands
+    def sigOf(ss: Column): Column = array((0 until numHashes).map { j =>
+      array_min(transform(ss, s =>
+        conv(substring(md5(concat(lit(s"$j|"), s)), 1, 15), 16, 10)
+          .cast("long")))
+    }: _*)
+    val tk = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= n)
+    val sigd = tk
+      .select(col("doc_id"), shinglesOfTokens(col("tk"), n).as("ss"))
+      .select(col("doc_id"), col("ss"), sigOf(col("ss")).as("sig"))
+    val probes = sigd
+      .select(col("doc_id").as("ida"), col("ss").as("sa"), col("sig").as("siga"),
+        explode(array(offsets.map(d => lit(d.toLong)): _*)).as("d"))
+      .withColumn("idb", col("ida") + col("d"))
+    val gridPairs = probes
+      .join(
+        sigd.select(col("doc_id").as("idb"), col("ss").as("sb"),
+          col("sig").as("sigb")),
+        Seq("idb"))
+      .select(col("sa"), col("sb"), col("siga"), col("sigb"))
+    val truncPairs = tk
+      .select(col("doc_id"), col("tk"),
+        explode(array(fracs.map(q => lit(q)): _*)).as("q"))
+      .withColumn("m",
+        greatest(lit(n),
+          floor(size(col("tk")).cast("double") * col("q") / lit(100.0))
+            .cast("int")))
+      .select(
+        shinglesOfTokens(col("tk"), n).as("sa"),
+        shinglesOfTokens(slice(col("tk"), lit(1), col("m")), n).as("sb"))
+      // both signatures inline — re-hashing the full side per fraction
+      // keeps this branch strictly map-side (no self-join shuffle), the
+      // right trade for a bounded calibration pass
+      .select(col("sa"), col("sb"), sigOf(col("sa")).as("siga"),
+        sigOf(col("sb")).as("sigb"))
+    val pairs = gridPairs.union(truncPairs)
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_distinct(concat(col("sa"), col("sb")))).cast("double")
+    val collide = (0 until bands).map { i =>
+      (0 until r).map { j =>
+        element_at(col("siga"), i * r + j + 1) ===
+          element_at(col("sigb"), i * r + j + 1)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    // 1-(1-j^r)^b via explicit multiply chains (deterministic IEEE)
+    def powChain(c: Column, e: Int): Column =
+      (1 until e).foldLeft(c)((acc, _) => acc * c)
+    val theory = lit(1.0) - powChain(lit(1.0) - powChain(col("jac"), r), bands)
+    pairs
+      .select(jac.as("jac"), collide.cast("long").as("hit"))
+      .select(
+        least(floor(col("jac") * 10), lit(9.0)).cast("int").as("decile"),
+        col("hit"),
+        round(theory, 6).cast("decimal(18,6)").as("p6"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("hit")).as("n_collide"),
+        round(sum(col("hit")).cast("double") / count(lit(1)), 6)
+          .as("collide_rate"),
+        round(sum(col("p6")).cast("double") / count(lit(1)), 6)
+          .as("theory_rate"))
   }
 
   /** All-pairs `levenshtein` baseline for [[fuzzyNamePairs]] — spec-side

@@ -111,4 +111,45 @@ object Packing {
             array_sort(collect_list(struct(col("doc_id"), col("text")))),
             x => x.getField("text")),
           sep).as("payload"))
+
+  /** Length-bucketed batching audit — the other standard answer (next to
+    * [[packGreedy]]'s concatenation) to padding waste: route each document
+    * to the smallest power-of-two bucket that holds it (floor 16, cap
+    * `cap`; longer docs truncate to the cap, as a fixed-context trainer
+    * would) and account, per bucket, what fraction of the padded batch
+    * volume is real tokens. `waste_ratio` = 1 - sum(kept)/(n_docs*bucket)
+    * is exactly the compute burned on pad tokens if batches are drawn
+    * within buckets.
+    *
+    * Distributed shape: one narrow map projection (token count → CASE
+    * ladder; the ladder is an explicit literal chain, portable to any SQL
+    * engine, no float log2 round-trip) then ONE hash aggregate on ≤8 bucket
+    * keys — partial aggregation collapses everything map-side, the exchange
+    * carries a handful of rows regardless of corpus size.
+    *
+    * Returns (bucket, n_docs, kept_tokens, padded_tokens, waste_ratio,
+    * truncated_docs).
+    */
+  def lengthBuckets(docs: DataFrame, cap: Int = 1024): DataFrame = {
+    require(cap >= 16 && (cap & (cap - 1)) == 0,
+      s"cap must be a power of two >= 16, got $cap")
+    val n = size(split(col("text"), " ")).cast("long")
+    val ladder = Iterator.iterate(16)(_ * 2).takeWhile(_ < cap).toSeq
+    val bucket = ladder
+      .foldLeft(when(lit(false), lit(0L))) { (acc, b) =>
+        acc.when(n <= b, lit(b.toLong))
+      }
+      .otherwise(lit(cap.toLong))
+    docs
+      .select(bucket.as("bucket"), least(n, lit(cap.toLong)).as("kept"),
+        (n > cap).cast("long").as("trunc"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("kept_tokens"),
+        (count(lit(1)) * col("bucket")).as("padded_tokens"),
+        round(lit(1.0) - sum(col("kept")).cast("double") /
+          (count(lit(1)) * col("bucket")).cast("double"), 6).as("waste_ratio"),
+        sum(col("trunc")).as("truncated_docs"))
+  }
 }

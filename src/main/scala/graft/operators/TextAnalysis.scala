@@ -851,4 +851,39 @@ object TextAnalysis {
         round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
           .as("avg_tokens"))
   }
+
+  /** Per-document TF-IDF keyword extraction: the top-k terms of each document
+    * by tf · ln((N+1)/(df+1)) — add-one-smoothed IDF so a term present in
+    * every document still scores > 0 and the ranking stays total. The
+    * per-doc salience twin of [[topTermsBySource]]'s raw-frequency view and
+    * the keyword-level counterpart of [[moreLikeThis]]'s whole-doc cosine.
+    *
+    * Distributed shape: explode → one hash aggregate keyed by (doc_id, term)
+    * for tf; the term document-frequency dictionary comes from a second
+    * aggregate over the SAME exchange's output (term keys) and joins back
+    * UN-broadcast — at 100 TB the dictionary is millions of terms, a real
+    * shuffle join, never a driver collect (the [[moreLikeThis]] df-join
+    * precedent). Ranking is round-before-rank at 6 dp with a term-asc
+    * tiebreak, served by [[Ranking.topKPerKey]]'s O(k) streaming heaps — no
+    * per-doc sort of the full term list. N (corpus size) is one bounded
+    * driver-side scalar, the trained-artifact move.
+    *
+    * Returns (doc_id, term, tf, df, score, rank).
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val nDocs = docs.agg(count(lit(1))).head().getLong(0)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") *
+          log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")),
+          6).as("score"))
+    Ranking.topKPerKey(scored, Seq("doc_id"),
+      Seq(negate(col("score")), col("term")), k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

@@ -87,4 +87,36 @@ object Versioning {
           - coalesce(col("n_v1"), lit(0L)).cast("double") / lit(t1.toDouble), 6)
           .as("share_delta"))
   }
+
+  /** Embedding-space drift between two snapshots of a vector table: the
+    * per-dimension mean/std of each snapshot ([[Similarity.dimStats]] run
+    * on both sides — decimal-exact moment accumulation, so both engines and
+    * both snapshots reduce identically) joined on the dimension index, with
+    * the mean shift and std ratio per dimension. This is the vector-column
+    * counterpart of [[driftReport]]'s categorical mixture drift: a training
+    * pipeline watches it across embedding-model upgrades and re-ingests,
+    * where a handful of drifting dimensions signals a changed encoder or a
+    * corrupted batch.
+    *
+    * Scale shape: each side is one narrow posexplode + one hash aggregate
+    * onto |dims| keys (constant-size result); the two bounded profiles meet
+    * in one inner join on the dimension index — at any corpus size the join
+    * touches |dims| rows. Shifts subtract the 6-dp-rounded means, so the
+    * output is engine-portable (no unrounded double subtraction).
+    *
+    * Returns (dim, mean_v1, mean_v2, mean_shift, std_v1, std_v2, n_v1,
+    * n_v2).
+    */
+  def embeddingDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = Similarity.dimStats(v1)
+      .select(col("dim"), col("n_vectors").as("n_v1"),
+        col("mean").as("mean_v1"), col("std").as("std_v1"))
+    val b = Similarity.dimStats(v2)
+      .select(col("dim"), col("n_vectors").as("n_v2"),
+        col("mean").as("mean_v2"), col("std").as("std_v2"))
+    a.join(b, Seq("dim"))
+      .select(col("dim"), col("mean_v1"), col("mean_v2"),
+        round(col("mean_v2") - col("mean_v1"), 6).as("mean_shift"),
+        col("std_v1"), col("std_v2"), col("n_v1"), col("n_v2"))
+  }
 }

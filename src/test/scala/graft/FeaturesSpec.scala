@@ -78,6 +78,20 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("embedding drift: a constant shift in one dimension is reported " +
+    "on exactly that dimension") {
+    val v1 = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val v2 = Seq(
+      (1L, Seq(0.5f, 1.0f)), (2L, Seq(0.5f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Versioning.embeddingDrift(v1, v2).orderBy("dim").collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Double]("mean_shift"),
+        r.getAs[Double]("std_v1"), r.getAs[Long]("n_v2")))
+    assert(rows.toSeq == Seq((0, 0.5, 0.0, 2L), (1, 0.0, 1.0, 2L)))
+  }
+
   test("snapshot diff: null payloads get sentinels — a column-shift edit " +
     "is 'changed', not aliased to unchanged") {
     val v1 = Seq((1L, Some("a"), None: Option[String]))

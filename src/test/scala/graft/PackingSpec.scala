@@ -227,4 +227,27 @@ class PackingSpec extends AnyFunSuite {
     assert(once.except(again).isEmpty && again.except(once).isEmpty,
       "importance must be independent of input partitioning")
   }
+
+  test("length buckets: power-of-two routing, cap truncation, exact waste") {
+    def docOf(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val docs = docsOf(docOf(1, 10), docOf(2, 16), docOf(3, 17),
+      docOf(4, 100), docOf(5, 2000))
+    val rows = Packing.lengthBuckets(docs, cap = 1024).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Double]("waste_ratio"),
+          r.getAs[Long]("truncated_docs")))).toMap
+    // 10 and 16 both fit the 16-bucket; 17 spills to 32; 2000 truncates
+    assert(rows(16L) == ((2L, 26L, 32L, 1.0 - 26.0 / 32, 0L)))
+    assert(rows(32L) == ((1L, 17L, 32L, 1.0 - 17.0 / 32, 0L)))
+    assert(rows(128L) == ((1L, 100L, 128L, 1.0 - 100.0 / 128, 0L)))
+    assert(rows(1024L) == ((1L, 1024L, 1024L, 0.0, 1L)))
+    assert(rows.size == 4)
+  }
+
+  test("length buckets: cap must be a power of two") {
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(docsOf((1L, "a")), cap = 1000)
+    }
+  }
 }

@@ -300,4 +300,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bySeed(0L) == 2 && bySeed(1L) == 2)
     assert(out.forall(r => r.getAs[Long]("seed_id") != r.getAs[Long]("doc_id")))
   }
+
+  test("tfidf keywords: a doc-unique term outranks a corpus-wide term") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common filler words"),
+      (3L, "common more filler")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, k = 2).collect()
+    val doc1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+      .sortBy(_.getAs[Int]("rank"))
+    // zebra: tf=1, df=1 -> 1*ln(4/2); common: tf=2, df=3 -> 2*ln(4/4)=0
+    assert(doc1.head.getAs[String]("term") == "zebra")
+    assert(doc1.head.getAs[Double]("score") ==
+      math.rint(math.log(2.0) * 1e6) / 1e6)
+    assert(out.forall(r => r.getAs[Int]("rank") <= 2))
+    // every doc contributes exactly k rows when it has >= k distinct terms
+    assert(out.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length == 2))
+  }
+
+  test("tfidf keywords: rank ties break by term ascending") {
+    val docs = Seq((1L, "b a"), (2L, "x y")).toDF("doc_id", "text")
+    val doc1 = TextAnalysis.tfidfKeywords(docs, k = 2).collect()
+      .filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Int]("rank"))
+    // a and b have identical tf/df -> identical score; 'a' must rank first
+    assert(doc1.map(_.getAs[String]("term")).toSeq == Seq("a", "b"))
+  }
 }
