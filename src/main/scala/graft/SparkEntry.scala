@@ -628,6 +628,13 @@ object SparkEntry {
       Packing.packGreedyCounted(
         Bpe.tokenCounts(docs, "text", bpeModel(dir, docs)), budget = 2048).toDF()
     }),
+    // tokenizer-efficiency audit: per-source chars-per-token and
+    // tokens-per-word under the trained merge table (fertility/compression
+    // tracking) — broadcast memo scoring + one bounded per-source aggregate
+    "q_text_bpe_compression" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.compressionStats(docs, "text", bpeModel(dir, docs))
+    }),
     // token-mass-weighted priority sample: top-100 of an integer-weight
     // exponential race (min-of-w salted md5 tickets — exactly
     // weight-proportional per draw, engine-portable string arithmetic)
@@ -1085,6 +1092,11 @@ object SparkEntry {
     // reproducible across runs, partitionings, and engines; map-only
     "q_split_dataset" -> ((s, dir) =>
       Sampling.datasetSplit(
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),
+    // deterministic k-fold CV assignment: salted-hash-prefix mod k, pure
+    // map-side, engine-portable (the round-robin twin of q_split_dataset)
+    "q_split_folds" -> ((s, dir) =>
+      Sampling.kFoldAssign(
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),
     // CDC changelog compaction: last-writer-wins snapshot in ONE max_by
     // hash aggregate (map-side partials, no window sort); tombstoned keys
@@ -2376,6 +2388,25 @@ object SparkEntry {
          |SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id,
          |  CAST(n_tokens AS INT) AS n_tokens
          |FROM packed""".stripMargin,
+    // tokenizer efficiency: same retrained merges + encode CTEs; per-doc
+    // token counts join the char/word projection, bounded per-source rollup
+    "q_text_bpe_compression" ->
+      s"""WITH RECURSIVE ${bpeTrainCtes(BpeMerges)},
+         |${bpeEncodeCtes(BpeMerges)},
+         |cnts AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM j GROUP BY doc_id),
+         |w AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |      FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(n_words) AS BIGINT) AS sum_words,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(SUM(n_chars)::DOUBLE / SUM(n_tokens), 6) AS chars_per_token,
+         |  round(SUM(n_tokens)::DOUBLE / SUM(n_words), 6) AS tokens_per_word
+         |FROM w JOIN cnts USING (doc_id)
+         |GROUP BY source""".stripMargin,
     // weighted sample: the same min-of-w salted-ticket race replayed with a
     // per-row list comprehension, same (ticket, doc_id) ordering
     "q_sample_weighted" ->
@@ -3430,6 +3461,19 @@ object SparkEntry {
     // the engine's cut constants, single-sourced from splitThresholds
     "q_split_dataset" ->
       s"SELECT doc_id, source, $splitCaseSql AS split FROM documents",
+    // k-fold: same salted 4-hex prefix, decoded by the BIGINT multiply-add
+    // ladder (no conv() in DuckDB), mod 5
+    "q_split_folds" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    substring(md5('fold1:' || CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+        |  FROM documents)
+        |SELECT doc_id, source, CAST((
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 5 AS INT)
+        |  AS fold
+        |FROM h""".stripMargin,
     // per-source chunk-store savings: same chunk CTE, one rollup
     "q_dedup_ratio" ->
       """WITH c AS (SELECT doc_id,

@@ -208,4 +208,35 @@ object Bpe {
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("n_tok"), lit(1))).cast("int").as("n_tokens"))
   }
+
+  /** Tokenizer-efficiency audit per source: chars-per-token and
+    * tokens-per-word under the trained merge table — the fertility /
+    * compression numbers a training pipeline tracks per corpus slice when
+    * sizing token budgets (a source whose chars-per-token is far below the
+    * corpus norm is either a different script or junk the tokenizer can't
+    * compress). Composes [[tokenCounts]] (broadcast memo, one doc-keyed
+    * aggregate) with one thin doc_id join back to the per-doc char/word
+    * projection, then a bounded per-source aggregate — integer-exact sums,
+    * two rounded divisions at the end.
+    *
+    * Returns (source, n_docs, sum_chars, sum_words, sum_tokens,
+    * chars_per_token, tokens_per_word).
+    */
+  def compressionStats(
+      docs: DataFrame, textCol: String, model: Model): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(split(col(textCol), " ")).cast("long").as("n_words"))
+      .join(tokenCounts(docs, textCol, model), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        round(sum(col("n_chars")).cast("double") /
+          sum(col("n_tokens").cast("long")), 6).as("chars_per_token"),
+        round(sum(col("n_tokens").cast("long")).cast("double") /
+          sum(col("n_words")), 6).as("tokens_per_word"))
 }

@@ -169,6 +169,21 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * (salted md5 4-hex prefix as an integer) mod k — the round-robin
+    * counterpart of [[datasetSplit]]'s threshold slices, giving k
+    * near-equal folds that are stable across runs, partitionings, and
+    * engines. Pure map-side projection, codegen'd, no shuffle; at 100 TB a
+    * fold sweep is k scans each with the fold predicate pushed to the scan.
+    */
+  def kFoldAssign(df: DataFrame, keyCol: String, k: Int = 5,
+      salt: String = "fold1"): DataFrame = {
+    require(k >= 2 && k <= 65536, s"need 2 <= k <= 65536 folds, got $k")
+    df.withColumn("fold",
+      (conv(substring(keyHash(salt, col(keyCol)), 1, 4), 16, 10)
+        .cast("int") % k).cast("int"))
+  }
+
   /** DSIR-style importance weighting — score every document by how much its
     * hashed-unigram distribution resembles a TARGET slice of the corpus
     * versus the corpus at large (Data Selection via Importance Resampling:

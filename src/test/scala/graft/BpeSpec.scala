@@ -120,4 +120,38 @@ class BpeSpec extends AnyFunSuite {
     assert(out.forall(_.getString(0) == "a"))
     assert(out.length == 2, "share 1.0 with T = n_a keeps all of a")
   }
+
+  test("compression stats: integer sums exact, ratios from those sums") {
+    // model trained on the same corpus; 'aaaa aa' style docs compress well
+    val docs = Seq(
+      (1L, "aaaa aaaa", "x", 9L),
+      (2L, "aaaa bb", "x", 7L),
+      (3L, "cd cd cd", "y", 8L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val model = Bpe.train(docs, "text", numMerges = 3)
+    val byDoc = Bpe.tokenCounts(docs, "text", model).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Bpe.compressionStats(docs, "text", model).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val x = rows("x")
+    assert(x.getAs[Long]("n_docs") == 2L)
+    assert(x.getAs[Long]("sum_chars") == 16L)
+    assert(x.getAs[Long]("sum_words") == 4L)
+    assert(x.getAs[Long]("sum_tokens") == byDoc(1L).toLong + byDoc(2L).toLong)
+    val expected = math.rint(16.0 / x.getAs[Long]("sum_tokens") * 1e6) / 1e6
+    assert(math.abs(x.getAs[Double]("chars_per_token") - expected) < 1e-9)
+  }
+
+  test("k-fold assignment: folds in range, deterministic, near-balanced") {
+    val df = (0L until 1000L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val once = Sampling.kFoldAssign(df, "doc_id", k = 5)
+    val again = Sampling.kFoldAssign(df.repartition(7), "doc_id", k = 5)
+    assert(once.except(again).isEmpty && again.except(once).isEmpty)
+    val counts = once.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3, 4))
+    assert(counts.values.forall(c => c > 120 && c < 280),
+      s"fold sizes far from balanced: $counts")
+  }
 }
