@@ -106,6 +106,14 @@ FAMILIES = {
         "q_similarity_knn_clustered", "q_similarity_negatives",
         "q_pipeline_semdedup",
     ],
+    "round-9 additions (bpe / pq / matryoshka / audits)": [
+        "q_text_bpe_vocab", "q_text_bpe_encode", "q_text_bpe_compression",
+        "q_pack_greedy_tokens", "q_sample_rebalance", "q_sample_weighted",
+        "q_embed_pq", "q_similarity_pq", "q_embed_matryoshka",
+        "q_embed_matryoshka_recall", "q_dedup_lsh_curve", "q_text_keywords",
+        "q_pack_length_buckets", "q_diff_embed_drift", "q_diff_drift",
+        "q_split_folds",
+    ],
 }
 
 

@@ -1335,24 +1335,36 @@ object SparkEntry {
       |        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.7""".stripMargin
 
   /** LSH calibration oracle (q_dedup_lsh_curve): replays
-    * [[graft.operators.Dedup.lshCalibration]] exactly — 16 seed-prefixed md5
-    * 60-bit minhashes per shingle set (hex decoded by the same 15-term
-    * BIGINT multiply-add ladder as the q_quality_checksum oracle; md5
-    * computed once per (seed, shingle) via the inner comprehension), the
-    * +1/+2/+5 offset grid plus the 25/50/75/95% prefix-truncation pairs,
-    * 4×4 band-equality collisions, and the analytic curve as explicit
-    * multiply chains — portable arithmetic end to end.
+    * [[graft.operators.Dedup.lshCalibration]] exactly — the Carter-Wegman
+    * double-hash minhash family (per shingle two 56-bit md5 values, hash j
+    * = h1 + j·h2; hex decoded by the 14-term BIGINT multiply-add ladder,
+    * the q_quality_checksum arithmetic), the +1/+2/+5 offset grid plus the
+    * 25/50/75/95% prefix-truncation pairs (full side joined back from the
+    * shared signature CTE, as the engine does), 4×4 band-equality
+    * collisions, and the analytic curve as explicit multiply chains —
+    * portable arithmetic end to end.
     */
   private val lshCurveOracle: String = {
-    val ladder = (0 until 15).map { i =>
-      s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * " +
-        s"CAST(${1L << (4 * (14 - i))} AS BIGINT)"
+    // hex-prefix → BIGINT ladder: `width` chars of `h` starting at `from`
+    def ladder(h: String, from: Int, width: Int) = (0 until width).map { i =>
+      s"(strpos('0123456789abcdef', substr($h, ${from + i}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (width - 1 - i))} AS BIGINT)"
     }.mkString(" + ")
-    def sig(ss: String): String =
-      s"""[ list_min([ CAST($ladder AS BIGINT)
-         |      FOR h IN [ substr(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15)
-         |                 FOR s IN $ss ] ])
-         |    FOR j IN range(0, 16) ]""".stripMargin
+    // per side: the distinct 60-bit shingle-hash set (first 15 hex chars —
+    // ShingleMd5Hashes60Expr's value) and the Carter-Wegman signature (h1 =
+    // chars 1-14, h2 = chars 15-28 of the SAME md5; hash j = h1 + j*h2 —
+    // MinhashCw56Expr's family)
+    def sigCte(src: String, setCol: String): String =
+      s"""SELECT doc_id,
+         |  list_distinct([ CAST(${ladder("m", 1, 15)} AS BIGINT)
+         |                  FOR m IN md ]) AS hs,
+         |  [ list_min([ ha[i] + j * hb[i] FOR i IN range(1, len(ha) + 1) ])
+         |    FOR j IN range(0, 16) ] AS sig
+         |FROM (SELECT doc_id,
+         |    [ CAST(${ladder("m", 1, 14)} AS BIGINT) FOR m IN md ] AS ha,
+         |    [ CAST(${ladder("m", 15, 14)} AS BIGINT) FOR m IN md ] AS hb,
+         |    md
+         |  FROM (SELECT doc_id, [ md5(s) FOR s IN $setCol ] AS md FROM $src))""".stripMargin
     val bandHit = (0 until 4).map { b =>
       (0 until 4).map(k => s"ga[${b * 4 + k + 1}]=gb[${b * 4 + k + 1}]")
         .mkString("(", " AND ", ")")
@@ -1363,20 +1375,20 @@ object SparkEntry {
        |  list_distinct([array_to_string(tk[i:i+2], ' ')
        |                 for i in range(1, len(tk) - 1)]) AS ss
        |  FROM tk0),
-       |sg AS (SELECT doc_id, ss, ${sig("ss")} AS sig FROM sh),
-       |grid AS (SELECT a.ss AS sa, b.ss AS sb, a.sig AS ga, b.sig AS gb
+       |sg AS MATERIALIZED (${sigCte("sh", "ss")}),
+       |grid AS (SELECT a.hs AS sa, b.hs AS sb, a.sig AS ga, b.sig AS gb
        |  FROM sg a CROSS JOIN (VALUES (1),(2),(5)) AS o(d)
        |  JOIN sg b ON b.doc_id = a.doc_id + o.d),
-       |trm AS (SELECT doc_id, tk AS tka,
+       |trm AS (SELECT doc_id,
        |    tk[1:CAST(greatest(3, floor(len(tk) * q / 100.0)) AS INT)] AS tkm
        |  FROM tk0 CROSS JOIN (VALUES (25),(50),(75),(95)) AS f(q)),
-       |trs AS (SELECT
-       |  list_distinct([array_to_string(tka[i:i+2], ' ')
-       |                 for i in range(1, len(tka) - 1)]) AS sa,
+       |trs AS (SELECT doc_id,
        |  list_distinct([array_to_string(tkm[i:i+2], ' ')
        |                 for i in range(1, len(tkm) - 1)]) AS sb
        |  FROM trm),
-       |trg AS (SELECT sa, sb, ${sig("sa")} AS ga, ${sig("sb")} AS gb FROM trs),
+       |trb AS (${sigCte("trs", "sb")}),
+       |trg AS (SELECT g.hs AS sa, t.hs AS sb, g.sig AS ga, t.sig AS gb
+       |  FROM trb t JOIN sg g USING (doc_id)),
        |p AS (SELECT * FROM grid UNION ALL SELECT * FROM trg),
        |j AS (SELECT len(list_intersect(sa, sb))::DOUBLE
        |        / len(list_distinct(list_concat(sa, sb))) AS jac,
@@ -1771,8 +1783,8 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS survivor_id
         |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "q_dedup_near" -> s"WITH sh AS ($dedupShCte) $dedupNearBody",
-    // LSH calibration: replays the seed-prefixed md5 60-bit minhash
-    // signature bit-for-bit (hex -> int via the 15-term BIGINT multiply-add
+    // LSH calibration: replays the Carter-Wegman md5 double-hash minhash
+    // signature bit-for-bit (hex -> int via the 14-term BIGINT multiply-add
     // ladder, no shifts/HUGEINT — the q_quality_checksum arithmetic), the
     // same offset grid + prefix-truncation pair sample, band-equality
     // collision test, and the multiply-chain S-curve (no libm pow)

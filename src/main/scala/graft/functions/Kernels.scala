@@ -622,6 +622,66 @@ object Kernels {
       if (k == nShingles) out else java.util.Arrays.copyOf(out, k))
   }
 
+  /** Portable Carter-Wegman minhash signature backing `MinhashCw56Expr`:
+    * over the word n-gram shingles (same ' '-split boundaries as
+    * [[shingleMd5Hashes60]]), ONE md5 per shingle yields two independent
+    * 56-bit values — h1 from digest bytes 0–6 (hex chars 1–14) and h2 from
+    * bytes 7–13 (hex chars 15–28) — and hash function j is h1 + j·h2
+    * (two-universal double hashing; 56 bits keeps h1 + 15·h2 < 2^63). The
+    * k running minima update incrementally (hj += h2), so the whole
+    * signature is one pass over the shingles with k compares each —
+    * duplicates need no dedup (a repeated shingle cannot change a minimum).
+    * A SQL oracle replays the family from `substr(md5(s), 1, 14)` /
+    * `substr(md5(s), 15, 14)` nibble arithmetic.
+    *
+    * Returns the k-element signature, or an empty array when the text has
+    * fewer than n tokens (no shingles — callers filter those rows).
+    */
+  def minhashCw56(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = len
+    val md = md5Local.get()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val nShingles = nTokens - n + 1
+    var s = 0
+    while (s < nShingles) {
+      md.update(bytes, starts(s), ends(s + n - 1) - starts(s))
+      val digest = md.digest() // fresh array; resets the digest
+      var h1 = 0L
+      var h2 = 0L
+      var d = 0
+      while (d < 7) {
+        h1 = (h1 << 8) | (digest(d) & 0xFFL)
+        h2 = (h2 << 8) | (digest(d + 7) & 0xFFL)
+        d += 1
+      }
+      var j = 0
+      var hj = h1
+      while (j < k) {
+        if (hj < mins(j)) mins(j) = hj
+        hj += h2
+        j += 1
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** Portable winnowing backing `WinnowMd5HexExpr`: character-k-gram md5 HEX
     * strings (code-point slicing, like [[winnowingFingerprints]]) with
     * lexicographic sliding-window minima. The hex rendering is monotonic in

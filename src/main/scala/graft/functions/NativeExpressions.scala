@@ -212,6 +212,27 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** `array<bigint>` Carter-Wegman minhash signature over word-n-gram
+    * shingles — one md5 per shingle, k running minima of h1 + j·h2 in one
+    * pass (see [[Kernels.minhashCw56]]). Empty array when the text has
+    * fewer than n tokens.
+    */
+  case class MinhashCw56Expr(child: Expression, n: Int, k: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(k >= 1 && k <= 64, s"signature length must be in [1,64], got $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhashCw56(input.asInstanceOf[UTF8String], n, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernels.minhashCw56($c, $n, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `array<string>` of distinct md5-hex winnowing window minima — the
     * ENGINE-PORTABLE twin of [[WinnowingExpr]] (see [[Kernels.winnowMd5Hex]]).
     */
@@ -388,6 +409,9 @@ object NativeExpressions {
 
   def shingleMd5Hashes60(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleMd5Hashes60Expr(expr(text), n))
+
+  def minhashCw56(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinhashCw56Expr(expr(text), n, k))
 
   def winnowMd5Hex(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowMd5HexExpr(expr(text), k, w))

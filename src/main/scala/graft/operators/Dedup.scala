@@ -1040,11 +1040,23 @@ object Dedup {
     * to the theory curve the parameters were picked from (Leskovec et al.,
     * Mining of Massive Datasets §3.4, the standard banding analysis).
     *
-    * The signature here uses the PORTABLE seed-prefixed md5 60-bit hash
-    * family (the engine's production path uses xxhash64 —
-    * [[minhashSignatureFromHashes]]): the audit's subject is the banding
-    * GEOMETRY (b, r), which is hash-family-independent, and md5 lets a SQL
-    * oracle replay the signature bit-for-bit. The analytic curve is
+    * The signature here uses a PORTABLE Carter-Wegman double-hash family
+    * served by the fused [[graft.functions.NativeExpressions.MinhashCw56Expr]]
+    * kernel (the engine's production path uses xxhash64 —
+    * [[minhashSignatureFromHashes]]): ONE md5 per shingle yields two
+    * independent 56-bit halves h1 (digest bytes 0–6) and h2 (bytes 7–13),
+    * and hash function j is h1 + j·h2 (the standard two-universal
+    * construction for multi-permutation minhash — Kirsch & Mitzenmacher's
+    * double hashing; 56 bits so h1 + 15·h2 < 2^63 stays in BIGINT on every
+    * engine). One md5 call per shingle regardless of numHashes — an
+    * earlier seed-prefixed variant paid numHashes md5 calls per shingle
+    * and measured 47 s at sf0.1; a Column-combinator double-hash form
+    * still measured ~10 s; the kernel runs the query in ~1 s. md5 keeps
+    * the family bit-replayable by a SQL oracle; the audit's subject is the
+    * banding GEOMETRY (b, r), hash-family-independent. The exact Jaccard
+    * compares the 60-bit shingle-hash SETS ([[graft.functions
+    * .NativeExpressions.ShingleMd5Hashes60Expr]] — set ops over longs, the
+    * oracle replays the same hex60 values), and the analytic curve is
     * computed with explicit multiplication chains (j·j·j·j), not pow() —
     * repeated IEEE multiplies are deterministic across engines where libm
     * pow is not; per-pair values round to 6 dp into DECIMAL(18,6) before
@@ -1058,12 +1070,14 @@ object Dedup {
     * S-curve's transition region is actually populated; a grid of unrelated
     * documents alone collapses into decile 0.
     *
-    * Distributed shape: one projection computes each doc's signature once
-    * (numHashes·|shingles| md5 calls, bounded); the offset grid is one
-    * explode (3 rows per doc) + ONE equi-join on doc_id+offset; truncation
-    * pairs are a map-only explode (4 rows per doc); then one hash aggregate
-    * onto ≤10 decile keys. No candidate blowup anywhere — the sample is
-    * (|offsets|+|fracs|)·N pairs by construction.
+    * Distributed shape: one projection computes each doc's hash set and
+    * signature once (|shingles| md5 calls per side, fused kernels); the
+    * offset grid is one explode (3 rows per doc) + ONE equi-join on
+    * doc_id+offset; truncation pairs hash only their truncated side and
+    * pick the full side up from the shared signature projection via one
+    * doc_id equi-join; then one hash aggregate onto ≤10 decile keys. No
+    * candidate blowup anywhere — the sample is (|offsets|+|fracs|)·N pairs
+    * by construction.
     *
     * Returns (decile, n_pairs, n_collide, collide_rate, theory_rate).
     */
@@ -1078,42 +1092,44 @@ object Dedup {
     require(offsets.nonEmpty && offsets.forall(_ > 0), "offsets must be positive")
     require(fracs.forall(q => q > 0 && q <= 100), "fracs must be in (0,100]")
     val r = numHashes / bands
-    def sigOf(ss: Column): Column = array((0 until numHashes).map { j =>
-      array_min(transform(ss, s =>
-        conv(substring(md5(concat(lit(s"$j|"), s)), 1, 15), 16, 10)
-          .cast("long")))
-    }: _*)
-    val tk = docs
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    // one fused pass per side: the 60-bit shingle-hash SET (for the exact
+    // jaccard — set ops over longs, bit-replayed by the oracle's hex60
+    // ladder) and the Carter-Wegman signature (MinhashCw56Expr: one md5
+    // per shingle, k running minima of h1 + j*h2)
+    val base = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= n)
-    val sigd = tk
-      .select(col("doc_id"), shinglesOfTokens(col("tk"), n).as("ss"))
-      .select(col("doc_id"), col("ss"), sigOf(col("ss")).as("sig"))
+    val sigd = base
+      .select(col("doc_id"),
+        NativeExpressions.shingleMd5Hashes60(col("text"), n).as("hs"),
+        NativeExpressions.minhashCw56(col("text"), n, numHashes).as("sig"))
     val probes = sigd
-      .select(col("doc_id").as("ida"), col("ss").as("sa"), col("sig").as("siga"),
+      .select(col("doc_id").as("ida"), col("hs").as("sa"), col("sig").as("siga"),
         explode(array(offsets.map(d => lit(d.toLong)): _*)).as("d"))
       .withColumn("idb", col("ida") + col("d"))
     val gridPairs = probes
       .join(
-        sigd.select(col("doc_id").as("idb"), col("ss").as("sb"),
+        sigd.select(col("doc_id").as("idb"), col("hs").as("sb"),
           col("sig").as("sigb")),
         Seq("idb"))
       .select(col("sa"), col("sb"), col("siga"), col("sigb"))
-    val truncPairs = tk
+    val truncPairs = base
       .select(col("doc_id"), col("tk"),
         explode(array(fracs.map(q => lit(q)): _*)).as("q"))
       .withColumn("m",
         greatest(lit(n),
           floor(size(col("tk")).cast("double") * col("q") / lit(100.0))
             .cast("int")))
-      .select(
-        shinglesOfTokens(col("tk"), n).as("sa"),
-        shinglesOfTokens(slice(col("tk"), lit(1), col("m")), n).as("sb"))
-      // both signatures inline — re-hashing the full side per fraction
-      // keeps this branch strictly map-side (no self-join shuffle), the
-      // right trade for a bounded calibration pass
-      .select(col("sa"), col("sb"), sigOf(col("sa")).as("siga"),
-        sigOf(col("sb")).as("sigb"))
+      .select(col("doc_id"),
+        array_join(slice(col("tk"), lit(1), col("m")), " ").as("txt"))
+      .select(col("doc_id"),
+        NativeExpressions.shingleMd5Hashes60(col("txt"), n).as("sb"),
+        NativeExpressions.minhashCw56(col("txt"), n, numHashes).as("sigb"))
+      // full side rides the shared signature projection: one doc_id
+      // equi-join instead of re-hashing the whole document per fraction
+      .join(sigd.select(col("doc_id"), col("hs").as("sa"),
+        col("sig").as("siga")), Seq("doc_id"))
+      .select(col("sa"), col("sb"), col("siga"), col("sigb"))
     val pairs = gridPairs.union(truncPairs)
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_distinct(concat(col("sa"), col("sb")))).cast("double")

@@ -206,6 +206,39 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(one == exp)
   }
 
+  test("minhashCw56 == per-hash array_min of h1 + j*h2 combinator twin") {
+    def h(from: Int, s: org.apache.spark.sql.Column) =
+      conv(substring(md5(s), from, 14), 16, 10).cast("long")
+    for (df <- Seq(docs.select("text"), fixturesDF.select("text")); n <- Seq(2, 3)) {
+      val sh = Dedup.shingles(col("text"), n)
+      val slow = array((0 until 16).map { j =>
+        array_min(transform(sh, s => h(1, s) + lit(j.toLong) * h(15, s)))
+      }: _*)
+      // the kernel returns [] below n tokens where the combinator's
+      // array_min over an empty array yields nulls — compare where defined
+      val both = df
+        .filter(size(split(col("text"), " ")) >= n)
+        .select(slow.as("slow"),
+          NativeExpressions.minhashCw56(col("text"), n, 16).as("fast"))
+      assert(both.filter(not(col("slow") === col("fast"))).count() == 0,
+        s"n=$n carter-wegman signature mismatch")
+    }
+    // short text -> empty signature, not nulls
+    val short = Seq("x y").toDF("text")
+      .select(NativeExpressions.minhashCw56(col("text"), 3, 16))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+    // hand-pinned: single shingle -> sig(j) = h1 + j*h2 of that shingle
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h1 = java.lang.Long.parseLong(digest.substring(0, 14), 16)
+    val h2 = java.lang.Long.parseLong(digest.substring(14, 28), 16)
+    val one = Seq("a b").toDF("text")
+      .select(NativeExpressions.minhashCw56(col("text"), 2, 16))
+      .as[Seq[Long]].head()
+    assert(one == (0 until 16).map(j => h1 + j * h2))
+  }
+
   test("winnowMd5Hex == two-projection md5 window-min combinator twin") {
     for (df <- Seq(docs.select("doc_id", "text"), fixturesDF);
          (k, w) <- Seq((8, 4), (3, 2))) {
