@@ -18,6 +18,12 @@ object Verify {
       // aggregation (a full sort of the candidate stream). Buffers are
       // size-capped, so a large hash map of them is tiny.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
+      // cap status-store retention (see Bench: unbounded per-execution
+      // snapshots GC-thrash a long many-query JVM)
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
