@@ -797,7 +797,13 @@ object TextAnalysis {
         round(-log((col("c_ab") + lit(1.0)) / (col("c_h") + lit(vocabSize.toDouble))), 6)
           .cast("decimal(18,6)").as("contrib"))
     bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
-      .join(broadcast(model), Seq("bigram"))
+      // NO broadcast hint: the model is the observed bigram inventory,
+      // which grows with the corpus vocabulary — a forced broadcast
+      // measured 38x per 10x data on the 100x renamed-vocabulary substrate
+      // (driver collect + rebroadcast of a multi-million-row "artifact");
+      // unhinted, Catalyst broadcasts while small and shuffle-joins once
+      // it isn't (the moreLikeThis df-join precedent)
+      .join(model, Seq("bigram"))
       .groupBy("doc_id")
       .agg(
         sum(col("tf")).as("n_bigrams"),
