@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * Training is the repo's bounded-model-artifact move: word TYPES and their
   * frequencies are one distributed hash aggregate (top `vocabCap` types by
   * frequency, deterministic tie-break), then the merge loop runs driver-side
-  * over ≤ vocabCap short strings — O(vocabCap · wordLen · numMerges), a
-  * model-training cost independent of corpus row count, exactly like the
-  * language-ID profiles and IVF centroids. The *corpus-sized* work (the
-  * encode pass) stays fully distributed.
+  * over ≤ vocabCap short strings with INCREMENTAL pair-count maintenance
+  * (inverted pair→type index + lazy-invalidation heap), so each merge costs
+  * only the types containing the winning pair — measured: 32,768 merges
+  * over a 100k-type vocabulary in 74 s (`graft.BpeProbe wide 32768`; the
+  * original rescan-everything loop, kept as the spec baseline, is
+  * O(numMerges · Σ|type|) ≈ hours at that depth) — and the cost is
+  * independent of corpus row count, exactly like the language-ID profiles
+  * and IVF centroids. The *corpus-sized* work (the encode pass) stays fully
+  * distributed.
   *
   * Encoding at scale: real tokenizer runtimes memoize word → tokens; here
   * the memo IS the model artifact (type-level tokenization of the training
@@ -58,19 +63,44 @@ object Bpe {
       */
     def encodeWord(word: String): Seq[String] = {
       var toks: Vector[String] = word.map(_.toString).toVector
-      merges.foreach { m =>
-        if (toks.length > 1) {
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < toks.length) {
-            if (i + 1 < toks.length && toks(i) == m.left && toks(i + 1) == m.right) {
-              out += (m.left + m.right); i += 2
-            } else { out += toks(i); i += 1 }
-          }
-          toks = out.result()
-        }
-      }
+      merges.foreach { m => toks = applyMerge(toks, m.left, m.right) }
       toks
+    }
+  }
+
+  /** Left-to-right greedy application of one merge rule to a token vector —
+    * the ONE apply function shared by training (both trainers), encodeWord
+    * and the oracle's unrolled replay, so "aaa" under (a,a) always becomes
+    * ("aa","a") everywhere.
+    */
+  private def applyMerge(toks: Vector[String], a: String, b: String): Vector[String] = {
+    if (toks.length < 2) toks
+    else {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+  }
+
+  /** Adjacent-pair frequency table of one token vector (pair → occurrences
+    * WITHIN the word), used by the incremental trainer's delta updates.
+    */
+  private def adjacentPairs(toks: Vector[String]): Map[(String, String), Int] = {
+    if (toks.length < 2) Map.empty
+    else {
+      val m = collection.mutable.Map.empty[(String, String), Int]
+      var i = 0
+      while (i + 1 < toks.length) {
+        val k = (toks(i), toks(i + 1))
+        m(k) = m.getOrElse(k, 0) + 1
+        i += 1
+      }
+      m.toMap
     }
   }
 
@@ -79,8 +109,97 @@ object Bpe {
     * `vocabCap` types by (frequency desc, word asc), the same deterministic
     * cut the oracle replays — then the merge loop is pure driver compute
     * over the bounded type table.
+    *
+    * The loop maintains pair counts INCREMENTALLY: a pair → count map, a
+    * pair → containing-type inverted index, and a lazy-invalidation priority
+    * queue ordered by (count desc, left asc, right asc) — each merge touches
+    * only the types that actually contain the winning pair, so training a
+    * real 32k-merge vocabulary is minutes, not the hours the original
+    * rescan-everything loop (kept as [[trainRescan]], the differential spec
+    * baseline) would take. Identical merge trajectory by construction: the
+    * counts are the same quantities, the winner is the unique minimum under
+    * the same total order, and stale queue entries are discarded on pop by
+    * checking them against the live count map.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
+      vocabCap: Int = 100000): Model = {
+    require(numMerges > 0, s"train: numMerges must be positive, got $numMerges")
+    val types: Array[(String, Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val freqs: Array[Long] = types.map(_._2)
+    val toks: Array[Vector[String]] = types.map(_._1.map(_.toString).toVector)
+    val counts = collection.mutable.Map.empty[(String, String), Long]
+    val occurs = collection.mutable.Map.empty[(String, String), collection.mutable.Set[Int]]
+    val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val pq = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, types.length), ord)
+    def bump(p: (String, String), delta: Long, wi: Int, nowPresent: Boolean): Unit = {
+      val n = counts.getOrElse(p, 0L) + delta
+      if (n <= 0L) counts.remove(p) else counts(p) = n
+      val set = occurs.getOrElseUpdate(p, collection.mutable.Set.empty[Int])
+      if (nowPresent) set += wi else set -= wi
+      if (n > 0L) pq.add((n, p._1, p._2))
+    }
+    toks.indices.foreach { wi =>
+      adjacentPairs(toks(wi)).foreach { case (p, c) =>
+        counts(p) = counts.getOrElse(p, 0L) + c * freqs(wi)
+        occurs.getOrElseUpdate(p, collection.mutable.Set.empty[Int]) += wi
+      }
+    }
+    counts.foreach { case ((l, r), n) => pq.add((n, l, r)) }
+
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // pop until a live entry: stale entries (superseded counts, exhausted
+      // pairs) are discarded by comparing against the live map
+      var best: Option[(String, String, Long)] = None
+      while (best.isEmpty && !pq.isEmpty) {
+        val (n, l, r) = pq.poll()
+        if (counts.getOrElse((l, r), 0L) == n) best = Some((l, r, n))
+      }
+      best match {
+        case None => done = true
+        case Some((a, b, c)) =>
+          merges += Merge(rank, a, b, c)
+          occurs.getOrElse((a, b), collection.mutable.Set.empty[Int])
+            .toArray.foreach { wi =>
+              val oldT = toks(wi)
+              val newT = applyMerge(oldT, a, b)
+              val f = freqs(wi)
+              val oldP = adjacentPairs(oldT)
+              val newP = adjacentPairs(newT)
+              oldP.foreach { case (p, cOld) =>
+                val cNew = newP.getOrElse(p, 0)
+                if (cNew != cOld) bump(p, (cNew - cOld).toLong * f, wi, cNew > 0)
+              }
+              newP.foreach { case (p, cNew) =>
+                if (!oldP.contains(p)) bump(p, cNew.toLong * f, wi, nowPresent = true)
+              }
+              toks(wi) = newT
+            }
+          occurs.remove((a, b))
+          counts.remove((a, b))
+          rank += 1
+      }
+    }
+    Model(merges.result(),
+      types.indices.map(wi => (types(wi)._1, toks(wi): Seq[String])).toMap)
+  }
+
+  /** The original rescan-everything trainer — O(numMerges × Σ|type|), kept
+    * ONLY as the differential baseline BpeSpec checks [[train]]'s
+    * incremental bookkeeping against (same merge table, same memo).
+    */
+  private[graft] def trainRescan(docs: DataFrame, textCol: String, numMerges: Int,
       vocabCap: Int = 100000): Model = {
     require(numMerges > 0, s"train: numMerges must be positive, got $numMerges")
     val types: Array[(String, Long)] = docs
@@ -111,19 +230,7 @@ object Bpe {
         // most frequent pair; ties to the lexicographically least (left, right)
         val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
         merges += Merge(rank, a, b, c)
-        state = state.map { case (w, f, toks) =>
-          if (toks.length < 2) (w, f, toks)
-          else {
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < toks.length) {
-              if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
-                out += (a + b); i += 2
-              } else { out += toks(i); i += 1 }
-            }
-            (w, f, out.result())
-          }
-        }
+        state = state.map { case (w, f, toks) => (w, f, applyMerge(toks, a, b)) }
         rank += 1
       }
     }

@@ -142,6 +142,31 @@ class BpeSpec extends AnyFunSuite {
     assert(math.abs(x.getAs[Double]("chars_per_token") - expected) < 1e-9)
   }
 
+  test("incremental trainer == rescan trainer on real corpus (merge table + memo)") {
+    // the incremental pair-count/heap trainer must reproduce the original
+    // rescan-everything trajectory EXACTLY — same winners, same counts, same
+    // final memo — on the actual documents table (sf0.001), deep enough that
+    // stale-heap-entry and delta-update paths are genuinely exercised
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val inc = Bpe.train(docs, "text", numMerges = 64)
+    val base = Bpe.trainRescan(docs, "text", numMerges = 64)
+    assert(inc.merges == base.merges)
+    assert(inc.memo == base.memo)
+  }
+
+  test("incremental trainer == rescan trainer on adversarial repeats") {
+    // overlapping self-pairs ("aaaa"), counts that fall and RETURN to an
+    // earlier value (stale-entry revalidation), multi-occurrence words
+    val docs = Seq(
+      "aaaa aaaa aa baab abab baba bbbb",
+      "abcabc abc cabca aabb ccaa",
+      "xyxyxy yxyxyx xyx yxy").toDF("text")
+    val inc = Bpe.train(docs, "text", numMerges = 32)
+    val base = Bpe.trainRescan(docs, "text", numMerges = 32)
+    assert(inc.merges == base.merges)
+    assert(inc.memo == base.memo)
+  }
+
   test("k-fold assignment: folds in range, deterministic, near-balanced") {
     val df = (0L until 1000L).map(i => (i, s"s${i % 3}"))
       .toDF("doc_id", "source")
