@@ -19,9 +19,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions must SCALE WITH DATA, not stay pinned at the core
+    // count: at sf10 a fixed 32 partitions means 10× bigger partitions that
+    // spill (measured: q_olap_heavy 14.8×/decade from spill alone, SCALING.md)
+    // — on a real cluster partitions track data volume, so the scale scripts
+    // pass a size-proportional value here and decade ratios measure the PLAN
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

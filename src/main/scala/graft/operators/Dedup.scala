@@ -1081,13 +1081,26 @@ object Dedup {
     *
     * Returns (decile, n_pairs, n_collide, collide_rate, theory_rate).
     */
+  /** The single source of truth for [[lshCalibration]]'s default parameters —
+    * the registered query's ORACLE is generated from these same values
+    * (SparkEntry.lshCurveOracle), so changing a default here re-derives the
+    * oracle instead of silently desyncing engine and replay.
+    */
+  object LshCalibrationDefaults {
+    val N = 3
+    val NumHashes = 16
+    val Bands = 4
+    val Offsets: Seq[Int] = Seq(1, 2, 5)
+    val Fracs: Seq[Int] = Seq(25, 50, 75, 95)
+  }
+
   def lshCalibration(
       docs: DataFrame,
-      n: Int = 3,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      offsets: Seq[Int] = Seq(1, 2, 5),
-      fracs: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+      n: Int = LshCalibrationDefaults.N,
+      numHashes: Int = LshCalibrationDefaults.NumHashes,
+      bands: Int = LshCalibrationDefaults.Bands,
+      offsets: Seq[Int] = LshCalibrationDefaults.Offsets,
+      fracs: Seq[Int] = LshCalibrationDefaults.Fracs): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(offsets.nonEmpty && offsets.forall(_ > 0), "offsets must be positive")
     require(fracs.forall(q => q > 0 && q <= 100), "fracs must be in (0,100]")

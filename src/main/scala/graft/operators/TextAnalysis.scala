@@ -859,8 +859,11 @@ object TextAnalysis {
   }
 
   /** Per-document TF-IDF keyword extraction: the top-k terms of each document
-    * by tf · ln((N+1)/(df+1)) — add-one-smoothed IDF so a term present in
-    * every document still scores > 0 and the ranking stays total. The
+    * by tf · ln((N+1)/(df+1)) — add-one-smoothed IDF so the idf stays
+    * defined and non-negative (never log(0), never negative; a term present
+    * in EVERY document scores exactly 0, as the suite asserts), while
+    * ranking totality comes from the term-asc tiebreak, not the smoothing.
+    * The
     * per-doc salience twin of [[topTermsBySource]]'s raw-frequency view and
     * the keyword-level counterpart of [[moreLikeThis]]'s whole-doc cosine.
     *
