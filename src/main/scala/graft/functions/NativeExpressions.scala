@@ -346,6 +346,204 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Serializable carrier for a trained FLOAT centroid matrix (reference-
+    * object pattern like [[ProfileMatcher]]): nearest-cell assignment and
+    * triangle-inequality cell admission run as ONE compiled loop over the
+    * matrix instead of a k-element literal array-of-structs expression. At
+    * k = √N cells (the self-KNN index regime — hundreds to thousands of
+    * cells) the literal form is a ~30k-node expression tree per use
+    * (serialized per task, codegen-split, interpreted-fallback risk); the
+    * carrier keeps plan size O(1) while the row cost stays k·dim fused
+    * multiply-adds.
+    *
+    * Arithmetic is BIT-IDENTICAL to the Column-combinator forms it replaces
+    * (differential-pinned in NativeKernelsSpec): |c|² accumulates left-to-
+    * right in double; the per-cell score is |c|² − 2.0·dot(v,c) with
+    * [[Kernels.dotFloat]]'s accumulation order; argmin ties go to the lowest
+    * cell (struct-min / first-position semantics).
+    */
+  final class FloatCentroidIndex(
+      val centroids: Array[Array[Float]],
+      val radii: Array[Double]) extends Serializable {
+    @transient private lazy val c2: Array[Double] = centroids.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j).toDouble * c(j).toDouble; j += 1 }
+      s
+    }
+    @transient private lazy val cnorms: Array[Double] = c2.map(math.sqrt)
+
+    /** (cell, dot-with-that-centroid) of the nearest centroid by
+      * |c|² − 2 v·c, ties to the lowest cell id.
+      */
+    def nearest(v: org.apache.spark.sql.catalyst.util.ArrayData)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val dim = v.numElements()
+      var bestCell = -1
+      var bestD = Double.MaxValue
+      var bestDot = 0.0
+      var cell = 0
+      while (cell < centroids.length) {
+        val c = centroids(cell)
+        if (c.length != dim) throw new IllegalArgumentException(
+          s"nearest_cell: vector dim $dim != centroid dim ${c.length}")
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += v.getFloat(j).toDouble * c(j).toDouble; j += 1 }
+        val d = c2(cell) - 2.0 * dot
+        if (bestCell < 0 || d < bestD) { bestCell = cell; bestD = d; bestDot = dot }
+        cell += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestCell, bestDot))
+    }
+
+    /** Cells whose best-POSSIBLE member score cos(max(0, angle(v,c)−r_c))
+      * reaches `floor − margin` — the map-side triangle-inequality admission
+      * of the exact self-KNN probe phase, over all cells in one compiled
+      * scan. Clamp semantics mirror the Column form's least/greatest chain
+      * (NaN cosine clamps to 1 → angle 0 → admitted; sound — admission may
+      * only over-approximate).
+      */
+    def admissible(
+        v: org.apache.spark.sql.catalyst.util.ArrayData,
+        nrm: Double, floor: Double, margin: Double)
+        : org.apache.spark.sql.catalyst.util.ArrayData = {
+      val dim = v.numElements()
+      val out = new Array[Int](centroids.length)
+      var n = 0
+      var cell = 0
+      while (cell < centroids.length) {
+        val c = centroids(cell)
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += v.getFloat(j).toDouble * c(j).toDouble; j += 1 }
+        val cosRaw = dot / (nrm * cnorms(cell))
+        val clamped =
+          if (java.lang.Double.isNaN(cosRaw)) 1.0
+          else math.min(1.0, math.max(-1.0, cosRaw))
+        val angle = math.acos(clamped)
+        val r = if (cell < radii.length) radii(cell) else 0.0
+        val best = math.cos(math.max(0.0, angle - r))
+        if (best >= floor - margin) { out(n) = cell; n += 1 }
+        cell += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(out, n))
+    }
+  }
+
+  /** Serializable carrier for a trained DOUBLE centroid matrix (k-means):
+    * nearest-centroid by full squared L2 distance, accumulated in
+    * `dist2To`'s fold order ((x−c)² left-to-right from 0.0), ties to the
+    * lowest cell (array_position-of-min semantics). Returns (cell, d2).
+    */
+  final class DoubleCentroidIndex(val centroids: Array[Array[Double]])
+      extends Serializable {
+    def nearest(v: org.apache.spark.sql.catalyst.util.ArrayData)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val dim = v.numElements()
+      var bestCell = -1
+      var bestD = Double.MaxValue
+      var cell = 0
+      while (cell < centroids.length) {
+        val c = centroids(cell)
+        if (c.length != dim) throw new IllegalArgumentException(
+          s"nearest_centroid: vector dim $dim != centroid dim ${c.length}")
+        var acc = 0.0
+        var j = 0
+        while (j < dim) {
+          val d = v.getFloat(j).toDouble - c(j)
+          acc += d * d
+          j += 1
+        }
+        if (bestCell < 0 || acc < bestD) { bestCell = cell; bestD = acc }
+        cell += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestCell, bestD))
+    }
+  }
+
+  /** `struct<cell:int, dot:double>` — nearest float-centroid cell of a float
+    * vector plus the dot with that centroid (the index rides as a reference
+    * object; one static call inside whole-stage codegen).
+    */
+  case class NearestCellExpr(child: Expression, index: FloatCentroidIndex)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("dot", DoubleType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected array<float>, got ${t.sql}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      index.nearest(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroidIndex", index,
+        classOf[FloatCentroidIndex].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `struct<cell:int, d2:double>` — nearest double-centroid (k-means) cell
+    * of a float vector plus the squared L2 distance to it.
+    */
+  case class NearestCentroidDistExpr(child: Expression, index: DoubleCentroidIndex)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("d2", DoubleType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected array<float>, got ${t.sql}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      index.nearest(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroidIndex", index,
+        classOf[DoubleCentroidIndex].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `array<int>` — the triangle-inequality-admissible cells of a vector
+    * given its norm and its per-query floor (see
+    * [[FloatCentroidIndex.admissible]]).
+    */
+  case class AdmissibleCellsExpr(
+      vec: Expression, nrm: Expression, floor: Expression,
+      index: FloatCentroidIndex, margin: Double)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = vec
+    override def second: Expression = nrm
+    override def third: Expression = floor
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (vec.dataType, nrm.dataType, floor.dataType) match {
+        case (ArrayType(FloatType, _), DoubleType, DoubleType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+          s"expected (array<float>, double, double), got (${a.sql}, ${b.sql}, ${c.sql})")
+      }
+    override protected def nullSafeEval(v: Any, n: Any, f: Any): Any =
+      index.admissible(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        n.asInstanceOf[Double], f.asInstanceOf[Double], margin)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroidIndex", index,
+        classOf[FloatCentroidIndex].getName)
+      defineCodeGen(ctx, ev, (v, n, f) => s"$ref.admissible($v, $n, $f, $margin)")
+    }
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(vec = newFirst, nrm = newSecond, floor = newThird)
+  }
+
   /** `array<string>` md5 hex of every `w`-word sliding window (see
     * [[Kernels.wordWindowMd5]]) — portable span fingerprints for
     * substring-level dedup.
@@ -419,4 +617,16 @@ object NativeExpressions {
   def profileBestMatch(grams: Column, profiles: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(
       ProfileBestMatchExpr(expr(grams), profiles.map(_._1), profiles.map(_._2)))
+
+  def nearestCellInfo(v: Column, index: FloatCentroidIndex): Column =
+    ColumnBridge.column(NearestCellExpr(expr(v), index))
+
+  def nearestCentroidDist(v: Column, index: DoubleCentroidIndex): Column =
+    ColumnBridge.column(NearestCentroidDistExpr(expr(v), index))
+
+  def admissibleCells(
+      v: Column, nrm: Column, floor: Column,
+      index: FloatCentroidIndex, margin: Double): Column =
+    ColumnBridge.column(
+      AdmissibleCellsExpr(expr(v), expr(nrm), expr(floor), index, margin))
 }

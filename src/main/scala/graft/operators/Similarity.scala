@@ -185,18 +185,16 @@ object Similarity {
   }
 
   /** Cell id of the nearest centroid by squared L2 distance —
-    * argmin_c (|c|² − 2·v·c), ties to the lowest cell id. One native dot per
-    * centroid; the |v|² term is constant per row and omitted.
+    * argmin_c (|c|² − 2·v·c), ties to the lowest cell id. Served by the
+    * [[NativeExpressions.FloatCentroidIndex]] kernel: one compiled scan over
+    * the matrix (the previous k-literal array-of-structs expression grew
+    * ~30k plan nodes at k = √N cells — at hundreds of cells the PLAN, not
+    * the arithmetic, became the cost).
     */
-  private def nearestCell(v: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cLit = typedlit(c)
-      val c2 = c.map(x => x.toDouble * x.toDouble).sum
-      struct((lit(c2) - lit(2.0) * NativeExpressions.vecDot(v, cLit)).as("d"),
-        lit(i).as("cell"))
-    }: _*)
-    array_min(scored).getField("cell")
-  }
+  private def nearestCell(v: Column, centroids: Array[Array[Float]]): Column =
+    NativeExpressions.nearestCellInfo(
+      v, new NativeExpressions.FloatCentroidIndex(centroids, Array.empty))
+      .getField("cell")
 
   /** IVF approximate top-k: corpus vectors are assigned to their nearest
     * trained centroid's cell (broadcast literal centroids, map-side);
@@ -301,20 +299,17 @@ object Similarity {
   private def assignCells(
       embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val v = col("embedding")
-    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cLit = typedlit(c)
-      val c2 = c.map(x => x.toDouble * x.toDouble).sum
-      struct((lit(c2) - lit(2.0) * NativeExpressions.vecDot(v, cLit)).as("d"),
-        lit(i).as("cell"), NativeExpressions.vecDot(v, cLit).as("dt"))
-    }: _*)
+    val idx = new NativeExpressions.FloatCentroidIndex(centroids, Array.empty)
     val cnorms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
-    val m = array_min(scored)
     embeddings.select(
       col("vec_id"), v.as("v"), norm(v).as("nrm"),
-      m.getField("cell").as("cell"),
-      angleCol(m.getField("dt") /
-        (norm(v) * element_at(typedlit(cnorms.toSeq), m.getField("cell") + 1)))
-        .as("cang"))
+      NativeExpressions.nearestCellInfo(v, idx).as("nc"))
+      .select(
+        col("vec_id"), col("v"), col("nrm"),
+        col("nc.cell").as("cell"),
+        angleCol(col("nc.dot") /
+          (col("nrm") * element_at(typedlit(cnorms.toSeq), col("nc.cell") + 1)))
+          .as("cang"))
   }
 
   /** Per-cell angular radius r_c = max angle(member, centroid) — a bounded
@@ -554,23 +549,20 @@ object Similarity {
       .agg(min(col("score")).as("kth"), count(lit(1)).as("nseed"))
       .select(col("query_id").as("vec_id"),
         when(col("nseed") >= k, col("kth")).otherwise(lit(-2.0)).as("floor"))
-    // phase 2: per-vector admissible cells, computed map-side over the
-    // (≤ #cells) centroid literals; empty cells keep radius 0 and simply
+    // phase 2: per-vector admissible cells, computed map-side by the
+    // FloatCentroidIndex kernel (one compiled scan over centroids+radii —
+    // the previous per-cell struct-literal array was a k·dim-literal plan
+    // at the √N-cell index sizes); empty cells keep radius 0 and simply
     // join to nothing
-    val cnorms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
-    val cellBest = array(centroids.indices.map { j =>
-      val best = cos(greatest(lit(0.0),
-        angleCol(dot(col("v"), typedlit(centroids(j))) /
-          (col("nrm") * lit(cnorms(j)))) - lit(radii.getOrElse(j, 0.0))))
-      struct(lit(j).as("cell"), best.as("best"))
-    }: _*)
+    val idx = new NativeExpressions.FloatCentroidIndex(
+      centroids,
+      centroids.indices.map(j => radii.getOrElse(j, 0.0)).toArray)
     assigned.join(floors, Seq("vec_id"), "left")
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(filter(cellBest, s =>
-          s.getField("best") >= coalesce(col("floor"), lit(-2.0)) - lit(margin)))
-          .as("pc"))
-      .select(col("query_id"), col("qv"), col("qn"), col("pc.cell").as("cell"))
+        explode(NativeExpressions.admissibleCells(
+          col("v"), col("nrm"), coalesce(col("floor"), lit(-2.0)), idx, margin))
+          .as("cell"))
   }
 
   /** Hard-negative mining — for each anchor vector, the k MOST similar
@@ -1057,14 +1049,15 @@ object Similarity {
   }
 
   /** Argmin cell by full (x−c)² fold distance, first (lowest) cell wins
-    * ties — `array_position` returns the FIRST index equal to the min, and
-    * the compared doubles are the identical expressions, so the tie-break
-    * is exact, not epsilon-fuzzy.
+    * ties — the [[NativeExpressions.DoubleCentroidIndex]] kernel scans in
+    * cell order with a strict-less comparison (the exact array_position-of-
+    * min semantics of the Column form it replaced), and the compared doubles
+    * are the identical accumulation, so the tie-break is exact, not
+    * epsilon-fuzzy.
     */
-  private def nearestByDist2(v: Column, cents: Array[Array[Double]]): Column = {
-    val dists = array(cents.toIndexedSeq.map(c => dist2To(v, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  private def nearestByDist2(v: Column, cents: Array[Array[Double]]): Column =
+    NativeExpressions.nearestCentroidDist(
+      v, new NativeExpressions.DoubleCentroidIndex(cents)).getField("cell")
 
   /** Per-vector k-means cluster assignment: (vec_id, label, cell, dist)
     * with dist the L2 distance to the final centroid, rounded to 6 dp at
@@ -1074,11 +1067,13 @@ object Similarity {
       embeddings: DataFrame, k: Int = 8, iters: Int = 3,
       precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cents = precomputedCentroids.getOrElse(trainKmeans(embeddings, k, iters))
-    val dists = array(cents.toIndexedSeq.map(c => dist2To(col("embedding"), c)): _*)
-    embeddings.select(
-      col("vec_id"), col("label"),
-      (array_position(dists, array_min(dists)) - 1).cast("int").as("cell"),
-      round(sqrt(array_min(dists)), 6).as("dist"))
+    val nd = NativeExpressions.nearestCentroidDist(
+      col("embedding"), new NativeExpressions.DoubleCentroidIndex(cents))
+    embeddings
+      .select(col("vec_id"), col("label"), nd.as("nd"))
+      .select(
+        col("vec_id"), col("label"), col("nd.cell").as("cell"),
+        round(sqrt(col("nd.d2")), 6).as("dist"))
   }
 
   /** Per-cluster curation profile over the final k-means assignment:
@@ -1107,6 +1102,39 @@ object Similarity {
     *
     * Returns (vec_id, label, cell, keep).
     */
+  /** Exact cosine ε-pairs WITHIN cluster cells only — SemDeDup's candidate
+    * generator, planned as the cluster-bounded self-join the algorithm is
+    * DEFINED over (Abbas et al. compare embeddings within a k-means cluster,
+    * never across): corpus ⋈ corpus on the cell id, exact cosine re-check,
+    * a < b kept once. Identical output to filtering the GLOBAL ε-pair list
+    * to same-cell pairs (what the registered composition previously did via
+    * [[cosinePairsPruned]]), but the cost is Σ_c m_c² instead of the global
+    * pair search — and with k scaled ∝ N/target-cell-size (the paper's
+    * tens-of-thousands-of-clusters regime) the per-cell quadratic term is a
+    * CONSTANT, making the whole composition linear in the corpus regardless
+    * of geometry. Same score arithmetic as [[cosinePairs]]: one native float
+    * dot per candidate, norms precomputed per row, threshold on the
+    * unrounded cosine, 6-dp round on output.
+    */
+  def cosinePairsWithinCells(
+      embeddings: DataFrame, assignments: DataFrame, threshold: Double): DataFrame = {
+    val sides = embeddings
+      .select(col("vec_id"), col("embedding").as("v"),
+        norm(col("embedding")).as("nrm"))
+      .join(assignments.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val a = sides.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = sides.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (NativeExpressions.vecDot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("raw"))
+      .filter(col("raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("score"))
+  }
+
   def semDedupKeep(
       embeddings: DataFrame, assignments: DataFrame, pairs: DataFrame): DataFrame = {
     val sameCell = pairs

@@ -455,6 +455,90 @@ class NativeKernelsSpec extends AnyFunSuite {
     new graft.functions.GraftExtensions().apply(ext) // must not throw
   }
 
+  test("FloatCentroidIndex.nearest == literal array-of-structs argmin form") {
+    // the retired Column form, rebuilt verbatim: per-cell struct
+    // (|c|²−2·v·c, cell, dot), array_min, lexicographic tie to lowest cell
+    val cents = Similarity.trainIvfCentroids(emb, k = 23, iters = 2)
+    val idx = new NativeExpressions.FloatCentroidIndex(cents, Array.empty)
+    val v = col("embedding")
+    val scored = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cLit = typedlit(c)
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(c2) - lit(2.0) * NativeExpressions.vecDot(v, cLit)).as("d"),
+        lit(i).as("cell"), NativeExpressions.vecDot(v, cLit).as("dt"))
+    }: _*)
+    val m = array_min(scored)
+    val rows = emb.select(
+      col("vec_id"),
+      NativeExpressions.nearestCellInfo(v, idx).as("nc"),
+      m.getField("cell").as("twin_cell"),
+      m.getField("dt").as("twin_dot")).collect()
+    rows.foreach { r =>
+      val nc = r.getStruct(1)
+      assert(nc.getInt(0) == r.getInt(2), s"cell mismatch at vec ${r.getLong(0)}")
+      assert(nc.getDouble(1) == r.getDouble(3), s"dot mismatch at vec ${r.getLong(0)}")
+    }
+  }
+
+  test("DoubleCentroidIndex.nearest == dist2To fold + array_position argmin form") {
+    val cents = Similarity.trainKmeans(emb, k = 8, iters = 2)
+    val idx = new NativeExpressions.DoubleCentroidIndex(cents)
+    val v = col("embedding")
+    def dist2To(c: Array[Double]) =
+      aggregate(
+        zip_with(v, array(c.toIndexedSeq.map(lit): _*), (x, cc) => {
+          val d = x.cast("double") - cc
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+    val dists = array(cents.toIndexedSeq.map(dist2To): _*)
+    val rows = emb.select(
+      col("vec_id"),
+      NativeExpressions.nearestCentroidDist(v, idx).as("nd"),
+      (array_position(dists, array_min(dists)) - 1).cast("int").as("twin_cell"),
+      array_min(dists).as("twin_d2")).collect()
+    rows.foreach { r =>
+      val nd = r.getStruct(1)
+      assert(nd.getInt(0) == r.getInt(2), s"cell mismatch at vec ${r.getLong(0)}")
+      assert(nd.getDouble(1) == r.getDouble(3), s"d2 mismatch at vec ${r.getLong(0)}")
+    }
+  }
+
+  test("FloatCentroidIndex.admissible == per-cell cos/angle filter form") {
+    val cents = Similarity.trainIvfCentroids(emb, k = 23, iters = 2)
+    val radii = Similarity.trainCellRadii(emb, cents)
+    val idx = new NativeExpressions.FloatCentroidIndex(
+      cents, cents.indices.map(j => radii.getOrElse(j, 0.0)).toArray)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+    val margin = 2e-6
+    def angleCol(cosine: org.apache.spark.sql.Column) =
+      coalesce(acos(least(greatest(cosine, lit(-1.0)), lit(1.0))), lit(math.Pi))
+    val v = col("embedding")
+    val nrm = sqrt(NativeExpressions.vecDot(v, v))
+    val cellBest = array(cents.indices.map { j =>
+      cos(greatest(lit(0.0),
+        angleCol(NativeExpressions.vecDot(v, typedlit(cents(j))) /
+          (nrm * lit(cnorms(j)))) - lit(radii.getOrElse(j, 0.0))))
+    }: _*)
+    // sweep floors across the whole admit/reject range, vec-dependent
+    val floor = (pmod(col("vec_id"), lit(20)).cast("double") / 10.0) - lit(1.0)
+    val rows = emb.select(
+      col("vec_id"),
+      NativeExpressions.admissibleCells(v, nrm, floor, idx, margin).as("adm"),
+      filter(cellBest, (b: org.apache.spark.sql.Column) =>
+        b >= floor - lit(margin)).as("twin_best"),
+      cellBest.as("all_best")).collect()
+    rows.foreach { r =>
+      val adm = r.getSeq[Int](1)
+      val floorV = (r.getLong(0) % 20).toDouble / 10.0 - 1.0
+      val all = r.getSeq[Double](3)
+      val twin = all.zipWithIndex.collect {
+        case (b, j) if b >= floorV - margin => j
+      }
+      assert(adm == twin, s"admissible mismatch at vec ${r.getLong(0)}")
+    }
+  }
+
   test("interpreted eval matches codegen (eval path exercised via filter on driver)") {
     // Expression.eval is exercised when Catalyst constant-folds literals
     val lit1 = NativeExpressions.shingleHashes(lit("a b c d"), 3)

@@ -571,6 +571,23 @@ class SimilaritySpec extends AnyFunSuite {
       4L -> true, 5L -> true))
   }
 
+  test("cosinePairsWithinCells == global exact pairs filtered to same cell") {
+    // the SemDeDup candidate generator must produce EXACTLY the same-cell
+    // subset of the global ε-pair list (the composition's previous input),
+    // on the real corpus with a real k-means assignment
+    val emb = Tables.embeddings(spark, sfDir)
+    val asg = Similarity.kmeansAssignments(emb, k = 8, iters = 3)
+      .select(col("vec_id"), col("cell"))
+    val within = Similarity.cosinePairsWithinCells(emb, asg, threshold = 0.45)
+    val global = Similarity.cosinePairs(emb, threshold = 0.45)
+      .join(asg.select(col("vec_id").as("vec_a"), col("cell").as("ca")), Seq("vec_a"))
+      .join(asg.select(col("vec_id").as("vec_b"), col("cell").as("cb")), Seq("vec_b"))
+      .filter(col("ca") === col("cb"))
+      .select(col("vec_a"), col("vec_b"), col("score"))
+    assert(within.except(global).isEmpty && global.except(within).isEmpty)
+    assert(within.count() > 0, "fixture degenerate: no same-cell pairs at all")
+  }
+
   test("matryoshka: hand-built pair, zero-norm prefix guard, exact full-dim") {
     // pair (0,1): 2-prefixes orthogonal, full vectors nearly parallel;
     // pair (2,3): identical vectors whose 2-prefix is all-zero (zero-norm
