@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md) plus the
@@ -157,36 +157,88 @@ object Tables {
        |       ntile($nChunks) OVER (ORDER BY epoch_ns(ts) // 1000, event_id) - 1 AS chunk
        |FROM events""".stripMargin
 
-  /** Txns with `event_id` retained and an ID-ORDERED chunk (`ntile` over
-    * event_id): chunk i+1's smallest id is greater than chunk i's largest, so
-    * a replay staged from these chunks delivers every key's records across
-    * micro-batches in event_id order — the property the per-record streaming
-    * changelog needs to apply running totals in arrival order (within a
-    * batch it sorts the handful of per-key rows itself). The global sort
-    * happens once at staging time, not on the query path.
+  /** Appends an ordered `chunk` column — the value `ntile(nChunks) OVER
+    * (ORDER BY order…) − 1` would produce — WITHOUT the single-partition
+    * window that literal form plans (Spark warns "moving all data to a
+    * single partition"; at any real scale staging would die before the
+    * stream starts). Three partition-parallel steps instead:
+    *
+    *  1. `repartitionByRange` on the ordering key, so partition i's keys all
+    *     precede partition i+1's (the keys are unique — (ts, event_id) or a
+    *     row id — so no tie can straddle a boundary);
+    *  2. a per-partition `row_number` window (partitioned by the range
+    *     partition id — parallel, never global);
+    *  3. per-partition row counts (one bounded ≤#partitions-row collect) →
+    *     cumulative offsets, so global rank = offset(pid) + local rank, and
+    *     the chunk id is ntile's exact bucket arithmetic over (rank, N):
+    *     the first N mod n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋.
+    *
+    * Used only at replay STAGING time (the oracles replay the same ntile in
+    * SQL); the streaming query path never sees it.
     */
-  def transactionsIdChunked(spark: SparkSession, dir: String, nChunks: Int): DataFrame = {
+  def withOrderedChunks(df: DataFrame, nChunks: Int, order: Seq[Column],
+      name: String = "chunk"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    events(spark, dir).select(
-      col("event_id") +: txnCols :+
-        (ntile(nChunks).over(Window.orderBy(col("event_id"))) - 1)
-          .cast("int").as("chunk"): _*)
+    val parts = math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // PIN one materialization of the range shuffle before anything reads the
+    // partition ids: RangePartitioner's sample seed involves the RDD id, so
+    // re-executing the shuffle in a second job (the counts collect below vs
+    // the caller's write) can draw DIFFERENT bounds — offsets from one
+    // layout applied to ranks from another silently corrupts the chunks
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val ranked = ranged.withColumn("__lr",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
+    val counts = ranked.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offsetOf = map(counts.map(_._1).zip(offsets).flatMap {
+      case (pid, off) => Seq(lit(pid), lit(off))
+    }.toIndexedSeq: _*)
+    // ntile bucket arithmetic over the 1-based global rank
+    val size = total / nChunks
+    val rem = total % nChunks
+    val cut = rem * (size + 1)
+    // ranks are ≤ corpus row count ≪ 2^53, so floor(double division) is
+    // exact integer division here
+    val gr = element_at(offsetOf, col("__pid")) + col("__lr")
+    val chunk = when(gr <= cut, floor((gr - 1) / lit(size + 1)))
+      .otherwise(lit(rem) + floor((gr - cut - 1) / lit(math.max(1L, size))))
+    ranked
+      .withColumn(name, chunk.cast("int"))
+      .drop("__pid", "__lr")
   }
 
-  /** Txn stream with ts retained and a TIME-ORDERED chunk id (`ntile` over
-    * event time, ties broken by event_id): chunk i+1's minimum ts is >= chunk
-    * i's maximum, so a replay staged from these chunks is watermark-lossless
-    * — late data within a micro-batch never crosses a batch boundary
-    * backwards. Used by the watermarked streaming windowed aggregation.
-    * The global sort happens once at staging time, not on the query path.
+  /** Txns with `event_id` retained and an ID-ORDERED chunk (ntile semantics
+    * over event_id): chunk i+1's smallest id is greater than chunk i's
+    * largest, so a replay staged from these chunks delivers every key's
+    * records across micro-batches in event_id order — the property the
+    * per-record streaming changelog needs to apply running totals in arrival
+    * order (within a batch it sorts the handful of per-key rows itself).
+    * Chunk assignment runs once at staging time via [[withOrderedChunks]] —
+    * range-partitioned, never a single-partition sort.
     */
-  def transactionsTimeChunked(spark: SparkSession, dir: String, nChunks: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    events(spark, dir).select(
-      col("ts") +: txnCols :+
-        (ntile(nChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-          .cast("int").as("chunk"): _*)
-  }
+  def transactionsIdChunked(spark: SparkSession, dir: String, nChunks: Int): DataFrame =
+    withOrderedChunks(
+      events(spark, dir).select(col("event_id") +: txnCols: _*),
+      nChunks, Seq(col("event_id")))
+
+  /** Txn stream with ts retained and a TIME-ORDERED chunk id (ntile
+    * semantics over event time, ties broken by event_id): chunk i+1's
+    * minimum ts is >= chunk i's maximum, so a replay staged from these
+    * chunks is watermark-lossless — late data within a micro-batch never
+    * crosses a batch boundary backwards. Used by the watermarked streaming
+    * windowed aggregation. Chunk assignment runs once at staging time via
+    * [[withOrderedChunks]] — range-partitioned, never a single-partition
+    * sort.
+    */
+  def transactionsTimeChunked(spark: SparkSession, dir: String, nChunks: Int): DataFrame =
+    withOrderedChunks(
+      events(spark, dir).select(col("ts") +: col("event_id") +: txnCols: _*),
+      nChunks, Seq(col("ts"), col("event_id"))).drop("event_id")
 
   /** The DuckDB-SQL twin of [[transactionsWithTs]], as a CTE body. */
   val txnsTsCte: String =

@@ -437,11 +437,11 @@ object StreamingState {
       Fs.deleteRecursively(root)
       val staging = root.resolve("staging")
       Files.createDirectories(staging)
-      val staged = Tables.events(spark, sfDir).select(
-        col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"),
-        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-          .cast("int").as("chunk"))
+      val staged = Tables.withOrderedChunks(
+        Tables.events(spark, sfDir).select(
+          col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("us")),
+        NumChunks, Seq(col("ts"), col("event_id"))).drop("ts")
       stageChunks(staged, root, staging)
 
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -543,11 +543,11 @@ object StreamingState {
       Fs.deleteRecursively(root)
       val staging = root.resolve("staging")
       Files.createDirectories(staging)
-      val staged = Tables.events(spark, sfDir).select(
-        col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"),
-        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-          .cast("int").as("chunk"))
+      val staged = Tables.withOrderedChunks(
+        Tables.events(spark, sfDir).select(
+          col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("us"), col("value")),
+        NumChunks, Seq(col("ts"), col("event_id"))).drop("ts")
       stageChunks(staged, root, staging)
 
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -640,11 +640,11 @@ object StreamingState {
       Fs.deleteRecursively(root)
       val staging = root.resolve("staging")
       Files.createDirectories(staging)
-      val staged = Tables.events(spark, sfDir).select(
-        col("event_type"),
-        expr("(unix_micros(ts) DIV 3600000000) * 3600").as("ws"),
-        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-          .cast("int").as("chunk"))
+      val staged = Tables.withOrderedChunks(
+        Tables.events(spark, sfDir).select(
+          col("event_type"), col("ts"), col("event_id"),
+          expr("(unix_micros(ts) DIV 3600000000) * 3600").as("ws")),
+        NumChunks, Seq(col("ts"), col("event_id"))).drop("ts", "event_id")
       stageChunks(staged, root, staging)
 
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -733,11 +733,11 @@ object StreamingState {
       Fs.deleteRecursively(root)
       val staging = root.resolve("staging")
       Files.createDirectories(staging)
-      val staged = Tables.events(spark, sfDir).select(
-        col("event_type").as("grp"),
-        md5(unix_micros(col("ts")).cast("string").cast("binary")).as("h"),
-        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-          .cast("int").as("chunk"))
+      val staged = Tables.withOrderedChunks(
+        Tables.events(spark, sfDir).select(
+          col("event_type").as("grp"), col("ts"), col("event_id"),
+          md5(unix_micros(col("ts")).cast("string").cast("binary")).as("h")),
+        NumChunks, Seq(col("ts"), col("event_id"))).drop("ts", "event_id")
       stageChunks(staged, root, staging)
 
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -828,13 +828,13 @@ object StreamingState {
       Fs.deleteRecursively(root)
       val staging = root.resolve("staging")
       Files.createDirectories(staging)
-      val staged = Tables.events(spark, sfDir).select(
-        col("event_id"), col("user_id"),
-        expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
-          " DIV 86400000000 AS INT)").as("day"),
-        unix_micros(col("ts")).as("us"),
-        (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-          .cast("int").as("chunk"))
+      val staged = Tables.withOrderedChunks(
+        Tables.events(spark, sfDir).select(
+          col("event_id"), col("user_id"), col("ts"),
+          expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+            " DIV 86400000000 AS INT)").as("day"),
+          unix_micros(col("ts")).as("us")),
+        NumChunks, Seq(col("ts"), col("event_id"))).drop("ts")
       stageChunks(staged, root, staging)
 
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -906,10 +906,9 @@ object StreamingState {
       val docs = Tables.documents(spark, sfDir)
       val existing = docs.filter(col("doc_id") % 2 === 0)
       stageChunks(
-        docs.filter(col("doc_id") % 2 === 1)
-          .select(col("doc_id"), col("text"),
-            (ntile(NumChunks).over(Window.orderBy(col("doc_id"))) - 1)
-              .cast("int").as("chunk")),
+        Tables.withOrderedChunks(
+          docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          NumChunks, Seq(col("doc_id"))),
         root, staging)
 
       val source = spark.readStream
@@ -1198,11 +1197,9 @@ object StreamingState {
       Fs.deleteRecursively(root)
       val staging = root.resolve("staging")
       Files.createDirectories(staging)
-      import org.apache.spark.sql.expressions.Window
-      val txns = Tables.transactionsWithIdTs(spark, sfDir)
-        .withColumn("chunk",
-          (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-            .cast("int"))
+      val txns = Tables.withOrderedChunks(
+        Tables.transactionsWithIdTs(spark, sfDir),
+        NumChunks, Seq(col("ts"), col("event_id")))
       stageChunks(txns, root, staging)
 
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -1275,11 +1272,9 @@ object StreamingState {
       Fs.deleteRecursively(root)
       val staging = root.resolve("staging")
       Files.createDirectories(staging)
-      import org.apache.spark.sql.expressions.Window
-      val txns = Tables.transactionsWithIdTs(spark, sfDir)
-        .withColumn("chunk",
-          (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-            .cast("int"))
+      val txns = Tables.withOrderedChunks(
+        Tables.transactionsWithIdTs(spark, sfDir),
+        NumChunks, Seq(col("ts"), col("event_id")))
       stageChunks(txns, root, staging)
       // flush chunk: sentinelTs - delay must clear every real ts + window,
       // computed from the caller's window/delay (a fixed margin would
@@ -1393,13 +1388,11 @@ object StreamingState {
         Fs.deleteRecursively(root)
         val staging = root.resolve("staging")
         Files.createDirectories(staging)
-        import org.apache.spark.sql.expressions.Window
-        val t = Tables.transactionsWithIdTs(spark, sfDir)
-          .select(col("event_id"), col("ts"), col("symbol"))
-          .withColumn("ms", expr("unix_micros(ts) div 1000"))
-          .withColumn("c",
-            (ntile(NumChunks).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-              .cast("int"))
+        val t = Tables.withOrderedChunks(
+          Tables.transactionsWithIdTs(spark, sfDir)
+            .select(col("event_id"), col("ts"), col("symbol"))
+            .withColumn("ms", expr("unix_micros(ts) div 1000")),
+          NumChunks, Seq(col("ts"), col("event_id")), name = "c")
         val cm = t.groupBy("c").agg(max(col("ms")).as("cmax"))
         val arr = t.join(cm, Seq("c"))
           .withColumn("chunk",
