@@ -47,8 +47,8 @@ FAMILIES = {
         "q_decontaminate_spans",
     ],
     "similarity (pruned exact + audits)": [
-        "q_similarity_topk", "q_similarity_pairs", "q_similarity_dedup",
-        "q_similarity_ann", "q_similarity_ivf", "q_similarity_knn",
+        "q_similarity_topk", "q_similarity_knn_bounded", "q_similarity_dedup",
+        "q_similarity_ann", "q_similarity_ivf",
         "q_embed_outliers",
     ],
     "sampling / packing / curation / events": [
@@ -103,7 +103,7 @@ FAMILIES = {
     "embedding clustering / mining": [
         "q_embed_clusters", "q_embed_cluster_profile", "q_embed_dim_stats",
         "q_sample_clusters", "q_sample_importance",
-        "q_similarity_knn_clustered", "q_similarity_negatives",
+        "q_similarity_negatives",
         "q_pipeline_semdedup",
     ],
     "round-9 additions (bpe / pq / matryoshka / audits)": [

@@ -415,17 +415,14 @@ object SparkEntry {
         precomputedRadii = Some(radii(dir, emb)),
         precomputedSeeds = Some(seeds(dir, emb, qids, 10)))
     }),
-    // exact ε-neighbor pair listing (embedding-cosine near-dup), served by
-    // cell-pair-pruned equi-joins — same rows as the all-pairs baseline,
-    // which now lives oracle/spec-side only
-    "q_similarity_pairs" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.cosinePairsPruned(emb, threshold = 0.45, cents(dir, emb),
-        precomputedRadii = Some(radii(dir, emb)))
-    }),
     // embedding-space dedup survivors: connected components over the exact
     // cosine ε-pair graph (pruned plan) — same label propagation as
-    // q_dedup_survivors
+    // q_dedup_survivors. The raw ε-pair LISTING (cosinePairsPruned /
+    // cosinePairs) is spec-side only from round 10: an exact global pair
+    // search is superlinear on any geometry (measured 9.7×/decade at
+    // constant duplicate density), so the registered near-dup surfaces are
+    // this bounded-output survivor labeling, the within-cell SemDeDup
+    // composition, and the ANN/PQ audits
     "q_similarity_dedup" -> ((s, dir) =>
       dedupLabels.computeIfAbsent(s"${sessionKey(s)}:emb:$dir", _ => {
         val emb = Tables.embeddings(s, dir)
@@ -494,25 +491,24 @@ object SparkEntry {
         Similarity.rerankExact(emb, shortlist, qids, k = 10),
         shortlist, emb, qids, k = 10)
     }),
-    // exact self-KNN join (every vector's top-k neighbors — the SemDeDup /
-    // kNN-graph primitive): IVF own-cell seed floors + triangle-inequality
-    // cell pruning, both phases distributed; identical rows to brute force
-    // (oracle = brute-force SQL self-join)
-    "q_similarity_knn" -> ((s, dir) => {
+    // cluster-bounded self-KNN (the kNN-graph primitive, REGISTERED in its
+    // linear form): top-5 neighbors within each vector's k-means cell, the
+    // cluster count scaled ∝ N/250 like SemDeDup's. The UNBOUNDED exact
+    // self-KNN (knnJoinExact — IVF seed floors + triangle pruning) is
+    // spec-side only: the measured salted decades (r9: 17.2×/decade capped,
+    // r10: 21×/decade uncapped at √N cells; 7.2×/decade even on the
+    // clusterized twin, whose geometry fixes the cluster count so clusters
+    // grow ∝ N) prove no exact unbounded form is linear once neighbor
+    // structure densifies with N — bounding the candidate set IS the
+    // operator a 100 TB kNN-graph build runs. Oracle: k-means replay +
+    // within-cell brute force.
+    "q_similarity_knn_bounded" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (c, r) = knnIndex(dir, emb)
-      Similarity.knnJoinExact(emb, k = 5, c, precomputedRadii = Some(r))
-    }),
-    // exact self-KNN on the CLUSTERED twin corpus (tight label-wise blobs —
-    // the SemDeDup data profile): the same operator/index, but here the
-    // triangle-inequality prune ENGAGES (probe count ≪ N × cells, asserted
-    // in SimilaritySpec) instead of degrading to cell-partitioned all-pairs
-    // as it must on the isotropic corpus; oracle = brute force over the
-    // same exact-in-float clusterized vectors
-    "q_similarity_knn_clustered" -> ((s, dir) => {
-      val emb = Similarity.clusterize(Tables.embeddings(s, dir))
-      val (c, r) = knnIndex(s"$dir|clustered", emb)
-      Similarity.knnJoinExact(emb, k = 5, c, precomputedRadii = Some(r))
+      val k = semdedupK(embCount(dir, emb))
+      val asg = Similarity.kmeansAssignments(emb, k = k, iters = 3,
+        precomputedCentroids = Some(semCents(dir, emb, k)))
+        .select(col("vec_id"), col("cell"))
+      Similarity.knnJoinWithinCells(emb, asg, k = 5)
     }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
@@ -1488,8 +1484,8 @@ object SparkEntry {
        |FROM t GROUP BY decile""".stripMargin
   }
 
-  /** Cosine ε-pair oracle pieces, shared by q_similarity_pairs and
-    * q_similarity_dedup.
+  /** Cosine ε-pair oracle pieces (brute-force norms + all ordered pairs),
+    * used by q_similarity_dedup's transitive-closure replay.
     */
   private val simNormCte: String =
     """SELECT vec_id, embedding AS v,
@@ -2017,51 +2013,26 @@ object SparkEntry {
          |                                   ORDER BY score DESC, neighbor_id) AS rn
          |      FROM s)
          |WHERE rn <= 10""".stripMargin,
-    // brute-force SELF-knn: every ordered pair scored with the shared norm
-    // CTE, row_number per query — the engine's pruned plan must match exactly
-    "q_similarity_knn" ->
-      s"""WITH n AS ($simNormCte),
+    // cluster-bounded self-knn: the full Lloyd replay for the cells, then a
+    // brute-force self-join RESTRICTED to same-cell pairs, row_number per
+    // query — exactly the candidate set the engine's within-cell join scores
+    "q_similarity_knn_bounded" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+         |n AS ($simNormCte),
          |s AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    round(list_sum(list_transform(range(1, len(a.v)+1),
          |            i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm), 6)
          |      AS score
-         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+         |  FROM n a
+         |  JOIN afin ca ON ca.vec_id = a.vec_id
+         |  JOIN n b ON b.vec_id <> a.vec_id
+         |  JOIN afin cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell)
          |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |                                   ORDER BY score DESC, neighbor_id) AS rn
          |      FROM s)
          |WHERE rn <= 5""".stripMargin,
-    // clustered-corpus self-knn: the clusterize transform is EXACT in float
-    // (dimension replacement + a power-of-two scale), so building the
-    // vectors in double here yields bit-identical values to the engine's
-    // float path; then the same brute-force self-join as q_similarity_knn
-    "q_similarity_knn_clustered" ->
-      """WITH cl AS (
-        |  SELECT vec_id,
-        |    [CASE WHEN i - 1 = (label % len(embedding)) THEN 10.0
-        |          ELSE embedding[i]::DOUBLE * 0.125 END
-        |     for i in range(1, len(embedding) + 1)] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        sqrt(list_sum(list_transform(range(1, len(v)+1),
-        |             j -> v[j]::DOUBLE * v[j]::DOUBLE))) AS nrm
-        |      FROM cl),
-        |s AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    round(list_sum(list_transform(range(1, len(a.v)+1),
-        |            i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) / (a.nrm * b.nrm), 6)
-        |      AS score
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
-        |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |                                   ORDER BY score DESC, neighbor_id) AS rn
-        |      FROM s)
-        |WHERE rn <= 5""".stripMargin,
-    // cosine = dot(a,b) / (||a||*||b||) with norms computed once per vector —
-    // the same scalar-norm formula as the engine's cosinePairs
-    "q_similarity_pairs" ->
-      s"WITH n AS ($simNormCte), s AS ($simPairsBody) $simPairsSelect",
     // embedding-space survivors: transitive closure of the cosine ε-pair graph
     "q_similarity_dedup" ->
       s"""WITH RECURSIVE n AS ($simNormCte),

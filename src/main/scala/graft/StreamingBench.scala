@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cold end-to-end benchmark for the STREAMING twins. `graft.Bench` medians
+  * re-reads of the cached snapshot (the streaming runs are one-time
+  * computeIfAbsent artifacts), so its numbers measure the serving read, not
+  * the stream. This main times each query's FIRST invocation — replay
+  * staging + the full micro-batch stream + snapshot materialization — once
+  * per query in a fresh JVM-wide cache, which IS the streaming cost a scale
+  * study needs. One JSON line on stdout, Bench-compatible shape.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… [SPARK_GRAFT_ONLY=q_a,q_b] runMain
+  * graft.StreamingBench
+  */
+object StreamingBench {
+  private val DefaultQueries = Seq(
+    "q_streaming_funnel", "q_streaming_cdc", "q_streaming_trending",
+    "q_streaming_rate_limit", "q_streaming_per_record")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    val results = names.flatMap { name =>
+      System.gc()
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          None
+      }
+    }
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"streaming_cold_total","value":${results.map(_._2).sum},""" +
+      s""""unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, v) => System.err.println(s"[sbench] FAILED $k: $v") }
+      sys.exit(1)
+    }
+  }
+}

@@ -1135,6 +1135,41 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("score"))
   }
 
+  /** Cluster-bounded exact self-KNN — every vector's top-k cosine neighbors
+    * AMONG ITS OWN CLUSTER'S members (k-means cells with the cluster count
+    * scaled ∝ N/target-cell-size). This is the REGISTERED kNN-graph serving
+    * form: the measured salted decades (SCALING.md, rounds 9–10) prove exact
+    * UNBOUNDED self-KNN is superlinear on any geometry once true neighbor
+    * structure densifies with N — isotropic data admits every cell, and
+    * clusterable data grows each cluster ∝ N when the cluster count is fixed
+    * by geometry — so the only linear exact form is the one whose candidate
+    * set is bounded by construction, exactly the move real kNN-graph
+    * builders make (cluster/bucket first, search within). Global exact
+    * self-KNN ([[knnJoinExact]]) stays spec-side as the exactness baseline.
+    *
+    * Plan: corpus ⋈ corpus on the cell id (Σ_c m_c² ≈ N × cell-size scored
+    * candidates — linear when k ∝ N), size-capped [[topKPerQuery]] heaps.
+    * Same score arithmetic and (score desc, neighbor_id asc) tie-break as
+    * every other top-k here; singleton-cell vectors have no candidates and
+    * are absent, like the brute force over the same candidate set.
+    */
+  def knnJoinWithinCells(
+      embeddings: DataFrame, assignments: DataFrame, k: Int): DataFrame = {
+    val sides = embeddings
+      .select(col("vec_id"), col("embedding").as("v"),
+        norm(col("embedding")).as("nrm"))
+      .join(assignments.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val q = sides.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("cell"))
+    val nbr = sides.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("cell"))
+    val scored = q.join(nbr, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   def semDedupKeep(
       embeddings: DataFrame, assignments: DataFrame, pairs: DataFrame): DataFrame = {
     val sameCell = pairs

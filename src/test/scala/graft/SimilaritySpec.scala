@@ -571,6 +571,33 @@ class SimilaritySpec extends AnyFunSuite {
       4L -> true, 5L -> true))
   }
 
+  test("knnJoinWithinCells == brute-force top-k over the same-cell candidate set") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val asg = Similarity.kmeansAssignments(emb, k = 8, iters = 3)
+      .select(col("vec_id"), col("cell"))
+    val got = Similarity.knnJoinWithinCells(emb, asg, k = 5)
+    // brute-force twin: all same-cell ordered pairs scored, window-ranked
+    val n = emb.select(col("vec_id"), col("embedding").as("v"),
+      Similarity.norm(col("embedding")).as("nrm"))
+      .join(asg, Seq("vec_id"))
+    val scored = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("cell"))
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val twin = scored
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+    assert(got.except(twin).isEmpty && twin.except(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("cosinePairsWithinCells == global exact pairs filtered to same cell") {
     // the SemDeDup candidate generator must produce EXACTLY the same-cell
     // subset of the global ε-pair list (the composition's previous input),
