@@ -436,28 +436,124 @@ object NativeExpressions {
     * nearest-centroid by full squared L2 distance, accumulated in
     * `dist2To`'s fold order ((x−c)² left-to-right from 0.0), ties to the
     * lowest cell (array_position-of-min semantics). Returns (cell, d2).
+    *
+    * At k ≤ 64 the scan is EXACT over all centroids (bit-parity with the
+    * Column-combinator form — every oracle-gate clustering runs here). At
+    * k > 64 assignment goes TWO-LEVEL: a ⌈√k⌉-cell coarse quantizer (Lloyd
+    * over the centroid matrix itself, driver-side, deterministic) routes
+    * each row to one coarse branch whose children are then scanned — ~2√k
+    * distance evaluations per row instead of k. With the cluster count
+    * scaled ∝ N (the SemDeDup / bounded-KNN regime) a flat scan is an
+    * N·k = N²/const term that re-creates the very quadratic the bounded
+    * operators exist to avoid; the measured r10 decade (sf1s→sf10s) showed
+    * it dominating at 5.8×/10×. Two-level assignment may route a boundary
+    * row to a near-optimal rather than optimal cell — the bounded operators
+    * consume ANY deterministic partition (their semantics are "within the
+    * cell a vector is assigned to"), and determinism is preserved exactly.
     */
   final class DoubleCentroidIndex(val centroids: Array[Array[Double]])
       extends Serializable {
+    private val coarseK =
+      if (centroids.length > 64) math.ceil(math.sqrt(centroids.length.toDouble)).toInt
+      else 0
+
+    private def pointD2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var j = 0
+      while (j < a.length) { val d = a(j) - b(j); acc += d * d; j += 1 }
+      acc
+    }
+
+    private def nearestPoint(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = pointD2(cs(i), v)
+        if (best < 0 || d < bestD) { best = i; bestD = d }
+        i += 1
+      }
+      best
+    }
+
+    /** Coarse quantizer over the centroid matrix: 3 Lloyd iterations seeded
+      * by the first ⌈√k⌉ centroids, then child lists in ascending cell
+      * order (so the in-branch scan's strict-less tie-break keeps the
+      * lowest cell id, like the flat scan). Built lazily per JVM —
+      * deterministic, so every executor builds the identical structure.
+      */
+    @transient private lazy val coarseIndex
+        : (Array[Array[Double]], Array[Array[Int]]) = {
+      val k = centroids.length
+      val dim = centroids(0).length
+      var coarse: Array[Array[Double]] =
+        Array.tabulate(coarseK)(i => centroids(i).clone())
+      var iter = 0
+      while (iter < 3) {
+        val sums = Array.fill(coarseK)(new Array[Double](dim))
+        val cnt = new Array[Int](coarseK)
+        var i = 0
+        while (i < k) {
+          val a = nearestPoint(coarse, centroids(i))
+          cnt(a) += 1
+          var j = 0
+          while (j < dim) { sums(a)(j) += centroids(i)(j); j += 1 }
+          i += 1
+        }
+        coarse = Array.tabulate(coarseK)(c =>
+          if (cnt(c) == 0) coarse(c)
+          else { val m = sums(c); var j = 0; while (j < dim) { m(j) /= cnt(c); j += 1 }; m })
+        iter += 1
+      }
+      val groups = Array.fill(coarseK)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      var i = 0
+      while (i < k) { groups(nearestPoint(coarse, centroids(i))) += i; i += 1 }
+      (coarse, groups.map(_.toArray))
+    }
+
+    private def rowD2(c: Array[Double], v: org.apache.spark.sql.catalyst.util.ArrayData,
+        dim: Int): Double = {
+      if (c.length != dim) throw new IllegalArgumentException(
+        s"nearest_centroid: vector dim $dim != centroid dim ${c.length}")
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { val d = v.getFloat(j).toDouble - c(j); acc += d * d; j += 1 }
+      acc
+    }
+
     def nearest(v: org.apache.spark.sql.catalyst.util.ArrayData)
         : org.apache.spark.sql.catalyst.InternalRow = {
       val dim = v.numElements()
       var bestCell = -1
       var bestD = Double.MaxValue
-      var cell = 0
-      while (cell < centroids.length) {
-        val c = centroids(cell)
-        if (c.length != dim) throw new IllegalArgumentException(
-          s"nearest_centroid: vector dim $dim != centroid dim ${c.length}")
-        var acc = 0.0
-        var j = 0
-        while (j < dim) {
-          val d = v.getFloat(j).toDouble - c(j)
-          acc += d * d
-          j += 1
+      if (coarseK == 0) {
+        var cell = 0
+        while (cell < centroids.length) {
+          val acc = rowD2(centroids(cell), v, dim)
+          if (bestCell < 0 || acc < bestD) { bestCell = cell; bestD = acc }
+          cell += 1
         }
-        if (bestCell < 0 || acc < bestD) { bestCell = cell; bestD = acc }
-        cell += 1
+      } else {
+        val (coarse, children) = coarseIndex
+        // best coarse branch that actually has children
+        var bestC = -1
+        var bestCD = Double.MaxValue
+        var c = 0
+        while (c < coarseK) {
+          if (children(c).nonEmpty) {
+            val d = rowD2(coarse(c), v, dim)
+            if (bestC < 0 || d < bestCD) { bestC = c; bestCD = d }
+          }
+          c += 1
+        }
+        val kids = children(bestC)
+        var i = 0
+        while (i < kids.length) {
+          val cell = kids(i)
+          val acc = rowD2(centroids(cell), v, dim)
+          if (bestCell < 0 || acc < bestD) { bestCell = cell; bestD = acc }
+          i += 1
+        }
       }
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](bestCell, bestD))

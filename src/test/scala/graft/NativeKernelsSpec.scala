@@ -504,6 +504,45 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("DoubleCentroidIndex two-level routing (k > 64): deterministic, near-exact, self-consistent") {
+    // k = 100 > the exact-scan threshold → assignment goes through the
+    // coarse quantizer. The bounded operators only need a DETERMINISTIC
+    // partition, but the routing should also be near-exact on real data.
+    val cents = Similarity.trainKmeans(emb, k = 100, iters = 2)
+    val idx = new NativeExpressions.DoubleCentroidIndex(cents)
+    val v = col("embedding")
+    val got = emb.select(col("vec_id"),
+      NativeExpressions.nearestCentroidDist(v, idx).as("nd")).collect()
+      .map(r => r.getLong(0) -> (r.getStruct(1).getInt(0), r.getStruct(1).getDouble(1)))
+      .toMap
+    // deterministic across a different partitioning
+    val again = emb.repartition(7).select(col("vec_id"),
+      NativeExpressions.nearestCentroidDist(v, idx).as("nd")).collect()
+      .map(r => r.getLong(0) -> (r.getStruct(1).getInt(0), r.getStruct(1).getDouble(1)))
+      .toMap
+    assert(got == again)
+    // self-consistency + near-exactness vs the flat exact argmin
+    val vecs = emb.select(col("vec_id"), v).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(c: Array[Double], x: Array[Float]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < c.length) { val d = x(j).toDouble - c(j); acc += d * d; j += 1 }
+      acc
+    }
+    var exactMatches = 0
+    got.foreach { case (id, (cell, dist)) =>
+      val x = vecs(id)
+      assert(math.abs(d2(cents(cell), x) - dist) < 1e-12,
+        s"returned d2 is not the distance to the returned cell (vec $id)")
+      val best = cents.indices.minBy(c => d2(cents(c), x))
+      if (best == cell) exactMatches += 1
+      else assert(dist <= 4.0 * d2(cents(best), x) + 1e-9,
+        s"two-level routing grossly suboptimal at vec $id")
+    }
+    assert(exactMatches >= (got.size * 0.7).toInt,
+      s"two-level matched exact argmin on only $exactMatches/${got.size}")
+  }
+
   test("FloatCentroidIndex.admissible == per-cell cos/angle filter form") {
     val cents = Similarity.trainIvfCentroids(emb, k = 23, iters = 2)
     val radii = Similarity.trainCellRadii(emb, cents)
