@@ -420,9 +420,9 @@ object SparkEntry {
     // q_dedup_survivors. The raw ε-pair LISTING (cosinePairsPruned /
     // cosinePairs) is spec-side only from round 10: an exact global pair
     // search is superlinear on any geometry (measured 9.7×/decade at
-    // constant duplicate density), so the registered near-dup surfaces are
-    // this bounded-output survivor labeling, the within-cell SemDeDup
-    // composition, and the ANN/PQ audits
+    // constant duplicate density). This query's OUTPUT is bounded (N rows)
+    // but its plan shares that pair-search cost — the linear-plan twin is
+    // q_similarity_dedup_bounded below; at 100 TB that is the one to run
     "q_similarity_dedup" -> ((s, dir) =>
       dedupLabels.computeIfAbsent(s"${sessionKey(s)}:emb:$dir", _ => {
         val emb = Tables.embeddings(s, dir)
@@ -430,6 +430,27 @@ object SparkEntry {
           emb.select(col("vec_id")),
           Similarity.cosinePairsPruned(emb, threshold = 0.45, cents(dir, emb),
             precomputedRadii = Some(radii(dir, emb)))
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+          idCol = "vec_id")
+      })),
+    // cluster-bounded embedding dedup survivors — the 100 TB twin of
+    // q_similarity_dedup: the SAME connected-components min-label
+    // propagation, but over WITHIN-CELL ε-pairs (k-means cells, k ∝ N/250),
+    // so candidate generation is Σ_c m_c² ≈ N·250 and assignment ~2√k per
+    // row — linear end to end where the global form's pair search is not.
+    // Semantics: near-duplicate groups that straddle a cell boundary are
+    // split (the SemDeDup trade, stated); the oracle replays the clustering
+    // AND the closure over the cell-restricted pair graph
+    "q_similarity_dedup_bounded" -> ((s, dir) =>
+      dedupLabels.computeIfAbsent(s"${sessionKey(s)}:embb:$dir", _ => {
+        val emb = Tables.embeddings(s, dir)
+        val k = semdedupK(embCount(dir, emb))
+        val asg = Similarity.kmeansAssignments(emb, k = k, iters = 3,
+          precomputedCentroids = Some(semCents(dir, emb, k)))
+          .select(col("vec_id"), col("cell"))
+        Dedup.nearDedupLabels(
+          emb.select(col("vec_id")),
+          Similarity.cosinePairsWithinCells(emb, asg, threshold = 0.45)
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
           idCol = "vec_id")
       })),
@@ -2048,6 +2069,27 @@ object SparkEntry {
          |SELECT e.vec_id,
          |       least(e.vec_id, coalesce(c.mn, e.vec_id)) AS canonical_id
          |FROM embeddings e LEFT JOIN canon c USING (vec_id)""".stripMargin,
+    // cluster-bounded survivors: the same closure, over pairs RESTRICTED to
+    // same-k-means-cell (full Lloyd replay) — the engine's within-cell
+    // candidate set exactly
+    "q_similarity_dedup_bounded" ->
+      s"""WITH RECURSIVE ${kmeansCtes(8, 3)},
+         |n AS ($simNormCte),
+         |s AS ($simPairsBody),
+         |p0 AS (SELECT vec_a, vec_b FROM s WHERE raw >= 0.45),
+         |pairs AS (SELECT p0.vec_a, p0.vec_b FROM p0
+         |          JOIN afin ca ON ca.vec_id = p0.vec_a
+         |          JOIN afin cb ON cb.vec_id = p0.vec_b AND cb.cell = ca.cell),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u WHERE e2.v <> r.u),
+         |canon AS (SELECT u AS vec_id, min(v) AS mn FROM reach GROUP BY u)
+         |SELECT emb.vec_id,
+         |       least(emb.vec_id, coalesce(c.mn, emb.vec_id)) AS canonical_id
+         |FROM embeddings emb LEFT JOIN canon c USING (vec_id)""".stripMargin,
     // bucketed co-located join: same relational content as the vat join —
     // the engine path differs only in storage layout (no exchange)
     "q_join_bucketed" ->
