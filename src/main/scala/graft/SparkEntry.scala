@@ -197,6 +197,18 @@ object SparkEntry {
   private val layoutBounds =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Int)]()
 
+  /** TEST HOOK: drop every in-JVM (L1) model-artifact cache, so a spec can
+    * simulate a SECOND SESSION — the next lookup must go through the
+    * persistent ArtifactStore (L2) and LOAD instead of retraining
+    * (ArtifactStoreSpec's end-to-end proof). Never called by engine code.
+    */
+  private[graft] def clearModelCachesForTest(): Unit = {
+    langProfiles.clear(); ivfCentroids.clear(); ivfRadii.clear()
+    ivfSeeds.clear(); kmeansCentroids.clear(); corpusSizes.clear()
+    pqCodebooks.clear(); knnIdx.clear(); vocabCache.clear()
+    bpeModels.clear(); dedupLabels.clear(); layoutBounds.clear()
+  }
+
   private def windowedAgg(s: SparkSession, dir: String): DataFrame = {
     val w = StockAggregation.aggregateWindowed(txnsTs(s, dir), "1 hour")
     w.select(

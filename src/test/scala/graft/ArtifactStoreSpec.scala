@@ -105,6 +105,34 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("end-to-end: a second session loads every artifact instead of retraining") {
+    // first "session": run registered queries that train IVF centroids,
+    // radii, seed floors, k-means, PQ codebooks, profiles, vocab and BPE —
+    // each lookup writes its parquet artifact under the temp root
+    withTempRoot {
+      def runAll(): Seq[Long] = Seq(
+        SparkEntry.queries("q_similarity_topk")(spark, sfDir).count(),
+        SparkEntry.queries("q_pipeline_semdedup")(spark, sfDir).count(),
+        SparkEntry.queries("q_embed_pq")(spark, sfDir).count(),
+        SparkEntry.queries("q_text_langid")(spark, sfDir).count(),
+        SparkEntry.queries("q_text_oov")(spark, sfDir).count(),
+        SparkEntry.queries("q_text_bpe_vocab")(spark, sfDir).count())
+      SparkEntry.clearModelCachesForTest()
+      val first = runAll()
+      val trainsAfterFirst = ArtifactStore.trainsThisJvm.get()
+      assert(trainsAfterFirst > 0, "first session trained nothing?")
+      // "second session": the L1 caches are gone, only the parquet store
+      // remains — every artifact must LOAD (train counter frozen), and the
+      // query outputs must be unchanged
+      SparkEntry.clearModelCachesForTest()
+      val second = runAll()
+      assert(ArtifactStore.trainsThisJvm.get() == trainsAfterFirst,
+        "second session retrained instead of loading from the artifact store")
+      assert(second == first)
+      SparkEntry.clearModelCachesForTest() // leave no temp-rooted artifacts cached
+    }
+  }
+
   test("a half-written artifact (no _SUCCESS) is ignored and retrained") {
     withTempRoot {
       val p = ArtifactStore.artifactPath(spark, "corpusB", "im")
