@@ -107,6 +107,23 @@ object SparkEntry {
     */
   private def semdedupK(n: Long): Int = math.max(8, math.ceil(n / 250.0).toInt)
 
+  /** Fails LOUDLY when a data-dependent engine knob diverges from the
+    * constant its DuckDB oracle hardcodes. The semdedup-family oracles
+    * (q_pipeline_semdedup, q_similarity_knn_bounded, q_similarity_dedup)
+    * replay `kmeansCtes(8, 3)`, which equals the engine's clustering only
+    * while semdedupK(N) == 8 (N ≤ 2000 — true at every gate sf). Verify
+    * calls this before dumping oracles so a larger gate corpus aborts the
+    * gate with a named cause instead of silently replaying a different
+    * clustering (ADVICE r10).
+    */
+  def assertOracleCoupling(s: SparkSession, dir: String): Unit = {
+    val k = semdedupK(embCount(dir, Tables.embeddings(s, dir)))
+    require(k == 8,
+      s"oracle/engine divergence: semdedupK(embeddings @ $dir) = $k but the " +
+        "semdedup-family DuckDB oracles hardcode kmeansCtes(8, 3); regenerate " +
+        "the oracle SQL for this corpus size or gate at a corpus with N <= 2000")
+  }
+
   private def semCents(dir: String, emb: DataFrame, k: Int): Array[Array[Double]] =
     if (k == 8) kcents(dir, emb) // identical training — share the artifact
     else kmeansCentroids.computeIfAbsent(s"$dir|semdedup$k", _ =>
@@ -427,33 +444,20 @@ object SparkEntry {
         precomputedRadii = Some(radii(dir, emb)),
         precomputedSeeds = Some(seeds(dir, emb, qids, 10)))
     }),
-    // embedding-space dedup survivors: connected components over the exact
-    // cosine ε-pair graph (pruned plan) — same label propagation as
-    // q_dedup_survivors. The raw ε-pair LISTING (cosinePairsPruned /
-    // cosinePairs) is spec-side only from round 10: an exact global pair
-    // search is superlinear on any geometry (measured 9.7×/decade at
-    // constant duplicate density). This query's OUTPUT is bounded (N rows)
-    // but its plan shares that pair-search cost — the linear-plan twin is
-    // q_similarity_dedup_bounded below; at 100 TB that is the one to run
+    // embedding-space dedup survivors: connected-components min-label
+    // propagation (same as q_dedup_survivors) over WITHIN-CELL ε-pairs
+    // (k-means cells, k ∝ N/250), so candidate generation is Σ_c m_c² ≈
+    // N·250 and assignment ~2√k per row — linear end to end. Re-planned in
+    // round 11 (r10 verdict task 2): the registered plan previously ran the
+    // GLOBAL pruned pair search (cosinePairsPruned), which the r10 decade
+    // study measured superlinear on any geometry (9.7×/decade at constant
+    // duplicate density) — that exact global closure is now spec-side only
+    // (SimilaritySpec "global ε-closure labels"), the same demotion the
+    // other exact embedding forms got. Semantics trade, stated: near-dup
+    // groups straddling a cell boundary are split (the SemDeDup trade); the
+    // oracle replays the clustering AND the closure over the cell-restricted
+    // pair graph
     "q_similarity_dedup" -> ((s, dir) =>
-      dedupLabels.computeIfAbsent(s"${sessionKey(s)}:emb:$dir", _ => {
-        val emb = Tables.embeddings(s, dir)
-        Dedup.nearDedupLabels(
-          emb.select(col("vec_id")),
-          Similarity.cosinePairsPruned(emb, threshold = 0.45, cents(dir, emb),
-            precomputedRadii = Some(radii(dir, emb)))
-            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
-          idCol = "vec_id")
-      })),
-    // cluster-bounded embedding dedup survivors — the 100 TB twin of
-    // q_similarity_dedup: the SAME connected-components min-label
-    // propagation, but over WITHIN-CELL ε-pairs (k-means cells, k ∝ N/250),
-    // so candidate generation is Σ_c m_c² ≈ N·250 and assignment ~2√k per
-    // row — linear end to end where the global form's pair search is not.
-    // Semantics: near-duplicate groups that straddle a cell boundary are
-    // split (the SemDeDup trade, stated); the oracle replays the clustering
-    // AND the closure over the cell-restricted pair graph
-    "q_similarity_dedup_bounded" -> ((s, dir) =>
       dedupLabels.computeIfAbsent(s"${sessionKey(s)}:embb:$dir", _ => {
         val emb = Tables.embeddings(s, dir)
         val k = semdedupK(embCount(dir, emb))
@@ -920,6 +924,20 @@ object SparkEntry {
       Similarity.kmeansAssignments(emb, k = 8, iters = 3,
         precomputedCentroids = Some(kcents(dir, emb)))
     }),
+    // fine-partition seed routing — the k > 64 branch of the two-level
+    // centroid kernel under the oracle gate (r10 verdict task 3: at gate
+    // sfs semdedupK stays 8, so every other green row runs the exact flat
+    // scan and the branch that actually serves the 100 TB regime had no
+    // CORRECTNESS row). k = 80 seed centroids (the first 80 corpus vectors
+    // — deterministic, untrained: the ROUTING is the unit under test)
+    // forces DoubleCentroidIndex's coarse quantizer: ⌈√80⌉ = 9 coarse
+    // cells, 3 Lloyd iterations over the centroid matrix seeded by its
+    // first 9 rows, nearest non-empty branch, in-branch exact argmin. The
+    // oracle replays that arithmetic step for step (sequential double
+    // means over members in ascending cell order, strict-less ties to the
+    // lowest id at every argmin) and FAILS if the routing drifts
+    "q_embed_route_fine" -> ((s, dir) =>
+      Similarity.kmeansAssignments(Tables.embeddings(s, dir), k = 80, iters = 0)),
     // SemDeDup: the full semantic-dedup composition — k-means cells (k
     // scaled ∝ N/250, the Abbas-et-al. regime; 8 at every gate sf) +
     // WITHIN-CELL exact cosine ε-pairs → min-id dominance keep/drop per
@@ -1363,6 +1381,66 @@ object SparkEntry {
          |                                  FROM m$t GROUP BY cell) mc USING (cell))""".stripMargin
     }
     (Seq(head) ++ steps ++ Seq(assign("afin", s"c$iters"))).mkString(",\n")
+  }
+
+  /** Two-level routing replay (q_embed_route_fine): the exact arithmetic of
+    * `DoubleCentroidIndex.nearest`'s k > 64 branch
+    * (NativeExpressions.scala:481-562) in DuckDB. `cent` is the k seed
+    * centroids (first k vectors, float→double); the coarse quantizer is
+    * `coarseIters` Lloyd iterations over the CENTROID MATRIX seeded by its
+    * first `coarseK` rows — per-coarse means accumulate SEQUENTIALLY in
+    * double over members in ascending cell order (`list_sum(list(v ORDER BY
+    * cell))`, matching the kernel's `sums(a)(j) += centroids(i)(j)` loop —
+    * deliberately NOT kmeansCtes' decimal means, which replay a different
+    * accumulation), empty coarse cells keep their previous position, and
+    * every argmin breaks ties to the lowest id via the strict-less scan
+    * order. Ends with `afin` (vec_id, cell, d2): nearest NON-EMPTY coarse
+    * branch, then exact argmin over that branch's children.
+    */
+  private def coarseRouteCtes(k: Int, coarseK: Int, coarseIters: Int): String = {
+    def pd2(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, len($a)+1),
+         |          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+    def vd2(c: String) =
+      s"""list_sum(list_transform(range(1, len(e.embedding)+1),
+         |          i -> (e.embedding[i]::DOUBLE - $c[i])
+         |             * (e.embedding[i]::DOUBLE - $c[i])))""".stripMargin
+    def centAssign(name: String, qTable: String) =
+      s"""$name AS (SELECT cell, q FROM (
+         |  SELECT cell, q, row_number() OVER (PARTITION BY cell ORDER BY d2, q) AS rn
+         |  FROM (SELECT c.cell, g.q, ${pd2("c.cv", "g.cv")} AS d2
+         |        FROM cent c, $qTable g)) WHERE rn = 1)""".stripMargin
+    val head =
+      s"""e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |         FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $k)),
+         |q0 AS (SELECT cell AS q, cv FROM cent WHERE cell < $coarseK)""".stripMargin
+    val steps = (0 until coarseIters).map { t =>
+      s"""${centAssign(s"ca$t", s"q$t")},
+         |qm$t AS (SELECT a.q, d.i, list_sum(list(d.v ORDER BY d.cell)) / COUNT(*) AS c
+         |        FROM ca$t a JOIN (SELECT cell, generate_subscripts(cv, 1) AS i,
+         |                                 unnest(cv) AS v FROM cent) d USING (cell)
+         |        GROUP BY a.q, d.i),
+         |q${t + 1} AS (SELECT p.q, coalesce(mq.cv, p.cv) AS cv
+         |           FROM q$t p LEFT JOIN (SELECT q, list(c ORDER BY i) AS cv
+         |                                 FROM qm$t GROUP BY q) mq USING (q))""".stripMargin
+    }
+    val route =
+      s"""${centAssign("child", s"q$coarseIters")},
+         |vq AS (SELECT vec_id, q FROM (
+         |  SELECT vec_id, q, row_number() OVER (PARTITION BY vec_id ORDER BY d2, q) AS rn
+         |  FROM (SELECT e.vec_id, g.q, ${vd2("g.cv")} AS d2
+         |        FROM e, (SELECT DISTINCT q FROM child) nz
+         |        JOIN q$coarseIters g USING (q))) WHERE rn = 1),
+         |afin AS (SELECT vec_id, cell, d2 FROM (
+         |  SELECT vec_id, cell, d2,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM (SELECT v.vec_id, ch.cell, ${vd2("c.cv")} AS d2
+         |        FROM e JOIN vq v ON v.vec_id = e.vec_id
+         |        JOIN child ch ON ch.q = v.q
+         |        JOIN cent c ON c.cell = ch.cell)) WHERE rn = 1)""".stripMargin
+    (Seq(head) ++ steps :+ route).mkString(",\n")
   }
 
   /** Per-subspace PQ Lloyd replay — [[kmeansCtes]] generalized to run over
@@ -2066,25 +2144,13 @@ object SparkEntry {
          |                                   ORDER BY score DESC, neighbor_id) AS rn
          |      FROM s)
          |WHERE rn <= 5""".stripMargin,
-    // embedding-space survivors: transitive closure of the cosine ε-pair graph
+    // embedding-space survivors: transitive closure over ε-pairs RESTRICTED
+    // to same-k-means-cell (full Lloyd replay) — the engine's within-cell
+    // candidate set exactly. The GLOBAL-closure form is spec-side only
+    // (SimilaritySpec) since round 11; kmeansCtes(8,3) matches the engine
+    // because semdedupK(N) == 8 at every gate sf — asserted loudly by
+    // Verify via assertOracleCoupling, not just this comment
     "q_similarity_dedup" ->
-      s"""WITH RECURSIVE n AS ($simNormCte),
-         |s AS ($simPairsBody),
-         |pairs AS ($simPairsSelect),
-         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
-         |          UNION ALL SELECT vec_b, vec_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
-         |canon AS (SELECT u AS vec_id, min(v) AS mn FROM reach GROUP BY u)
-         |SELECT e.vec_id,
-         |       least(e.vec_id, coalesce(c.mn, e.vec_id)) AS canonical_id
-         |FROM embeddings e LEFT JOIN canon c USING (vec_id)""".stripMargin,
-    // cluster-bounded survivors: the same closure, over pairs RESTRICTED to
-    // same-k-means-cell (full Lloyd replay) — the engine's within-cell
-    // candidate set exactly
-    "q_similarity_dedup_bounded" ->
       s"""WITH RECURSIVE ${kmeansCtes(8, 3)},
          |n AS ($simNormCte),
          |s AS ($simPairsBody),
@@ -3162,6 +3228,14 @@ object SparkEntry {
     // the final assignment joined back for the label and 6-dp distance
     "q_embed_clusters" ->
       s"""WITH ${kmeansCtes(8, 3)}
+         |SELECT a.vec_id, e.label, a.cell, round(sqrt(a.d2), 6) AS dist
+         |FROM afin a JOIN e USING (vec_id)""".stripMargin,
+    // two-level routing replay: coarse quantizer over the 80 seed centroids
+    // (⌈√80⌉ = 9, 3 Lloyd iterations, sequential double means) + nearest
+    // non-empty branch + in-branch argmin — fails if the k > 64 kernel
+    // branch's arithmetic drifts
+    "q_embed_route_fine" ->
+      s"""WITH ${coarseRouteCtes(80, 9, 3)}
          |SELECT a.vec_id, e.label, a.cell, round(sqrt(a.d2), 6) AS dist
          |FROM afin a JOIN e USING (vec_id)""".stripMargin,
     // per-cluster profile from the same replay: majority by (n DESC, label)

@@ -26,6 +26,9 @@ object Verify {
       .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // abort the gate loudly if a data-dependent engine knob has diverged
+    // from the constant its oracle SQL hardcodes (semdedup-family k)
+    SparkEntry.assertOracleCoupling(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // optional local-profiling filter, mirroring Bench (unset for driver
     // runs = all queries; oracle_sql.json is always dumped in full)

@@ -414,6 +414,8 @@ object NativeExpressions {
       var cell = 0
       while (cell < centroids.length) {
         val c = centroids(cell)
+        if (c.length != dim) throw new IllegalArgumentException(
+          s"admissible_cells: vector dim $dim != centroid dim ${c.length}")
         var dot = 0.0
         var j = 0
         while (j < dim) { dot += v.getFloat(j).toDouble * c(j).toDouble; j += 1 }

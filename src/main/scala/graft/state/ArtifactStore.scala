@@ -70,11 +70,20 @@ object ArtifactStore {
         p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       encode(t).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       fs.mkdirs(dst.getParent)
-      // a dst dir WITHOUT _SUCCESS is a crashed writer's debris — remove it,
-      // or the rename would nest tmp INSIDE it (HDFS/posix mv-into-dir
-      // semantics) and the artifact would never publish
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // race loser: theirs == ours
+      // Re-probe before touching dst: a CONCURRENT session may have
+      // published a complete artifact between our initial _SUCCESS probe and
+      // now. A complete dst must be LEFT IN PLACE — deleting it would yank
+      // files out from under any reader that passed its own _SUCCESS check
+      // (training is deterministic, so theirs == ours; serve our in-memory
+      // value). Only a dst WITHOUT _SUCCESS — a crashed writer's debris by
+      // definition — is removed, else the rename would nest tmp INSIDE it
+      // (HDFS/posix mv-into-dir semantics) and the artifact never publishes.
+      if (fs.exists(new org.apache.hadoop.fs.Path(p + "/_SUCCESS")))
+        fs.delete(tmp, true)
+      else {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // race loser: theirs == ours
+      }
       t
     }
   }

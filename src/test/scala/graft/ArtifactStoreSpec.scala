@@ -133,6 +133,41 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a concurrent complete publish is left in place — a reader holding " +
+    "the artifact open across our publish never loses its files") {
+    withTempRoot {
+      val im = Map(1 -> 1.0, 2 -> 2.5)
+      val p = ArtifactStore.artifactPath(spark, "corpusR", "im")
+      def listing(): Seq[(String, Long)] = {
+        val d = new java.io.File(p)
+        d.listFiles().toSeq.map(f => f.getName -> f.lastModified).sorted
+      }
+      // The race, deterministically: OUR train thunk runs after the initial
+      // _SUCCESS probe missed, and while it runs a CONCURRENT session
+      // publishes a complete artifact at the same path (the nested
+      // loadOrTrain below) and a reader binds to those files. Our publish
+      // step must then leave dst untouched (delete only our tmp) — with the
+      // delete-before-rename behavior, the reader's files vanish mid-read
+      // and the re-published part files have different names.
+      var concurrentFiles: Seq[(String, Long)] = Nil
+      var readerDf: org.apache.spark.sql.DataFrame = null
+      val got = ArtifactStore.intDoubleMap(spark, "corpusR", "im") {
+        ArtifactStore.intDoubleMap(spark, "corpusR", "im")(im) // their publish
+        concurrentFiles = listing()
+        readerDf = spark.read.parquet(p) // reader binds to THEIR files
+        im
+      }
+      assert(got == im) // we served our in-memory value
+      assert(listing() == concurrentFiles,
+        "publish replaced a complete concurrent artifact; a mid-read reader would fail")
+      assert(readerDf.count() == im.size) // the open reader still resolves
+      // and no tmp debris was left behind
+      val parent = new java.io.File(p).getParentFile
+      assert(!parent.listFiles().exists(_.getName.contains(".tmp-")),
+        "loser's tmp dir not cleaned up")
+    }
+  }
+
   test("a half-written artifact (no _SUCCESS) is ignored and retrained") {
     withTempRoot {
       val p = ArtifactStore.artifactPath(spark, "corpusB", "im")

@@ -153,6 +153,37 @@ class SimilaritySpec extends AnyFunSuite {
       s"pruned pairs must be EXACT: missing=${brute -- got}, extra=${got -- brute}")
   }
 
+  test("global ε-closure labels == driver union-find over brute-force pairs " +
+    "(spec-side exactness gate for the retired global q_similarity_dedup plan)") {
+    // Round 11 re-planned q_similarity_dedup onto the within-cell pair
+    // search; the GLOBAL closure — min-label propagation over the exact
+    // unrestricted ε-pair graph — lives here as the exactness baseline the
+    // bounded registered form is a stated approximation of.
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, k = 16, iters = 5)
+    val got = graft.operators.Dedup.nearDedupLabels(
+      emb.select(col("vec_id")),
+      Similarity.cosinePairsPruned(emb, 0.45, centroids)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      idCol = "vec_id")
+      .as[(Long, Long)].collect().toMap
+
+    // driver-side union-find over the brute-force pair list
+    val ids = emb.select("vec_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    Similarity.cosinePairs(emb, 0.45)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val want = ids.map(i => i -> find(i)).toMap
+    assert(got == want,
+      s"global closure labels diverge: ${(got.toSet -- want.toSet).take(5)}")
+  }
+
   test("pruned exact pairs prune cross-cluster cell pairs on clustered data") {
     // two antipodal tight clusters: every cross-cluster cell pair is
     // unreachable at threshold 0.9, so the admissible pair list (and thus
