@@ -16,6 +16,11 @@ stage() { # dir factor [mode]
   local dir=$1 factor=$2 mode=${3:-}
   if [ ! -f "$dir/.done" ]; then
     rm -rf "$dir"
+    # restaging changes the corpus CONTENT behind an unchanged path, and
+    # ArtifactStore keys artifacts by that path — invalidate the matching
+    # artifact subtree or stale centroids/codebooks/BPE models trained on
+    # the old bytes would silently serve the new corpus (ADVICE r10)
+    rm -rf "target/artifacts/$(printf '%s' "$dir" | md5sum | cut -d' ' -f1)"
     SPARK_GRAFT_CPUS=16 scripts/run_main.sh -m32g graft.ScaleData \
       /root/testdata/sf0.1 "$dir" "$factor" $mode
     touch "$dir/.done"

@@ -1,0 +1,76 @@
+#!/usr/bin/env bash
+# Round-11 scale benches (r10 verdict tasks 4, 5d, 7). Protocol: solo JVM,
+# 48g fixed heap, shuffle partitions scaled with data, strictly sequential.
+# Each stage is independently invocable so no single run exceeds the
+# harness's background window: run_r11_scale_benches.sh <stage>
+#   streaming1|streaming10 — cold StreamingBench re-record post rate-limit
+#                            TTL fix (BENCH_r10_streaming_sf10.json predates
+#                            the fix; the artifact of record must match
+#                            SCALING.md)
+#   spill1|spill10         — re-record the r10 spill solo pairs as COMMITTED
+#                            jsonl (ADVICE: SCALING.md's spill table cited
+#                            uncommitted solo runs)
+#   perplexity             — re-record the post-broadcast-fix perplexity
+#                            solos the r9 salted table cites
+#   artifact1|artifact10   — ArtifactBench: fresh store (train) then
+#                            populated store (load); the delta is the
+#                            persistence win
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+solo() { # sfdir partitions query outfile
+  SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS=$2 \
+    SPARK_GRAFT_ONLY=$3 scripts/run_main.sh -m48g graft.Bench \
+    2>/dev/null | tail -1 >> "$4"
+}
+
+case "${1:?stage}" in
+  streaming1)
+    SPARK_GRAFT_SF_DIR=target/benchdata/sf1 SPARK_GRAFT_CPUS=32 \
+      scripts/run_main.sh -m48g graft.StreamingBench > BENCH_r11_streaming_sf1.json
+    ;;
+  streaming10)
+    SPARK_GRAFT_SF_DIR=target/benchdata/sf10 SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+      scripts/run_main.sh -m48g graft.StreamingBench > BENCH_r11_streaming_sf10.json
+    ;;
+  spill1)
+    : > BENCH_r11_spill_sf1.jsonl
+    solo target/benchdata/sf1 64 q_olap_heavy BENCH_r11_spill_sf1.jsonl
+    solo target/benchdata/sf1 64 q_text_keywords BENCH_r11_spill_sf1.jsonl
+    ;;
+  spill10)
+    : > BENCH_r11_spill_sf10.jsonl
+    solo target/benchdata/sf10 320 q_olap_heavy BENCH_r11_spill_sf10.jsonl
+    solo target/benchdata/sf10 320 q_text_keywords BENCH_r11_spill_sf10.jsonl
+    ;;
+  perplexity)
+    : > BENCH_r11_perplexity.jsonl
+    solo target/benchdata/sf1s 64 q_text_perplexity BENCH_r11_perplexity.jsonl
+    solo target/benchdata/sf10s 256 q_text_perplexity BENCH_r11_perplexity.jsonl
+    ;;
+  artifact1)
+    rm -rf target/artifacts_bench/sf1
+    : > BENCH_r11_artifact_sf1.jsonl
+    for pass in train load; do
+      SPARK_GRAFT_SF_DIR=target/benchdata/sf1 SPARK_GRAFT_CPUS=32 \
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+        SPARK_GRAFT_ARTIFACTS=target/artifacts_bench/sf1 \
+        scripts/run_main.sh -m48g graft.ArtifactBench \
+        2>/dev/null | tail -1 >> BENCH_r11_artifact_sf1.jsonl
+    done
+    ;;
+  artifact10)
+    rm -rf target/artifacts_bench/sf10
+    : > BENCH_r11_artifact_sf10.jsonl
+    for pass in train load; do
+      SPARK_GRAFT_SF_DIR=target/benchdata/sf10 SPARK_GRAFT_CPUS=32 \
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=320 \
+        SPARK_GRAFT_ARTIFACTS=target/artifacts_bench/sf10 \
+        scripts/run_main.sh -m48g graft.ArtifactBench \
+        2>/dev/null | tail -1 >> BENCH_r11_artifact_sf10.jsonl
+    done
+    ;;
+  *) echo "unknown stage $1" >&2; exit 2 ;;
+esac
+echo "STAGE_DONE $1"
