@@ -994,6 +994,11 @@ object SparkEntry {
     // replay — union of per-batch emissions equals the batch rate limit
     "q_streaming_rate_limit" -> ((s, dir) =>
       StreamingState.rateLimitEmissions(s, dir, perDay = 5)),
+    // the SAME admission counter on Spark 4's transformWithState API
+    // (StatefulProcessor: typed named ValueState + explicit event-time
+    // eviction timer) — both state APIs pinned against one oracle
+    "q_streaming_rate_limit_tws" -> ((s, dir) =>
+      StreamingState.rateLimitEmissionsTws(s, dir, perDay = 5)),
     // hourly active users, exact + HLL audit per tumbling window — the
     // mergeable-rollup contract checked window-by-window
     "q_sketch_window_users" -> ((s, dir) =>
@@ -2950,6 +2955,7 @@ object SparkEntry {
     "q_events_rate_limit" -> rateLimitOracle,
     // the streaming admission counter unions to the identical admitted set
     "q_streaming_rate_limit" -> rateLimitOracle,
+    "q_streaming_rate_limit_tws" -> rateLimitOracle,
     // hourly active users: oracle recomputes the exact side per tumbling
     // window and asserts the within-bound verdict (the sketch audit move)
     "q_sketch_window_users" ->

@@ -806,6 +806,48 @@ object StreamingState {
 
   private val rateLimitRuns = new ConcurrentHashMap[String, String]()
 
+  /** Stage the rate-limit replay (time-ordered chunks of the events table,
+    * day-keyed) under `root/staging` — shared by the two state-API forms of
+    * the streaming rate limiter so they consume byte-identical replays.
+    */
+  private def stageRateLimitReplay(
+      spark: SparkSession, sfDir: String, root: Path): Path = {
+    Fs.deleteRecursively(root)
+    val staging = root.resolve("staging")
+    Files.createDirectories(staging)
+    val staged = Tables.withOrderedChunks(
+      Tables.events(spark, sfDir).select(
+        col("event_id"), col("user_id"), col("ts"),
+        expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " DIV 86400000000 AS INT)").as("day"),
+        unix_micros(col("ts")).as("us")),
+      NumChunks, Seq(col("ts"), col("event_id"))).drop("ts")
+    stageChunks(staged, root, staging)
+    staging
+  }
+
+  /** The staged rate-limit replay as a watermarked stream (shared source
+    * plan of both rate-limiter forms): one time-ordered chunk per
+    * micro-batch, event-time column `et`, 1h watermark delay — the replay is
+    * time-ordered so nothing is ever late, but a zero-delay watermark would
+    * sit exactly ON batch-boundary ties; the grace hour keeps the no-drop
+    * property unconditional while still evicting a closed day within ~an
+    * hour of its grace day.
+    */
+  private def rateLimitSource(
+      spark: SparkSession, staging: Path): org.apache.spark.sql.Dataset[DayEventT] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("day", IntegerType), StructField("us", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging.toString)
+      .withColumn("et", timestamp_micros(col("us")))
+      .withWatermark("et", "1 hour")
+      .as[DayEventT]
+  }
+
   /** Streaming twin of [[graft.operators.EventAnalytics.rateLimit]]: admit
     * only the first `perDay` events per (user, epoch day) AS THEY ARRIVE —
     * the online ingest-throttle, where the batch form is the retrospective
@@ -834,36 +876,13 @@ object StreamingState {
   def rateLimitEmissions(spark: SparkSession, sfDir: String, perDay: Int = 5): DataFrame = {
     val out = rateLimitRuns.computeIfAbsent(s"$sfDir|$perDay", _ => {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      import org.apache.spark.sql.expressions.Window
       val root = workDir(sfDir).resolve(s"ratelimit_$perDay")
-      Fs.deleteRecursively(root)
-      val staging = root.resolve("staging")
-      Files.createDirectories(staging)
-      val staged = Tables.withOrderedChunks(
-        Tables.events(spark, sfDir).select(
-          col("event_id"), col("user_id"), col("ts"),
-          expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
-            " DIV 86400000000 AS INT)").as("day"),
-          unix_micros(col("ts")).as("us")),
-        NumChunks, Seq(col("ts"), col("event_id"))).drop("ts")
-      stageChunks(staged, root, staging)
+      val staging = stageRateLimitReplay(spark, sfDir, root)
 
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import spark.implicits._
-      val source = spark.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("user_id", LongType),
-          StructField("day", IntegerType), StructField("us", LongType))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staging.toString)
-        // 1h delay: the replay is time-ordered so nothing is ever late, but
-        // a zero-delay watermark would sit exactly ON batch-boundary ties —
-        // the grace hour keeps the no-drop property unconditional while
-        // still evicting a closed day within ~an hour of its grace day
-        .withColumn("et", timestamp_micros(col("us")))
-        .withWatermark("et", "1 hour")
-        .as[DayEventT]
+      val source = rateLimitSource(spark, staging)
 
       val emissions = source
         .groupByKey(e => (e.user_id, e.day))
@@ -888,6 +907,108 @@ object StreamingState {
               admitted.iterator
             }
         }
+
+      val outDir = root.resolve("out")
+      val query = emissions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("day"), col("us"),
+        col("rank"))
+  }
+
+  /** The per-(user, day) admission counter as a Spark-4
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] — the state logic
+    * of [[rateLimitEmissions]] re-expressed on `transformWithState`, the
+    * API that supersedes `flatMapGroupsWithState` for arbitrary keyed state
+    * (SPARK-46815): the counter is a NAMED, TYPED `ValueState[Int]` in the
+    * RocksDB store (not an opaque encoder blob), and the event-time TTL is
+    * an EXPLICIT registered timer (end of the group's day + one grace day)
+    * whose expiry callback clears the state — where the fMGWS form threads
+    * the same eviction through `GroupStateTimeout.EventTimeTimeout` +
+    * `setTimeoutTimestamp` on every invocation. Admission semantics are
+    * identical by construction (same sort, same counter, same cap), so both
+    * forms share one DuckDB oracle.
+    */
+  private final class RateLimitProcessor(perDay: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, Int), DayEventT, RateLimitEmit] {
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var count: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // lifetime is governed by the event-time timer below, not a
+      // processing-time TTL — wall-clock eviction would break replay
+      // determinism (a slow run could evict a day mid-replay)
+      count = getHandle.getValueState[Int](
+        "count", org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Long, Int), rows: Iterator[DayEventT],
+        timerValues: TimerValues): Iterator[RateLimitEmit] = {
+      var n = if (count.exists()) count.get() else {
+        // first sight of this (user, day): arm the eviction timer once —
+        // fires when the watermark passes the day's close + one grace day,
+        // after which the counter can never admit again
+        getHandle.registerTimer((key._2.toLong + 2) * 86400000L)
+        0
+      }
+      // materialize + sort BEFORE state.update: admission order must be the
+      // batch form's ORDER BY us, event_id within this batch slice
+      val admitted = rows.toArray.sortBy(e => (e.us, e.event_id))
+        .iterator.takeWhile(_ => n < perDay).map { e =>
+          n += 1
+          RateLimitEmit(e.event_id, e.user_id, e.day, e.us, n)
+        }.toArray
+      count.update(n)
+      admitted.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: (Long, Int), timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[RateLimitEmit] = {
+      count.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Streaming rate limiter on the `transformWithState` API — identical
+    * replay, admission decisions, and output rows as [[rateLimitEmissions]]
+    * (one shared staging helper, one shared oracle), differing only in the
+    * state API (see [[RateLimitProcessor]]). Registered separately so the
+    * oracle gate pins BOTH state APIs against the same SQL: a regression in
+    * either Spark code path (or in our port between them) fails its own row.
+    *
+    * Scale: same O(1) state per open (user, day) group and timer-evicted
+    * group set as the fMGWS form; `transformWithState` additionally
+    * maintains per-variable column families in RocksDB, which is what makes
+    * multi-variable processors (and state schema evolution) feasible at
+    * 100 TB — the API a new Spark 4 deployment would write this operator
+    * against.
+    */
+  def rateLimitEmissionsTws(
+      spark: SparkSession, sfDir: String, perDay: Int = 5): DataFrame = {
+    val out = rateLimitRuns.computeIfAbsent(s"$sfDir|tws|$perDay", _ => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val root = workDir(sfDir).resolve(s"ratelimit_tws_$perDay")
+      val staging = stageRateLimitReplay(spark, sfDir, root)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val emissions = rateLimitSource(spark, staging)
+        .groupByKey(e => (e.user_id, e.day))
+        .transformWithState(
+          new RateLimitProcessor(perDay), TimeMode.EventTime(), OutputMode.Append())
 
       val outDir = root.resolve("out")
       val query = emissions.writeStream

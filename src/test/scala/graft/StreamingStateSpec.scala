@@ -313,6 +313,16 @@ class StreamingStateSpec extends AnyFunSuite {
       "generous-watermark snapshot diverged from the batch windowed counts")
   }
 
+  test("transformWithState rate limiter equals the flatMapGroupsWithState form row-for-row") {
+    // two state APIs, one semantics: the Spark-4 StatefulProcessor twin
+    // (typed ValueState + explicit event-time timer) must reproduce the
+    // fMGWS admission stream exactly — same replay, same sort, same cap
+    val fmgws = StreamingState.rateLimitEmissions(spark, sfDir, perDay = 5)
+    val tws = StreamingState.rateLimitEmissionsTws(spark, sfDir, perDay = 5)
+    assert(fmgws.count() > 0)
+    assert(tws.exceptAll(fmgws).isEmpty && fmgws.exceptAll(tws).isEmpty)
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
