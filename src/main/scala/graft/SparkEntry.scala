@@ -1291,6 +1291,11 @@ object SparkEntry {
     // vocabulary) — the continuous twin of q_events_trending, same oracle
     "q_streaming_trending" -> ((s, dir) =>
       StreamingState.trendingSnapshot(s, dir)),
+    // the SAME leaderboard on Spark 4's transformWithState API: per-type
+    // counts as named MapState entries (own RocksDB column family, O(types
+    // touched) state I/O per batch) instead of one encoder-blob map
+    "q_streaming_trending_tws" -> ((s, dir) =>
+      StreamingState.trendingSnapshotTws(s, dir)),
     // streaming KMV sketch: the k-minimum-values distinct sketch maintained
     // in O(k) keyed state as the log replays — order-independent, so the
     // final sketch equals the batch sketch exactly
@@ -2970,6 +2975,7 @@ object SparkEntry {
     // the streaming leaderboard maintains the same per-window top-3
     // incrementally — shared oracle so the semantics cannot drift
     "q_streaming_trending" -> trendingOracleSql,
+    "q_streaming_trending_tws" -> trendingOracleSql,
     // transitions: lead over the same (us, event_id) per-user order
     "q_events_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

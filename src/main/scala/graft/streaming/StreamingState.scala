@@ -631,31 +631,59 @@ object StreamingState {
     * closed hours evict (the [[streamingDedupBounded]] move). Emission
     * volume is k rows per touched window per batch.
     */
+  /** Stage the trending replay (hour-window-keyed event types, time-ordered
+    * chunks) — shared by the two state-API forms of the streaming
+    * leaderboard so they consume byte-identical replays.
+    */
+  private def stageTrendingReplay(
+      spark: SparkSession, sfDir: String, root: Path): Path = {
+    Fs.deleteRecursively(root)
+    val staging = root.resolve("staging")
+    Files.createDirectories(staging)
+    val staged = Tables.withOrderedChunks(
+      Tables.events(spark, sfDir).select(
+        col("event_type"), col("ts"), col("event_id"),
+        expr("(unix_micros(ts) DIV 3600000000) * 3600").as("ws")),
+      NumChunks, Seq(col("ts"), col("event_id"))).drop("ts", "event_id")
+    stageChunks(staged, root, staging)
+    staging
+  }
+
+  /** The staged trending replay as a stream (shared source plan of both
+    * leaderboard forms). */
+  private def trendingSource(
+      spark: SparkSession, staging: Path): org.apache.spark.sql.Dataset[TrendEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_type", StringType), StructField("ws", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging.toString)
+      .as[TrendEvent]
+  }
+
+  /** Final leaderboard from the emission log (shared by both forms): the
+    * highest-n_updates emission per window, exploded to (window, type, n,
+    * rank) rows. */
+  private def trendingBoard(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+      .groupBy("window_start_s")
+      .agg(max_by(col("tops"), col("n_updates")).as("tops"))
+      .select(col("window_start_s"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("window_start_s"), col("t.event_type").as("event_type"),
+        col("t.n_events").as("n_events"), (col("pos") + 1).cast("int").as("rank"))
+
   def trendingSnapshot(
       spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val out = trendingRuns.computeIfAbsent(s"$sfDir|$k", _ => {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      import org.apache.spark.sql.expressions.Window
       val root = workDir(sfDir).resolve(s"trending_$k")
-      Fs.deleteRecursively(root)
-      val staging = root.resolve("staging")
-      Files.createDirectories(staging)
-      val staged = Tables.withOrderedChunks(
-        Tables.events(spark, sfDir).select(
-          col("event_type"), col("ts"), col("event_id"),
-          expr("(unix_micros(ts) DIV 3600000000) * 3600").as("ws")),
-        NumChunks, Seq(col("ts"), col("event_id"))).drop("ts", "event_id")
-      stageChunks(staged, root, staging)
+      val staging = stageTrendingReplay(spark, sfDir, root)
 
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import spark.implicits._
-      val source = spark.readStream
-        .schema(StructType(Seq(
-          StructField("event_type", StringType), StructField("ws", LongType))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staging.toString)
-        .as[TrendEvent]
+      val source = trendingSource(spark, staging)
 
       val updates = source
         .groupByKey(_.ws)
@@ -684,12 +712,94 @@ object StreamingState {
       query.awaitTermination()
       outDir.toString
     })
-    spark.read.parquet(out)
-      .groupBy("window_start_s")
-      .agg(max_by(col("tops"), col("n_updates")).as("tops"))
-      .select(col("window_start_s"), posexplode(col("tops")).as(Seq("pos", "t")))
-      .select(col("window_start_s"), col("t.event_type").as("event_type"),
-        col("t.n_events").as("n_events"), (col("pos") + 1).cast("int").as("rank"))
+    trendingBoard(spark, out)
+  }
+
+  /** The per-window leaderboard as a Spark-4
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] — the state logic
+    * of [[trendingSnapshot]] on `transformWithState`, and the showcase for
+    * why the new API matters at scale: the per-type counts live in a named
+    * `MapState[String, Long]` (its OWN RocksDB column family, one entry per
+    * type), so a batch touches exactly the types it saw — where the fMGWS
+    * form round-trips the ENTIRE vocabulary map through the encoder blob on
+    * every batch (read-all, rewrite-all, even for a one-event batch). A
+    * second named variable (`batches`, `ValueState[Long]`) carries the
+    * emission ordinal — multiple independently-typed state variables per
+    * key is the other capability fMGWS's single-state shape cannot express.
+    *
+    * Each batch pre-aggregates its slice in memory and issues ONE
+    * getValue+updateValue per TOUCHED type (a per-batch delta merge), so
+    * state I/O is O(types touched), not O(events) and not O(vocabulary).
+    * Counts are commutative, so emissions equal the fMGWS form's exactly.
+    */
+  private final class TrendingProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TrendEvent, TrendEmit] {
+    import org.apache.spark.sql.streaming.{
+      MapState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var batches: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders
+      counts = getHandle.getMapState[String, Long](
+        "counts", enc.STRING, enc.scalaLong, TTLConfig.NONE)
+      batches = getHandle.getValueState[Long](
+        "batches", enc.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        ws: Long, rows: Iterator[TrendEvent],
+        timerValues: TimerValues): Iterator[TrendEmit] = {
+      val delta = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach(e => delta.update(e.event_type, delta.getOrElse(e.event_type, 0L) + 1L))
+      delta.foreach { case (t, d) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + d)
+      }
+      val n = (if (batches.exists()) batches.get() else 0L) + 1L
+      batches.update(n)
+      val tops = counts.iterator().toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(k).map { case (t, c) => TrendTop(t, c) }
+      Iterator.single(TrendEmit(ws, n, tops))
+    }
+  }
+
+  /** Streaming trending leaderboard on the `transformWithState` API —
+    * identical replay, state transitions, and emissions as
+    * [[trendingSnapshot]] (shared staging, shared oracle), differing only
+    * in the state API (see [[TrendingProcessor]]): per-type counts as
+    * MapState entries instead of one encoder-blob map. Registered
+    * separately so the oracle gate pins both state APIs against one SQL.
+    */
+  def trendingSnapshotTws(
+      spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val out = trendingRuns.computeIfAbsent(s"$sfDir|tws|$k", _ => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val root = workDir(sfDir).resolve(s"trending_tws_$k")
+      val staging = stageTrendingReplay(spark, sfDir, root)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val updates = trendingSource(spark, staging)
+        .groupByKey(_.ws)
+        .transformWithState(
+          new TrendingProcessor(k), TimeMode.None(), OutputMode.Append())
+
+      val outDir = root.resolve("out")
+      val query = updates.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    trendingBoard(spark, out)
   }
 
   /** One hashed value for the streaming KMV sketch (key = group). */

@@ -323,6 +323,15 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(tws.exceptAll(fmgws).isEmpty && fmgws.exceptAll(tws).isEmpty)
   }
 
+  test("transformWithState trending leaderboard equals the flatMapGroupsWithState form row-for-row") {
+    // MapState-per-type vs encoder-blob map: same counts, same top-k, same
+    // emission ordinals — the state API must be invisible in the output
+    val fmgws = StreamingState.trendingSnapshot(spark, sfDir)
+    val tws = StreamingState.trendingSnapshotTws(spark, sfDir)
+    assert(fmgws.count() > 0)
+    assert(tws.exceptAll(fmgws).isEmpty && fmgws.exceptAll(tws).isEmpty)
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
