@@ -1475,7 +1475,11 @@ object Similarity {
       .sortBy(_._1)
     require(qvecs.length == queryIds.distinct.length,
       s"pqShortlist: ${queryIds.distinct.length} query ids, found ${qvecs.length}")
-    val branches = qvecs.map { case (qid, q) =>
+    // ONE scan for all queries: the code columns are query-INDEPENDENT, so
+    // the per-query scores stack as an inline exploded array over the same
+    // computed codes — where a union of per-query branches would re-scan
+    // the corpus and recompute every m×k code distance |q| times
+    val perQuery = qvecs.map { case (qid, q) =>
       val qn = math.sqrt(q.map(x => x * x).sum)
       val approxDot = (0 until m).map { s =>
         val lut = codebooks(s).map { c =>
@@ -1486,11 +1490,15 @@ object Similarity {
         }
         element_at(array(lut.toIndexedSeq.map(lit): _*), col(s"c$s") + 1)
       }.reduce(_ + _)
-      base.filter(col("neighbor_id") =!= qid).select(
-        lit(qid).as("query_id"), col("neighbor_id"),
+      struct(lit(qid).as("query_id"),
         round(approxDot / (lit(qn) * col("nn")), 6).as("score"))
     }
-    topKPerQuery(branches.reduce(_ unionByName _), l)
+    val scored = base
+      .select(col("neighbor_id"), explode(array(perQuery.toIndexedSeq: _*)).as("qs"))
+      .filter(col("qs.query_id") =!= col("neighbor_id"))
+      .select(col("qs.query_id").as("query_id"), col("neighbor_id"),
+        col("qs.score").as("score"))
+    topKPerQuery(scored, l)
   }
 
   /** Exact-cosine re-rank of candidate (query_id, neighbor_id) pairs —
