@@ -71,6 +71,29 @@ case "${1:?stage}" in
         2>/dev/null | tail -1 >> BENCH_r11_artifact_sf10.jsonl
     done
     ;;
+  tws1)
+    # the transformWithState twins vs their fMGWS forms, cold and solo —
+    # alternating within one stage so the A/B is like-for-like (the r11
+    # triage protocol: block-ordered pairs measure machine drift, not code)
+    : > BENCH_r11_tws_sf1.jsonl
+    for q in q_streaming_rate_limit_tws q_streaming_rate_limit \
+             q_streaming_trending_tws q_streaming_trending; do
+      SPARK_GRAFT_SF_DIR=target/benchdata/sf1 SPARK_GRAFT_CPUS=32 \
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_ONLY=$q \
+        scripts/run_main.sh -m48g graft.StreamingBench \
+        2>/dev/null | tail -1 >> BENCH_r11_tws_sf1.jsonl
+    done
+    ;;
+  tws10)
+    : > BENCH_r11_tws_sf10.jsonl
+    for q in q_streaming_rate_limit_tws q_streaming_rate_limit \
+             q_streaming_trending_tws q_streaming_trending; do
+      SPARK_GRAFT_SF_DIR=target/benchdata/sf10 SPARK_GRAFT_CPUS=32 \
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_ONLY=$q \
+        scripts/run_main.sh -m48g graft.StreamingBench \
+        2>/dev/null | tail -1 >> BENCH_r11_tws_sf10.jsonl
+    done
+    ;;
   *) echo "unknown stage $1" >&2; exit 2 ;;
 esac
 echo "STAGE_DONE $1"
