@@ -16,7 +16,12 @@ import org.apache.spark.sql.SparkSession
 object StreamingBench {
   private val DefaultQueries = Seq(
     "q_streaming_funnel", "q_streaming_cdc", "q_streaming_trending",
-    "q_streaming_rate_limit", "q_streaming_per_record")
+    "q_streaming_rate_limit", "q_streaming_per_record",
+    // the transformWithState twins: cold-benched by default so a perf
+    // regression in EITHER state API shows up in the artifact of record
+    // (totals are not comparable to pre-r11 five-query records; per-query
+    // values are)
+    "q_streaming_trending_tws", "q_streaming_rate_limit_tws")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

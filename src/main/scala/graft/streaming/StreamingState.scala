@@ -632,8 +632,9 @@ object StreamingState {
     * volume is k rows per touched window per batch.
     */
   /** Stage the trending replay (hour-window-keyed event types, time-ordered
-    * chunks) — shared by the two state-API forms of the streaming
-    * leaderboard so they consume byte-identical replays.
+    * chunks). Shared CODE between the two state-API forms (separate roots);
+    * replay equality rests on the total (ts, event_id) chunk sort — see
+    * [[stageRateLimitReplay]]'s caveat.
     */
   private def stageTrendingReplay(
       spark: SparkSession, sfDir: String, root: Path): Path = {
@@ -727,10 +728,12 @@ object StreamingState {
     * emission ordinal — multiple independently-typed state variables per
     * key is the other capability fMGWS's single-state shape cannot express.
     *
-    * Each batch pre-aggregates its slice in memory and issues ONE
-    * getValue+updateValue per TOUCHED type (a per-batch delta merge), so
-    * state I/O is O(types touched), not O(events) and not O(vocabulary).
-    * Counts are commutative, so emissions equal the fMGWS form's exactly.
+    * Each batch pre-aggregates its slice in memory and issues one
+    * containsKey + getValue + updateValue per TOUCHED type (the probe
+    * guards the primitive-Long unboxing of an absent key), so state I/O is
+    * O(types touched) point ops — not O(events), and not the O(vocabulary)
+    * blob rewrite. Counts are commutative, so emissions equal the fMGWS
+    * form's exactly.
     */
   private final class TrendingProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -917,8 +920,11 @@ object StreamingState {
   private val rateLimitRuns = new ConcurrentHashMap[String, String]()
 
   /** Stage the rate-limit replay (time-ordered chunks of the events table,
-    * day-keyed) under `root/staging` — shared by the two state-API forms of
-    * the streaming rate limiter so they consume byte-identical replays.
+    * day-keyed) under `root/staging`. The two state-API forms of the rate
+    * limiter share this CODE but stage under separate roots — their replays
+    * are equal because the chunk assignment sorts by the TOTAL order
+    * (ts, event_id), not by construction; weakening that sort to a
+    * non-total order would silently break the row-for-row differential.
     */
   private def stageRateLimitReplay(
       spark: SparkSession, sfDir: String, root: Path): Path = {
