@@ -342,6 +342,11 @@ object SparkEntry {
     //      file-stream replay → update-mode stateful agg (RocksDB state) →
     //      foreachBatch changelog sink; snapshot = latest value per key.
     "q_streaming_snapshot" -> ((s, dir) => StreamingState.snapshot(s, dir)),
+    // S6 restore + continue: StatefulProcessorWithInitialState bootstraps
+    // per-key state from the materialized first-half aggregate, streams the
+    // second half, overlays — must equal the full-history aggregate (the
+    // restored-instance-serves-the-same-answers contract)
+    "q_streaming_restore" -> ((s, dir) => StreamingState.restoredSnapshot(s, dir)),
     // ---- S4: per-batch update-mode emission is real — a key's update count
     //      equals the number of distinct chunks (micro-batches) containing it.
     "q_streaming_changelog_counts" -> ((s, dir) => StreamingState.changelogCounts(s, dir)),
@@ -1928,6 +1933,8 @@ object SparkEntry {
     // per-key update count must equal the number of distinct replay chunks
     // (micro-batches) containing that key.
     "q_streaming_snapshot" -> s"$W SELECT * FROM agg",
+    // restore + continue must be invisible: same full-history aggregate
+    "q_streaming_restore" -> s"$W SELECT * FROM agg",
     "q_statestore_query" -> s"$W SELECT * FROM agg",
     "q_streaming_dedup_keys" -> s"$W SELECT DISTINCT symbol FROM txns",
     "q_streaming_key_query" -> s"$W SELECT * FROM agg WHERE symbol = 'U000007'",

@@ -1142,6 +1142,154 @@ object StreamingState {
         col("rank"))
   }
 
+  /** Exact cents of a 2-dp dollar amount (see [[RunningTotals]]). */
+  private def centsOf(amount: Double): Long =
+    java.math.BigDecimal.valueOf(amount)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  /** One restored-store row / one post-restore update (same shape). */
+  final case class RestoreInit(
+      symbol: String, buys: Double, sells: Double, number_shares: Long)
+  final case class RestoreEmit(
+      symbol: String, buys: Double, sells: Double, number_shares: Long)
+
+  private val restoreRuns = new ConcurrentHashMap[String, String]()
+
+  /** State RESTORE + continue — the reference's S6 capability
+    * (changelog restore / standby warm-up: `NUM_STANDBY_REPLICAS=1`,
+    * `config/KafkaStreamsAppConfiguration.java:99`; standby failover
+    * `controller/StockController.java:124-135`) expressed the Spark-4 way:
+    * a `StatefulProcessorWithInitialState` whose `handleInitialState` seeds
+    * each key's `ValueState` from the MATERIALIZED AGGREGATE (the restored
+    * store contents), after which `handleInputRows` continues the running
+    * totals over the live stream. Kafka Streams rebuilds the store by
+    * replaying the changelog topic; here the snapshot table IS the compacted
+    * changelog, and the bootstrap is one batch read instead of a replay.
+    *
+    * Dollar state is integer CENTS ([[RunningTotals]]): the restored doubles
+    * are exact 2-dp decimals, so restore→cents→add→/100.0 is EXACTLY the
+    * full-history decimal aggregate — the restore seam is invisible in the
+    * output, which is the restore correctness contract.
+    */
+  private final class RestoreProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, TxnEvent, RestoreEmit, RestoreInit] {
+    import org.apache.spark.sql.streaming.{
+      OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var totals: ValueState[RunningTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[RunningTotals]("totals",
+        org.apache.spark.sql.Encoders.product[RunningTotals], TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: String, init: RestoreInit, timerValues: TimerValues): Unit =
+      totals.update(RunningTotals(
+        centsOf(init.buys), centsOf(init.sells), init.number_shares))
+
+    override def handleInputRows(
+        key: String, rows: Iterator[TxnEvent],
+        timerValues: TimerValues): Iterator[RestoreEmit] = {
+      var st = if (totals.exists()) totals.get() else RunningTotals(0L, 0L, 0L)
+      rows.foreach { t =>
+        val c = centsOf(t.amount)
+        st = RunningTotals(
+          st.buysCents + (if (t.buy) c else 0L),
+          st.sellsCents + (if (t.buy) 0L else c),
+          st.shares + t.number_shares)
+      }
+      totals.update(st)
+      Iterator.single(
+        RestoreEmit(key, st.buysCents / 100.0, st.sellsCents / 100.0, st.shares))
+    }
+  }
+
+  /** The restored-then-continued snapshot: the FIRST HALF of the replay
+    * (chunks 0..1) is aggregated in batch and written as the "restored
+    * store" (standing in for a pre-existing materialized state at restore
+    * time), the SECOND HALF (chunks 2..3) streams through a
+    * [[RestoreProcessor]] bootstrapped from it, and the final store contents
+    * are the live-updated keys overlaid on the restored table (untouched
+    * keys pass through — exactly a store restored then caught up).
+    *
+    * Must equal the full-history batch aggregate row-for-row (the reference
+    * restore contract: a restored instance serves the same answers) — same
+    * DuckDB oracle as `q_streaming_snapshot`, and the differential spec pins
+    * it against [[graft.operators.StockAggregation.aggregate]].
+    *
+    * Scale: the bootstrap is one batch scan of the snapshot table into
+    * per-key state (no changelog replay), the stream is the same keyed
+    * aggregation as everywhere else, and the final overlay is one full-outer
+    * hash join keyed by symbol.
+    */
+  def restoredSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val rootStr = restoreRuns.computeIfAbsent(sfDir, _ => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val root = workDir(sfDir).resolve("restore")
+      Fs.deleteRecursively(root)
+      val staging = root.resolve("staging")
+      Files.createDirectories(staging)
+      val half = NumChunks / 2
+      val txns = Tables.transactionsWithId(spark, sfDir)
+        .withColumn("chunk", (col("event_id") % NumChunks).cast("int"))
+      // the "restored store": the aggregate a prior instance had materialized
+      val restoredDir = root.resolve("restored")
+      StockAggregation.aggregate(
+        txns.filter(col("chunk") < half).drop("chunk", "event_id"))
+        .coalesce(1).write.parquet(restoredDir.toString)
+      // the live topic after restore: the remaining chunks, renumbered
+      stageChunks(
+        txns.filter(col("chunk") >= half)
+          .withColumn("chunk", col("chunk") - half),
+        root, staging, NumChunks - half)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val initState = spark.read.parquet(restoredDir.toString)
+        .as[RestoreInit].groupByKey(_.symbol)
+      val source = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("symbol", StringType),
+          StructField("buy", BooleanType), StructField("amount", DoubleType),
+          StructField("number_shares", IntegerType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .as[TxnEvent]
+      val emissions = source
+        .groupByKey(_.symbol)
+        .transformWithState(
+          new RestoreProcessor, TimeMode.None(), OutputMode.Append(), initState)
+
+      val outDir = root.resolve("out")
+      val query = emissions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      root.toString
+    })
+    val root = Paths.get(rootStr)
+    // latest live update per key: shares strictly grow per touched batch
+    val latest = spark.read.parquet(root.resolve("out").toString)
+      .groupBy("symbol")
+      .agg(max_by(struct(col("buys"), col("sells"), col("number_shares")),
+        col("number_shares")).as("s"))
+      .select(col("symbol"), col("s.buys").as("lbuys"),
+        col("s.sells").as("lsells"), col("s.number_shares").as("lshares"))
+    spark.read.parquet(root.resolve("restored").toString)
+      .join(latest, Seq("symbol"), "full_outer")
+      .select(col("symbol"),
+        coalesce(col("lbuys"), col("buys")).as("buys"),
+        coalesce(col("lsells"), col("sells")).as("sells"),
+        coalesce(col("lshares"), col("number_shares")).as("number_shares"))
+  }
+
   private val incDedupRuns = new ConcurrentHashMap[String, String]()
 
   /** CONTINUOUS-INGESTION near-dedup — the streaming twin of

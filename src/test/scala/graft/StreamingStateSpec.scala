@@ -332,6 +332,15 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(tws.exceptAll(fmgws).isEmpty && fmgws.exceptAll(tws).isEmpty)
   }
 
+  test("restore-then-continue equals the full-history batch aggregate") {
+    // the S6 contract: bootstrapping state from the materialized first-half
+    // aggregate and streaming the second half must be invisible — the
+    // restored instance serves exactly the answers a never-restarted one does
+    val restored = StreamingState.restoredSnapshot(spark, sfDir)
+    assert(restored.count() == batchAgg.count())
+    assert(restored.exceptAll(batchAgg).isEmpty && batchAgg.exceptAll(restored).isEmpty)
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
