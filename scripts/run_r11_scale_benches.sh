@@ -94,6 +94,16 @@ case "${1:?stage}" in
         2>/dev/null | tail -1 >> BENCH_r11_tws_sf10.jsonl
     done
     ;;
+  restore)
+    # the S6 restore-and-continue path, cold solo at both scales
+    : > BENCH_r11_restore.jsonl
+    for sf in sf1 sf10; do
+      SPARK_GRAFT_SF_DIR=target/benchdata/$sf SPARK_GRAFT_CPUS=32 \
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_ONLY=q_streaming_restore \
+        scripts/run_main.sh -m48g graft.StreamingBench \
+        2>/dev/null | tail -1 >> BENCH_r11_restore.jsonl
+    done
+    ;;
   *) echo "unknown stage $1" >&2; exit 2 ;;
 esac
 echo "STAGE_DONE $1"

@@ -17,11 +17,12 @@ object StreamingBench {
   private val DefaultQueries = Seq(
     "q_streaming_funnel", "q_streaming_cdc", "q_streaming_trending",
     "q_streaming_rate_limit", "q_streaming_per_record",
-    // the transformWithState twins: cold-benched by default so a perf
-    // regression in EITHER state API shows up in the artifact of record
-    // (totals are not comparable to pre-r11 five-query records; per-query
-    // values are)
-    "q_streaming_trending_tws", "q_streaming_rate_limit_tws")
+    // the transformWithState twins + the restore path: cold-benched by
+    // default so a perf regression in EITHER state API (or the initial-state
+    // bootstrap) shows up in the artifact of record (totals are not
+    // comparable to pre-r11 five-query records; per-query values are)
+    "q_streaming_trending_tws", "q_streaming_rate_limit_tws",
+    "q_streaming_restore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
