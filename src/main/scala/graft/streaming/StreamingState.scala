@@ -1105,11 +1105,16 @@ object StreamingState {
     * either Spark code path (or in our port between them) fails its own row.
     *
     * Scale: same O(1) state per open (user, day) group and timer-evicted
-    * group set as the fMGWS form; `transformWithState` additionally
-    * maintains per-variable column families in RocksDB, which is what makes
-    * multi-variable processors (and state schema evolution) feasible at
-    * 100 TB — the API a new Spark 4 deployment would write this operator
-    * against.
+    * group set as the fMGWS form — but NOT the same constant, measured
+    * (SCALING.md r11 tws table): at sf10's (user × day) cardinality the
+    * explicit per-group timer (its own RocksDB timer column family, written
+    * per group and replayed per watermark advance) costs ~2× over fMGWS's
+    * `EventTimeTimeout`, which rides in the state row it already writes; at
+    * sf1 the forms are at parity. So for single-value state with per-group
+    * expiry at huge group cardinality, [[rateLimitEmissions]] REMAINS the
+    * primary registered plan and this twin is the API-parity + correctness
+    * pin — where multi-entry state (see [[TrendingProcessor]]) measures the
+    * other way.
     */
   def rateLimitEmissionsTws(
       spark: SparkSession, sfDir: String, perDay: Int = 5): DataFrame = {
