@@ -97,4 +97,18 @@ class PqSpec extends AnyFunSuite {
     val n = emb.count()
     assert(counts.values.forall(_ == n - 1), s"per-query candidate counts: $counts")
   }
+
+  test("shortlist reads the corpus ONCE regardless of query count") {
+    // plan-shape pin for the r11 single-scan rewrite: the query-independent
+    // code columns are computed in one pass with the per-query scores
+    // stacked by explode — a union of per-query branches would re-scan the
+    // parquet (and recompute every code distance) |queries| times
+    val emb = Tables.embeddings(spark, sfDir)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val books = Similarity.trainPqCodebooks(emb, m = 4, k = 16, iters = 2)
+    val plan = Similarity.pqShortlist(emb, qids, books, l = 50)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 corpus scan, plan has $scans:\n$plan")
+  }
 }
