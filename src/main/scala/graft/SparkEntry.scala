@@ -999,11 +999,10 @@ object SparkEntry {
     // replay — union of per-batch emissions equals the batch rate limit
     "q_streaming_rate_limit" -> ((s, dir) =>
       StreamingState.rateLimitEmissions(s, dir, perDay = 5)),
-    // the SAME admission counter on Spark 4's transformWithState API
-    // (StatefulProcessor: typed named ValueState + explicit event-time
-    // eviction timer) — both state APIs pinned against one oracle
-    "q_streaming_rate_limit_tws" -> ((s, dir) =>
-      StreamingState.rateLimitEmissionsTws(s, dir, perDay = 5)),
+    // (the transformWithState form of this counter is SPEC-SIDE only, r12:
+    // its per-(user × day) timer column family measured 4.0×/decade —
+    // BENCH_r11_tws_sf{1,10}.jsonl — so it is the API-parity differential
+    // in StreamingStateSpec, not a registered serving path)
     // hourly active users, exact + HLL audit per tumbling window — the
     // mergeable-rollup contract checked window-by-window
     "q_sketch_window_users" -> ((s, dir) =>
@@ -1292,15 +1291,19 @@ object SparkEntry {
         emb.filter(col("vec_id") % 5 =!= 0))
     }),
     // streaming trending leaderboard: per-hour top-3 event types maintained
-    // incrementally in keyed state (counts per window, bounded by the type
-    // vocabulary) — the continuous twin of q_events_trending, same oracle
+    // incrementally in keyed state — the continuous twin of q_events_trending,
+    // same oracle. PRIMARY plan (r12) is the transformWithState MapState form:
+    // per-type counts as named MapState entries + an incrementally-exact top-k
+    // board, O(types touched + k) state I/O per batch — measured faster than
+    // the fMGWS encoder-blob form on every alternating sf10 sample (min-ratio
+    // 0.88×, BENCH_r11_tws_sf10.jsonl)
     "q_streaming_trending" -> ((s, dir) =>
-      StreamingState.trendingSnapshot(s, dir)),
-    // the SAME leaderboard on Spark 4's transformWithState API: per-type
-    // counts as named MapState entries (own RocksDB column family, O(types
-    // touched) state I/O per batch) instead of one encoder-blob map
-    "q_streaming_trending_tws" -> ((s, dir) =>
       StreamingState.trendingSnapshotTws(s, dir)),
+    // the SAME leaderboard on flatMapGroupsWithState (one encoder-blob count
+    // map per window) — measured linear too, kept registered so the oracle
+    // gate pins both state APIs against one SQL
+    "q_streaming_trending_fmgws" -> ((s, dir) =>
+      StreamingState.trendingSnapshot(s, dir)),
     // streaming KMV sketch: the k-minimum-values distinct sketch maintained
     // in O(k) keyed state as the log replays — order-independent, so the
     // final sketch equals the batch sketch exactly
@@ -2967,7 +2970,6 @@ object SparkEntry {
     "q_events_rate_limit" -> rateLimitOracle,
     // the streaming admission counter unions to the identical admitted set
     "q_streaming_rate_limit" -> rateLimitOracle,
-    "q_streaming_rate_limit_tws" -> rateLimitOracle,
     // hourly active users: oracle recomputes the exact side per tumbling
     // window and asserts the within-bound verdict (the sketch audit move)
     "q_sketch_window_users" ->
@@ -2980,9 +2982,10 @@ object SparkEntry {
     // order the bounded heap's (-n_events, event_type) struct encodes
     "q_events_trending" -> trendingOracleSql,
     // the streaming leaderboard maintains the same per-window top-3
-    // incrementally — shared oracle so the semantics cannot drift
+    // incrementally — both state-API forms share the oracle so the
+    // semantics cannot drift
     "q_streaming_trending" -> trendingOracleSql,
-    "q_streaming_trending_tws" -> trendingOracleSql,
+    "q_streaming_trending_fmgws" -> trendingOracleSql,
     // transitions: lead over the same (us, event_id) per-user order
     "q_events_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

@@ -17,12 +17,14 @@ object StreamingBench {
   private val DefaultQueries = Seq(
     "q_streaming_funnel", "q_streaming_cdc", "q_streaming_trending",
     "q_streaming_rate_limit", "q_streaming_per_record",
-    // the transformWithState twins + the restore path: cold-benched by
+    // both trending state-API forms + the restore path: cold-benched by
     // default so a perf regression in EITHER state API (or the initial-state
-    // bootstrap) shows up in the artifact of record (totals are not
-    // comparable to pre-r11 five-query records; per-query values are)
-    "q_streaming_trending_tws", "q_streaming_rate_limit_tws",
-    "q_streaming_restore")
+    // bootstrap) shows up in the artifact of record. Since r12
+    // q_streaming_trending IS the transformWithState MapState form and
+    // _fmgws is the flatMapGroupsWithState twin; the rate-limit tws form is
+    // spec-side only (measured 4.0×/decade, BENCH_r11_tws_sf10.jsonl).
+    // Totals are not comparable across rounds; per-query values are.
+    "q_streaming_trending_fmgws", "q_streaming_restore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

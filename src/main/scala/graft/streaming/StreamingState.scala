@@ -127,6 +127,79 @@ object StreamingState {
     changelogStr
   }
 
+  /** The checkpoint stop/restart seam under a REAL mid-flight kill — the
+    * Spark-native analogue of the reference's failover test, which kills an
+    * instance mid-stream and asserts the restarted one serves the same
+    * answers (`InteractiveQueriesIntegrationTest.java:100-158`; standby
+    * failover `controller/StockController.java:124-135`).
+    *
+    * Phase 1 runs the S1→A2→S4 pipeline on a continuous trigger and calls
+    * `stop()` as soon as at least two micro-batches have committed — the
+    * interrupt can land mid-batch, leaving the classic crash residue: an
+    * offsets-log entry without its commit, and possibly a half-written sink
+    * attempt. Phase 2 starts the IDENTICAL query on the SAME checkpoint and
+    * runs to completion. Spark's recovery contract does the rest: the
+    * planned-but-uncommitted batch re-executes over exactly the files its
+    * offsets-log entry recorded, RocksDB state reloads from the last
+    * committed version, and the idempotent per-batch-partition sink
+    * ([[Transport.writeBatchIdempotent]]) overwrites any partial attempt —
+    * so the final changelog must have each epoch exactly once and the
+    * snapshot must equal a never-killed run's. `StreamingStateSpec`'s
+    * restart test asserts both.
+    *
+    * Returns (changelog dir, batches committed before the kill, chunks
+    * staged). Stages its own replay (more chunks than [[NumChunks]] so the
+    * kill reliably lands mid-stream) under a root separate from
+    * [[ensureRun]]'s.
+    */
+  def killAndRestartRun(
+      spark: SparkSession, sfDir: String, chunks: Int = 8): (String, Int, Int) = {
+    val root = workDir(sfDir).resolve("restart_kill")
+    Fs.deleteRecursively(root)
+    val staging = root.resolve("staging")
+    val checkpoint = root.resolve("checkpoint")
+    val changelog = root.resolve("changelog")
+    Files.createDirectories(staging)
+    stageChunks(
+      Tables.transactionsChunked(spark, sfDir, chunks), root, staging, chunks)
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def start(trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+      val wire = Transport.readTransactionStream(spark,
+        Transport.SourceFormat.FileReplay(staging.toString, txnSchema))
+      val agg = StockAggregation.aggregate(Transport.decodeWire(wire))
+      Transport
+        .changelogWriter(agg, Transport.SinkFormat.FileChangelog(changelog.toString))
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint.toString)
+        .trigger(trigger)
+        .start()
+    }
+
+    // the authoritative committed-batch count: the checkpoint's commit log
+    def committed(): Int = {
+      val names = Option(checkpoint.resolve("commits").toFile.list())
+        .getOrElse(Array.empty[String])
+      names.count(n => n.nonEmpty && n.forall(_.isDigit))
+    }
+
+    // phase 1: continuous trigger, kill once >= 2 batches committed
+    val q1 = start(Trigger.ProcessingTime(0L))
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    while (committed() < 2 && q1.isActive && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    q1.stop() // the kill — may interrupt a batch mid-flight
+    q1.awaitTermination()
+    val before = committed()
+
+    // phase 2: same query, same checkpoint, run the remainder to completion
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination()
+    (changelog.toString, before, chunks)
+  }
+
   /** See [[Transport.writeBatchIdempotent]] — shared by the non-changelog
     * streaming twins below (funnel, incremental dedup), whose sinks are
     * plain per-batch verdict dumps, not the S4 changelog.
@@ -716,6 +789,11 @@ object StreamingState {
     trendingBoard(spark, out)
   }
 
+  /** Exact current top-k carried between batches (see [[TrendingProcessor]]:
+    * the board the previous batch emitted, which bounds the candidates the
+    * next one must consider). */
+  final case class TopkSnap(tops: Seq[TrendTop])
+
   /** The per-window leaderboard as a Spark-4
     * [[org.apache.spark.sql.streaming.StatefulProcessor]] — the state logic
     * of [[trendingSnapshot]] on `transformWithState`, and the showcase for
@@ -723,17 +801,23 @@ object StreamingState {
     * `MapState[String, Long]` (its OWN RocksDB column family, one entry per
     * type), so a batch touches exactly the types it saw — where the fMGWS
     * form round-trips the ENTIRE vocabulary map through the encoder blob on
-    * every batch (read-all, rewrite-all, even for a one-event batch). A
-    * second named variable (`batches`, `ValueState[Long]`) carries the
-    * emission ordinal — multiple independently-typed state variables per
-    * key is the other capability fMGWS's single-state shape cannot express.
+    * every batch (read-all, rewrite-all, even for a one-event batch). Two
+    * more named variables (`topk`, the exact current board; `batches`, the
+    * emission ordinal) ride alongside — multiple independently-typed state
+    * variables per key is the other capability fMGWS's single-state shape
+    * cannot express.
     *
     * Each batch pre-aggregates its slice in memory and issues one
     * containsKey + getValue + updateValue per TOUCHED type (the probe
-    * guards the primitive-Long unboxing of an absent key), so state I/O is
-    * O(types touched) point ops — not O(events), and not the O(vocabulary)
-    * blob rewrite. Counts are commutative, so emissions equal the fMGWS
-    * form's exactly.
+    * guards the primitive-Long unboxing of an absent key). The top-k board
+    * is maintained EXACTLY without ever iterating the map: counts only
+    * grow, so the new top-k is a subset of (previous board ∪ types touched
+    * this batch) — an untouched type off the board cannot overtake an entry
+    * whose count did not shrink. Merge previous board + touched types at
+    * their new counts, re-rank by (-count, type), truncate to k. So state
+    * I/O is O(types touched + k) point ops per batch — reads AND writes —
+    * not O(events) and not O(vocabulary). Counts are commutative, so
+    * emissions equal the fMGWS form's exactly.
     */
   private final class TrendingProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -742,12 +826,15 @@ object StreamingState {
       MapState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
 
     @transient private var counts: MapState[String, Long] = _
+    @transient private var topk: ValueState[TopkSnap] = _
     @transient private var batches: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val enc = org.apache.spark.sql.Encoders
       counts = getHandle.getMapState[String, Long](
         "counts", enc.STRING, enc.scalaLong, TTLConfig.NONE)
+      topk = getHandle.getValueState[TopkSnap](
+        "topk", enc.product[TopkSnap], TTLConfig.NONE)
       batches = getHandle.getValueState[Long](
         "batches", enc.scalaLong, TTLConfig.NONE)
     }
@@ -757,14 +844,20 @@ object StreamingState {
         timerValues: TimerValues): Iterator[TrendEmit] = {
       val delta = scala.collection.mutable.HashMap.empty[String, Long]
       rows.foreach(e => delta.update(e.event_type, delta.getOrElse(e.event_type, 0L) + 1L))
+      // candidates = previous exact board ∪ touched types at their NEW
+      // counts (touched board members overwritten by the fresh count)
+      val merged = scala.collection.mutable.HashMap.empty[String, Long]
+      if (topk.exists()) topk.get().tops.foreach(t => merged.update(t.event_type, t.n_events))
       delta.foreach { case (t, d) =>
         val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
         counts.updateValue(t, cur + d)
+        merged.update(t, cur + d)
       }
+      val tops = merged.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(k).map { case (t, c) => TrendTop(t, c) }
+      topk.update(TopkSnap(tops))
       val n = (if (batches.exists()) batches.get() else 0L) + 1L
       batches.update(n)
-      val tops = counts.iterator().toSeq.sortBy { case (t, c) => (-c, t) }
-        .take(k).map { case (t, c) => TrendTop(t, c) }
       Iterator.single(TrendEmit(ws, n, tops))
     }
   }
@@ -773,8 +866,16 @@ object StreamingState {
     * identical replay, state transitions, and emissions as
     * [[trendingSnapshot]] (shared staging, shared oracle), differing only
     * in the state API (see [[TrendingProcessor]]): per-type counts as
-    * MapState entries instead of one encoder-blob map. Registered
-    * separately so the oracle gate pins both state APIs against one SQL.
+    * MapState entries instead of one encoder-blob map.
+    *
+    * This is the PRIMARY registered plan for `q_streaming_trending` (r12):
+    * on the like-for-like alternating sf10 samples it beat the fMGWS form
+    * on every pair (min-ratio 0.88×, `BENCH_r11_tws_sf10.jsonl`) — for
+    * multi-entry per-key state the MapState point ops win over the blob
+    * rewrite, and the registry doctrine is that the registered name serves
+    * the measured-best plan. The fMGWS form stays registered as
+    * `q_streaming_trending_fmgws` (measured linear too) so the oracle gate
+    * still pins both state APIs against one SQL.
     */
   def trendingSnapshotTws(
       spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
@@ -1073,8 +1174,7 @@ object StreamingState {
         timerValues: TimerValues): Iterator[RateLimitEmit] = {
       var n = if (count.exists()) count.get() else {
         // first sight of this (user, day): arm the eviction timer once —
-        // fires when the watermark passes the day's close + one grace day,
-        // after which the counter can never admit again
+        // fires when the watermark passes the day's close + one grace day
         getHandle.registerTimer((key._2.toLong + 2) * 86400000L)
         0
       }
@@ -1092,6 +1192,12 @@ object StreamingState {
     override def handleExpiredTimer(
         key: (Long, Int), timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[RateLimitEmit] = {
+      // Clearing the counter does NOT itself prevent re-admission: a row
+      // slipping past the watermark for an evicted (user, day) would
+      // re-register a (past) timer and re-admit up to perDay on a fresh
+      // counter. Re-admission is prevented by the time-ordered replay + 1h
+      // watermark grace (no row arrives behind the watermark), the same
+      // watermark-loss contract as the fMGWS form's state.remove().
       count.clear()
       Iterator.empty
     }
@@ -1099,22 +1205,22 @@ object StreamingState {
 
   /** Streaming rate limiter on the `transformWithState` API — identical
     * replay, admission decisions, and output rows as [[rateLimitEmissions]]
-    * (one shared staging helper, one shared oracle), differing only in the
-    * state API (see [[RateLimitProcessor]]). Registered separately so the
-    * oracle gate pins BOTH state APIs against the same SQL: a regression in
-    * either Spark code path (or in our port between them) fails its own row.
+    * (one shared staging helper), differing only in the state API (see
+    * [[RateLimitProcessor]]).
     *
-    * Scale: same O(1) state per open (user, day) group and timer-evicted
-    * group set as the fMGWS form — but NOT the same constant, measured
-    * (SCALING.md r11 tws table): at sf10's (user × day) cardinality the
-    * explicit per-group timer (its own RocksDB timer column family, written
-    * per group and replayed per watermark advance) costs ~2× over fMGWS's
-    * `EventTimeTimeout`, which rides in the state row it already writes; at
-    * sf1 the forms are at parity. So for single-value state with per-group
-    * expiry at huge group cardinality, [[rateLimitEmissions]] REMAINS the
-    * primary registered plan and this twin is the API-parity + correctness
-    * pin — where multi-entry state (see [[TrendingProcessor]]) measures the
-    * other way.
+    * SPEC-SIDE ONLY since r12 (was `q_streaming_rate_limit_tws`): its own
+    * alternating cold decade measured 4.0×/10× (mins 23.8 → 95.8 s,
+    * `BENCH_r11_tws_sf{1,10}.jsonl`) vs 1.9× for the fMGWS form — one
+    * explicit timer per (user × day) group writes a RocksDB timer column
+    * family whose maintenance degrades at exactly the group cardinality a
+    * real rate limiter sees, where fMGWS's `EventTimeTimeout` rides in the
+    * state row it already writes. The repo rule is that a registered query
+    * IS a serving path, so the registry keeps only the measured-linear
+    * fMGWS primary; this form remains the transformWithState API-parity +
+    * correctness pin via `StreamingStateSpec`'s row-for-row differential —
+    * the same demotion precedent as the r10 exact-embedding forms. (For
+    * multi-entry per-key state the measurement goes the OTHER way — see
+    * [[TrendingProcessor]], the registered trending primary.)
     */
   def rateLimitEmissionsTws(
       spark: SparkSession, sfDir: String, perDay: Int = 5): DataFrame = {
@@ -1153,11 +1259,16 @@ object StreamingState {
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .movePointRight(2).longValueExact()
 
-  /** One restored-store row / one post-restore update (same shape). */
+  /** One restored-store row / one post-restore update. The emission carries
+    * an explicit per-key batch ordinal (`n_updates`, strictly increasing per
+    * touched batch) so "latest emission" is a property of the protocol, not
+    * of the data — picking by `number_shares` would silently rely on every
+    * txn carrying at least one share. */
   final case class RestoreInit(
       symbol: String, buys: Double, sells: Double, number_shares: Long)
   final case class RestoreEmit(
-      symbol: String, buys: Double, sells: Double, number_shares: Long)
+      symbol: String, buys: Double, sells: Double, number_shares: Long,
+      n_updates: Long)
 
   private val restoreRuns = new ConcurrentHashMap[String, String]()
 
@@ -1184,10 +1295,14 @@ object StreamingState {
       OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
 
     @transient private var totals: ValueState[RunningTotals] = _
+    @transient private var batches: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       totals = getHandle.getValueState[RunningTotals]("totals",
         org.apache.spark.sql.Encoders.product[RunningTotals], TTLConfig.NONE)
+      batches = getHandle.getValueState[Long]("batches",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInitialState(
         key: String, init: RestoreInit, timerValues: TimerValues): Unit =
@@ -1206,8 +1321,10 @@ object StreamingState {
           st.shares + t.number_shares)
       }
       totals.update(st)
-      Iterator.single(
-        RestoreEmit(key, st.buysCents / 100.0, st.sellsCents / 100.0, st.shares))
+      val n = (if (batches.exists()) batches.get() else 0L) + 1L
+      batches.update(n)
+      Iterator.single(RestoreEmit(
+        key, st.buysCents / 100.0, st.sellsCents / 100.0, st.shares, n))
     }
   }
 
@@ -1280,11 +1397,11 @@ object StreamingState {
       root.toString
     })
     val root = Paths.get(rootStr)
-    // latest live update per key: shares strictly grow per touched batch
+    // latest live update per key: the explicit emission ordinal
     val latest = spark.read.parquet(root.resolve("out").toString)
       .groupBy("symbol")
       .agg(max_by(struct(col("buys"), col("sells"), col("number_shares")),
-        col("number_shares")).as("s"))
+        col("n_updates")).as("s"))
       .select(col("symbol"), col("s.buys").as("lbuys"),
         col("s.sells").as("lsells"), col("s.number_shares").as("lshares"))
     spark.read.parquet(root.resolve("restored").toString)

@@ -341,6 +341,37 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(restored.exceptAll(batchAgg).isEmpty && batchAgg.exceptAll(restored).isEmpty)
   }
 
+  test("mid-flight kill + restart on the same checkpoint: no lost or duplicated epochs, snapshot identical") {
+    // the reference's failover contract (InteractiveQueriesIntegrationTest
+    // .java:100-158): kill an instance mid-stream, restart, same answers.
+    // killAndRestartRun stop()s the continuous query once >= 2 batches have
+    // committed (the interrupt may land mid-batch) and restarts the same
+    // query on the same checkpoint to completion.
+    val (dir, before, chunks) = StreamingState.killAndRestartRun(spark, sfDir)
+    assert(before >= 2, s"kill fired before any progress ($before batches)")
+    assert(before < chunks,
+      s"kill raced past end of stream ($before of $chunks batches committed)" +
+        " — the restart had nothing left to recover")
+    val log = spark.read.parquet(dir).drop("p_batch")
+    // every epoch exactly once: batch ids are 0..chunks-1 with no gaps, and
+    // within an epoch a key is emitted at most once (a replayed batch that
+    // appended instead of overwriting would duplicate here)
+    val ids = log.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until chunks.toLong),
+      s"changelog epochs after restart: ${ids.mkString(",")}")
+    val dupInBatch = log.groupBy("batch_id", "key").count()
+      .filter(col("count") > 1).count()
+    assert(dupInBatch == 0, "a recovered epoch emitted a key twice")
+    // the restored instance serves exactly the never-killed answers
+    val snap = graft.sources.Serdes.decodeAggregation(
+      log.groupBy(col("key"))
+        .agg(max_by(col("value"), col("batch_id")).as("value")))
+    assert(snap.count() == batchAgg.count())
+    assert(snap.except(batchAgg).isEmpty && batchAgg.except(snap).isEmpty,
+      "post-restart snapshot diverged from the never-killed aggregate")
+  }
+
   test("updates are cumulative state values, strictly growing per key") {
     // Decode every update with its batch id; per-event share counts are >= 1,
     // so a key's number_shares must strictly increase across the batches that
