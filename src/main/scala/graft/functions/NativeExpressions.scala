@@ -452,11 +452,17 @@ object NativeExpressions {
     * row to a near-optimal rather than optimal cell — the bounded operators
     * consume ANY deterministic partition (their semantics are "within the
     * cell a vector is assigned to"), and determinism is preserved exactly.
+    *
+    * `forceFlat = true` disables the two-level branch at any k — the exact
+    * flat scan used ONLY as the A/B baseline by the routing differentials
+    * (`NativeKernelsSpec`, `graft.RouteBench`); no registered plan sets it.
     */
-  final class DoubleCentroidIndex(val centroids: Array[Array[Double]])
+  final class DoubleCentroidIndex(
+      val centroids: Array[Array[Double]], forceFlat: Boolean = false)
       extends Serializable {
     private val coarseK =
-      if (centroids.length > 64) math.ceil(math.sqrt(centroids.length.toDouble)).toInt
+      if (!forceFlat && centroids.length > 64)
+        math.ceil(math.sqrt(centroids.length.toDouble)).toInt
       else 0
 
     private def pointD2(a: Array[Double], b: Array[Double]): Double = {

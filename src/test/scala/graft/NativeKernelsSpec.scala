@@ -543,6 +543,53 @@ class NativeKernelsSpec extends AnyFunSuite {
       s"two-level matched exact argmin on only $exactMatches/${got.size}")
   }
 
+  test("DoubleCentroidIndex two-level routing at production-shaped k (1024): exact-subset, near-exact vs forced-flat") {
+    // the serving regime the k>64 branch exists for is k ≈ N/250 (sf10 →
+    // k ≈ 2000); this pins the routing at k=1024 (32 coarse cells) over the
+    // 5000-vector sf0.1 corpus against the SAME kernel with forceFlat=true
+    // — one boolean away from the production path, exact at any k.
+    // RouteBench records the same differential (plus the alternating cost
+    // samples) on the scaled sf1/sf10 corpora → BENCH_r12_route_k.jsonl.
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    val cents = Similarity.trainKmeans(emb01, k = 1024, iters = 2)
+    val two = new NativeExpressions.DoubleCentroidIndex(cents)
+    val flat = new NativeExpressions.DoubleCentroidIndex(cents, forceFlat = true)
+    val rows = emb01.select(col("vec_id"),
+      NativeExpressions.nearestCentroidDist(col("embedding"), two).as("t"),
+      NativeExpressions.nearestCentroidDist(col("embedding"), flat).as("f"))
+      .collect()
+    var matches = 0
+    var sumTd = 0.0
+    var sumFd = 0.0
+    rows.foreach { r =>
+      val (tc, td) = (r.getStruct(1).getInt(0), r.getStruct(1).getDouble(1))
+      val (fc, fd) = (r.getStruct(2).getInt(0), r.getStruct(2).getDouble(1))
+      // the two-level result can never beat the exact argmin — strictly
+      // smaller d2 would mean the flat scan missed a cell (a kernel bug)
+      assert(td >= fd - 1e-9,
+        s"two-level d2 below the exact argmin at vec ${r.getLong(0)}")
+      if (tc == fc) { assert(td == fd); matches += 1 }
+      sumTd += td; sumFd += fd
+    }
+    // near-exactness is an AGGREGATE property: at k=1024 over 5000 vectors
+    // the cells are tiny, so no per-row multiplicative d2 bound holds (a
+    // boundary row whose exact argmin is (near) its own seed centroid has
+    // near-zero optimal d2 and an unbounded ratio). What the bounded
+    // operators rely on is that MOST rows route to their exact argmin and
+    // the total quantization error barely inflates — the standard IVF
+    // quality metric Σ routed-d2 / Σ optimal-d2 (measured 0.77 match /
+    // 1.27× inflation on this near-random corpus — the hard case for
+    // routing; floors set with margin)
+    val inflation = sumTd / sumFd
+    assert(matches >= (rows.length * 0.7).toInt,
+      s"two-level matched the exact argmin on only $matches/${rows.length}")
+    assert(inflation <= 1.5,
+      f"routed quantization error inflated ${inflation}%.3f× over exact")
+    info(f"k=1024 match rate ${matches.toDouble / rows.length}%.3f, " +
+      f"quantization-error inflation ${inflation}%.4f×")
+  }
+
   test("FloatCentroidIndex.admissible == per-cell cos/angle filter form") {
     val cents = Similarity.trainIvfCentroids(emb, k = 23, iters = 2)
     val radii = Similarity.trainCellRadii(emb, cents)
