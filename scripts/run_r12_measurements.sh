@@ -56,6 +56,21 @@ case "${1:?stage}" in
       done
     done
     ;;
+  tws2_1|tws2_10)
+    # the epoch-swept tws rate limiter (RateLimitSweepProcessor) vs the
+    # fMGWS primary, cold and alternating — the re-plan's decade gate
+    sf=sf1; [[ "$1" == tws2_10 ]] && sf=sf10
+    out="BENCH_r12_tws2_${sf}.jsonl"
+    : > "$out"
+    for pass in 1 2 3; do
+      for q in q_streaming_rate_limit_tws q_streaming_rate_limit; do
+        SPARK_GRAFT_SF_DIR=target/benchdata/$sf SPARK_GRAFT_CPUS=32 \
+          SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_ONLY=$q \
+          scripts/run_main.sh -m48g graft.StreamingBench \
+          2>/dev/null | tail -1 >> "$out"
+      done
+    done
+    ;;
   triage)
     : > BENCH_r12_triage_sf0.1.jsonl
     for pass in 1 2 3; do

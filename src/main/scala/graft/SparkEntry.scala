@@ -999,10 +999,15 @@ object SparkEntry {
     // replay — union of per-batch emissions equals the batch rate limit
     "q_streaming_rate_limit" -> ((s, dir) =>
       StreamingState.rateLimitEmissions(s, dir, perDay = 5)),
-    // (the transformWithState form of this counter is SPEC-SIDE only, r12:
-    // its per-(user × day) timer column family measured 4.0×/decade —
-    // BENCH_r11_tws_sf{1,10}.jsonl — so it is the API-parity differential
-    // in StreamingStateSpec, not a registered serving path)
+    // the transformWithState form, RE-PLANNED r12: the original
+    // per-(user × day)-timer processor measured 4.0×/decade from its timer
+    // column family (BENCH_r11_tws_sf{1,10}.jsonl) and was demoted to the
+    // StreamingStateSpec API-parity differential; this registration is the
+    // epoch-SWEPT re-plan — user-keyed MapState day counters + ONE timer
+    // per user at the earliest pending eviction epoch, swept on fire —
+    // measured at the fMGWS form's decade (BENCH_r12_tws2_sf{1,10}.jsonl)
+    "q_streaming_rate_limit_tws" -> ((s, dir) =>
+      StreamingState.rateLimitEmissionsTwsSwept(s, dir, perDay = 5)),
     // hourly active users, exact + HLL audit per tumbling window — the
     // mergeable-rollup contract checked window-by-window
     "q_sketch_window_users" -> ((s, dir) =>
@@ -2969,7 +2974,9 @@ object SparkEntry {
     // rate limit: the engine's bounded aggregate must equal the SQL window
     "q_events_rate_limit" -> rateLimitOracle,
     // the streaming admission counter unions to the identical admitted set
+    // (both state APIs against one SQL)
     "q_streaming_rate_limit" -> rateLimitOracle,
+    "q_streaming_rate_limit_tws" -> rateLimitOracle,
     // hourly active users: oracle recomputes the exact side per tumbling
     // window and asserts the within-bound verdict (the sketch audit move)
     "q_sketch_window_users" ->

@@ -17,14 +17,16 @@ object StreamingBench {
   private val DefaultQueries = Seq(
     "q_streaming_funnel", "q_streaming_cdc", "q_streaming_trending",
     "q_streaming_rate_limit", "q_streaming_per_record",
-    // both trending state-API forms + the restore path: cold-benched by
-    // default so a perf regression in EITHER state API (or the initial-state
-    // bootstrap) shows up in the artifact of record. Since r12
-    // q_streaming_trending IS the transformWithState MapState form and
-    // _fmgws is the flatMapGroupsWithState twin; the rate-limit tws form is
-    // spec-side only (measured 4.0×/decade, BENCH_r11_tws_sf10.jsonl).
+    // both state-API forms of trending and the rate limiter + the restore
+    // path: cold-benched by default so a perf regression in EITHER state
+    // API (or the initial-state bootstrap) shows up in the artifact of
+    // record. Since r12 q_streaming_trending IS the transformWithState
+    // MapState form (_fmgws = the flatMapGroupsWithState twin) and
+    // q_streaming_rate_limit_tws is the epoch-SWEPT re-plan (the original
+    // per-group-timer form, 4.0×/decade, lives spec-side only).
     // Totals are not comparable across rounds; per-query values are.
-    "q_streaming_trending_fmgws", "q_streaming_restore")
+    "q_streaming_trending_fmgws", "q_streaming_rate_limit_tws",
+    "q_streaming_restore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1203,6 +1203,148 @@ object StreamingState {
     }
   }
 
+  /** The SCALE-CORRECT transformWithState rate limiter — the re-plan that
+    * fixes what [[RateLimitProcessor]] measures badly. That form keys by
+    * (user, day) and registers ONE TIMER PER GROUP, so the RocksDB timer
+    * column family carries user × day entries and its maintenance measured
+    * 4.0×/decade (`BENCH_r11_tws_sf{1,10}.jsonl`). This form keys by USER
+    * and collapses the per-day timers into one EPOCH-SWEPT timer per user:
+    *
+    *   - `dayCounts: MapState[Int, Int]` — the admission counter per OPEN
+    *     day rides in its own column family, one entry per (user, open
+    *     day); point ops only for the days a batch touches.
+    *   - `armed: ValueState[Long]` — exactly one live timer per user, at
+    *     the EARLIEST pending eviction epoch over its open days (armed is
+    *     maintained as that minimum: lowered when an earlier-closing day
+    *     appears, re-armed by the sweep below).
+    *   - `handleExpiredTimer` SWEEPS: it evicts every open day the current
+    *     watermark has passed (not just the fired epoch), then re-arms at
+    *     the minimum remaining epoch — so timer registrations AND fires are
+    *     ~one per (user, day-transition), and the live timer set is ~#users,
+    *     ~30× below the per-group form at the r11 measurement's cardinality.
+    *
+    * Admission semantics are IDENTICAL to [[rateLimitEmissions]] by
+    * construction: the user's batch slice is sorted by the same total
+    * (us, event_id) order (which preserves each day's within-day order),
+    * each day's counter admits the first `perDay` events, and eviction only
+    * touches days the watermark has closed — on the time-ordered replay
+    * with 1h grace no row for an evicted day can still arrive, the same
+    * watermark-loss contract as both other forms. Shared oracle.
+    */
+  private final class RateLimitSweepProcessor(perDay: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayEventT, RateLimitEmit] {
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, MapState, OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+
+    @transient private var dayCounts: MapState[Int, Int] = _
+    @transient private var armed: ValueState[Long] = _
+
+    private def expiryOf(day: Int): Long = (day.toLong + 2) * 86400000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders
+      dayCounts = getHandle.getMapState[Int, Int](
+        "dayCounts", enc.scalaInt, enc.scalaInt, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long](
+        "armed", enc.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[DayEventT],
+        timerValues: TimerValues): Iterator[RateLimitEmit] = {
+      // per-day counters for the days THIS batch touches: read each at most
+      // once, write back only the ones that admitted something
+      val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+      val dirty = scala.collection.mutable.HashSet.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[RateLimitEmit]
+      rows.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        val n = counts.getOrElseUpdate(e.day,
+          if (dayCounts.containsKey(e.day)) dayCounts.getValue(e.day) else 0)
+        if (n < perDay) {
+          out += RateLimitEmit(e.event_id, e.user_id, e.day, e.us, n + 1)
+          counts(e.day) = n + 1
+          dirty += e.day
+        }
+      }
+      dirty.foreach(d => dayCounts.updateValue(d, counts(d)))
+      // keep `armed` = min eviction epoch over open days: lower it if this
+      // batch opened an earlier-closing day (on the time-ordered replay
+      // this happens ~once per user, at first sight)
+      val minTouched = counts.keysIterator.map(expiryOf).min
+      val cur = if (armed.exists()) armed.get() else Long.MaxValue
+      if (minTouched < cur) {
+        if (cur != Long.MaxValue) getHandle.deleteTimer(cur)
+        getHandle.registerTimer(minTouched)
+        armed.update(minTouched)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[RateLimitEmit] = {
+      // sweep ALL days the watermark has closed, not just the fired epoch —
+      // one fire may retire several days if the watermark jumped. Evicting
+      // a closed day cannot change an admission: the time-ordered replay's
+      // 1h grace means no row for it can still arrive (a hypothetical late
+      // row would re-open the day on a fresh counter — the documented
+      // watermark-loss contract shared with the fMGWS form).
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val expired = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var minLive = Long.MaxValue
+      val it = dayCounts.keys()
+      while (it.hasNext) {
+        val d = it.next()
+        val e = expiryOf(d)
+        if (e <= wm) expired += d else if (e < minLive) minLive = e
+      }
+      expired.foreach(dayCounts.removeKey)
+      if (minLive != Long.MaxValue) {
+        getHandle.registerTimer(minLive)
+        armed.update(minLive)
+      } else armed.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[RateLimitSweepProcessor]] wired to the shared staging/source — the
+    * registered transformWithState rate limiter (r12; see the processor doc
+    * for why this form replaces the demoted per-(user, day)-timer one).
+    */
+  def rateLimitEmissionsTwsSwept(
+      spark: SparkSession, sfDir: String, perDay: Int = 5): DataFrame = {
+    val out = rateLimitRuns.computeIfAbsent(s"$sfDir|tws2|$perDay", _ => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val root = workDir(sfDir).resolve(s"ratelimit_tws2_$perDay")
+      val staging = stageRateLimitReplay(spark, sfDir, root)
+
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val emissions = rateLimitSource(spark, staging)
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new RateLimitSweepProcessor(perDay), TimeMode.EventTime(),
+          OutputMode.Append())
+
+      val outDir = root.resolve("out")
+      val query = emissions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      outDir.toString
+    })
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("day"), col("us"),
+        col("rank"))
+  }
+
   /** Streaming rate limiter on the `transformWithState` API — identical
     * replay, admission decisions, and output rows as [[rateLimitEmissions]]
     * (one shared staging helper), differing only in the state API (see

@@ -323,6 +323,17 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(tws.exceptAll(fmgws).isEmpty && fmgws.exceptAll(tws).isEmpty)
   }
 
+  test("epoch-swept transformWithState rate limiter equals the fMGWS form row-for-row") {
+    // the r12 re-plan: user-keyed MapState day counters + ONE swept timer
+    // per user (vs one per (user, day) group) must reproduce the fMGWS
+    // admission stream exactly — same replay, same per-day sort, same cap,
+    // same watermark-eviction contract
+    val fmgws = StreamingState.rateLimitEmissions(spark, sfDir, perDay = 5)
+    val swept = StreamingState.rateLimitEmissionsTwsSwept(spark, sfDir, perDay = 5)
+    assert(fmgws.count() > 0)
+    assert(swept.exceptAll(fmgws).isEmpty && fmgws.exceptAll(swept).isEmpty)
+  }
+
   test("transformWithState trending leaderboard equals the flatMapGroupsWithState form row-for-row") {
     // MapState-per-type vs encoder-blob map: same counts, same top-k, same
     // emission ordinals — the state API must be invisible in the output
