@@ -1028,7 +1028,8 @@ object StreamingState {
     * non-total order would silently break the row-for-row differential.
     */
   private def stageRateLimitReplay(
-      spark: SparkSession, sfDir: String, root: Path): Path = {
+      spark: SparkSession, sfDir: String, root: Path,
+      chunks: Int = NumChunks): Path = {
     Fs.deleteRecursively(root)
     val staging = root.resolve("staging")
     Files.createDirectories(staging)
@@ -1038,8 +1039,8 @@ object StreamingState {
         expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
           " DIV 86400000000 AS INT)").as("day"),
         unix_micros(col("ts")).as("us")),
-      NumChunks, Seq(col("ts"), col("event_id"))).drop("ts")
-    stageChunks(staged, root, staging)
+      chunks, Seq(col("ts"), col("event_id"))).drop("ts")
+    stageChunks(staged, root, staging, chunks)
     staging
   }
 
@@ -1343,6 +1344,69 @@ object StreamingState {
     spark.read.parquet(out)
       .select(col("event_id"), col("user_id"), col("day"), col("us"),
         col("rank"))
+  }
+
+  /** [[rateLimitEmissionsTwsSwept]] under a mid-flight kill — the
+    * transformWithState leg of the recovery story that
+    * [[killAndRestartRun]] pins for the classic aggregation: here the
+    * checkpoint must restore a MapState column family AND the registered
+    * TIMERS (an un-restored timer would silently leak day counters; an
+    * un-restored `armed` value would double-register). Phase 1 runs the
+    * swept rate limiter on a continuous trigger and stop()s once ≥2
+    * batches committed (the interrupt may land mid-batch); phase 2
+    * restarts the identical query on the same checkpoint to completion.
+    * The emitted admission stream must equal the uninterrupted form's
+    * row-for-row — admissions are chunk-count-invariant (each batch scans
+    * its slice in the total (us, event_id) order against persistent
+    * counters), so the spec compares directly against the normal run.
+    * Returns (emissions, batches committed before the kill, chunks).
+    */
+  def rateLimitSweptRestarted(
+      spark: SparkSession, sfDir: String, perDay: Int = 5,
+      chunks: Int = 8): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val root = workDir(sfDir).resolve(s"ratelimit_tws2r_$perDay")
+    val staging = stageRateLimitReplay(spark, sfDir, root, chunks)
+    val checkpoint = root.resolve("checkpoint")
+    val outDir = root.resolve("out")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    def start(trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery =
+      rateLimitSource(spark, staging)
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new RateLimitSweepProcessor(perDay), TimeMode.EventTime(),
+          OutputMode.Append())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint.toString)
+        .trigger(trigger)
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+
+    def committed(): Int = {
+      val names = Option(checkpoint.resolve("commits").toFile.list())
+        .getOrElse(Array.empty[String])
+      names.count(n => n.nonEmpty && n.forall(_.isDigit))
+    }
+
+    val q1 = start(Trigger.ProcessingTime(0L))
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    while (committed() < 2 && q1.isActive && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    q1.stop() // the kill — may interrupt a batch mid-flight
+    q1.awaitTermination()
+    val before = committed()
+
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination()
+    val df = spark.read.parquet(outDir.toString)
+      .select(col("event_id"), col("user_id"), col("day"), col("us"),
+        col("rank"))
+    (df, before, chunks)
   }
 
   /** Streaming rate limiter on the `transformWithState` API — identical

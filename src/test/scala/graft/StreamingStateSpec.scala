@@ -334,6 +334,24 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(swept.exceptAll(fmgws).isEmpty && fmgws.exceptAll(swept).isEmpty)
   }
 
+  test("mid-flight kill + restart recovers transformWithState MapState and timers exactly") {
+    // the tws leg of the recovery story: the checkpoint must restore the
+    // MapState day counters AND the registered eviction timers — a lost
+    // timer leaks state, a double-registered one is a runtime error, and a
+    // lost counter would over-admit. Admissions are chunk-count-invariant,
+    // so the 8-chunk killed-and-restarted run must equal the normal
+    // 4-chunk run (and therefore the fMGWS form) row-for-row.
+    val (restarted, before, chunks) =
+      StreamingState.rateLimitSweptRestarted(spark, sfDir, perDay = 5)
+    assert(before >= 2, s"kill fired before any progress ($before batches)")
+    assert(before < chunks,
+      s"kill raced past end of stream ($before of $chunks batches committed)")
+    val normal = StreamingState.rateLimitEmissionsTwsSwept(spark, sfDir, perDay = 5)
+    assert(normal.count() > 0)
+    assert(restarted.exceptAll(normal).isEmpty && normal.exceptAll(restarted).isEmpty,
+      "post-restart admission stream diverged from the uninterrupted run")
+  }
+
   test("transformWithState trending leaderboard equals the flatMapGroupsWithState form row-for-row") {
     // MapState-per-type vs encoder-blob map: same counts, same top-k, same
     // emission ordinals — the state API must be invisible in the output
