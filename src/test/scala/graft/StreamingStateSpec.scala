@@ -344,7 +344,8 @@ class StreamingStateSpec extends AnyFunSuite {
     val (restarted, before, chunks) =
       StreamingState.rateLimitSweptRestarted(spark, sfDir, perDay = 5)
     assert(before >= 2, s"kill fired before any progress ($before batches)")
-    assert(before < chunks,
+    // precondition, not a defect (see the changelog restart test above)
+    assume(before < chunks,
       s"kill raced past end of stream ($before of $chunks batches committed)")
     val normal = StreamingState.rateLimitEmissionsTwsSwept(spark, sfDir, perDay = 5)
     assert(normal.count() > 0)
@@ -378,9 +379,11 @@ class StreamingStateSpec extends AnyFunSuite {
     // query on the same checkpoint to completion.
     val (dir, before, chunks) = StreamingState.killAndRestartRun(spark, sfDir)
     assert(before >= 2, s"kill fired before any progress ($before batches)")
-    assert(before < chunks,
-      s"kill raced past end of stream ($before of $chunks batches committed)" +
-        " — the restart had nothing left to recover")
+    // precondition, not a defect: on a machine fast enough to drain all
+    // chunks before stop() lands there is nothing to recover — cancel
+    // rather than fail (observed mid-stream on every run so far)
+    assume(before < chunks,
+      s"kill raced past end of stream ($before of $chunks batches committed)")
     val log = spark.read.parquet(dir).drop("p_batch")
     // every epoch exactly once: batch ids are 0..chunks-1 with no gaps, and
     // within an epoch a key is emitted at most once (a replayed batch that
