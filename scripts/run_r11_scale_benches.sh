@@ -71,28 +71,20 @@ case "${1:?stage}" in
         2>/dev/null | tail -1 >> BENCH_r11_artifact_sf10.jsonl
     done
     ;;
-  tws1)
-    # the transformWithState twins vs their fMGWS forms, cold and solo —
-    # alternating within one stage so the A/B is like-for-like (the r11
-    # triage protocol: block-ordered pairs measure machine drift, not code)
-    : > BENCH_r11_tws_sf1.jsonl
-    for q in q_streaming_rate_limit_tws q_streaming_rate_limit \
-             q_streaming_trending_tws q_streaming_trending; do
-      SPARK_GRAFT_SF_DIR=target/benchdata/sf1 SPARK_GRAFT_CPUS=32 \
-        SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_ONLY=$q \
-        scripts/run_main.sh -m48g graft.StreamingBench \
-        2>/dev/null | tail -1 >> BENCH_r11_tws_sf1.jsonl
-    done
-    ;;
-  tws10)
-    : > BENCH_r11_tws_sf10.jsonl
-    for q in q_streaming_rate_limit_tws q_streaming_rate_limit \
-             q_streaming_trending_tws q_streaming_trending; do
-      SPARK_GRAFT_SF_DIR=target/benchdata/sf10 SPARK_GRAFT_CPUS=32 \
-        SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_ONLY=$q \
-        scripts/run_main.sh -m48g graft.StreamingBench \
-        2>/dev/null | tail -1 >> BENCH_r11_tws_sf10.jsonl
-    done
+  tws1|tws10)
+    # HISTORICAL (r11): these stages measured the r11 tws twins under the
+    # r11 registry names. Round 12 retired q_streaming_trending_tws
+    # (promoted to q_streaming_trending; fMGWS twin = _fmgws) and rebound
+    # q_streaming_rate_limit_tws to the epoch-swept re-plan — so re-running
+    # this stage would error on the retired name AND measure different
+    # plans than the r11 file names imply, after truncating the committed
+    # evidence (BENCH_r11_tws_sf{1,10}.jsonl) that the r12 registry moves
+    # cite. The r12 equivalents live in run_r12_measurements.sh
+    # (tws2_1|tws2_10 and the trending pairs → BENCH_r12_tws2_* /
+    # BENCH_r12_trending_*).
+    echo "stage $1 is a historical r11 record; refusing to overwrite" \
+      "BENCH_r11_tws_*.jsonl — use run_r12_measurements.sh" >&2
+    exit 2
     ;;
   restore)
     # the S6 restore-and-continue path, cold solo at both scales

@@ -6,7 +6,13 @@
 #   route1|route10 — RouteBench: two-level vs forced-flat centroid
 #                    assignment at production-shaped k (1024 @ sf1,
 #                    2048 ≈ N/250 @ sf10), alternating cost samples +
-#                    agreement line → BENCH_r12_route_k.jsonl
+#                    agreement line → BENCH_r12_route_k.jsonl (both stages
+#                    APPEND to the shared file; to regenerate from scratch
+#                    `rm BENCH_r12_route_k.jsonl` first, then route1 route10)
+#   tws2_1|tws2_10 — the epoch-swept tws rate limiter vs the fMGWS
+#                    primary, 3 interleaved cold pairs per scale — the
+#                    re-plan's ≤~2×/decade registration gate →
+#                    BENCH_r12_tws2_sf{1,10}.jsonl
 #   bpe            — the BPE training decade (r11 read 3.9 → 76.2 s from
 #                    single shots): 3 alternating sf1/sf10 pairs of the
 #                    registered first-touch (ArtifactBench, fresh store
@@ -21,7 +27,6 @@ cd "$(dirname "$0")/.."
 
 case "${1:?stage}" in
   route1)
-    : > BENCH_r12_route_k.jsonl
     SPARK_GRAFT_SF_DIR=target/benchdata/sf1 SPARK_GRAFT_ROUTE_K=1024 \
       SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
       scripts/run_main.sh -m48g graft.RouteBench \
@@ -72,11 +77,22 @@ case "${1:?stage}" in
     done
     ;;
   triage)
+    # the committed artifact holds 3 passes over the six uptick suspects
+    # followed by 3 q_similarity_pq samples (the one multi-second
+    # full-bench delta, triaged in a follow-up block); this stage
+    # reproduces the same 21 lines in one run
     : > BENCH_r12_triage_sf0.1.jsonl
     for pass in 1 2 3; do
       for q in q_similarity_knn_bounded q_sketch_window_users \
                q_window_hopping q_events_trending q_text_quality \
                q_dedup_spans_incremental; do
+        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+          SPARK_GRAFT_ONLY="$q" scripts/run_main.sh -m48g graft.Bench \
+          2>/dev/null | tail -1 >> BENCH_r12_triage_sf0.1.jsonl
+      done
+    done
+    for pass in 1 2 3; do
+      for q in q_similarity_pq; do
         SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
           SPARK_GRAFT_ONLY="$q" scripts/run_main.sh -m48g graft.Bench \
           2>/dev/null | tail -1 >> BENCH_r12_triage_sf0.1.jsonl

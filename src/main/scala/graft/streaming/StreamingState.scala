@@ -178,13 +178,27 @@ object StreamingState {
         .start()
     }
 
+    val before = runKillRestart(checkpoint, start)
+    (changelog.toString, before, chunks)
+  }
+
+  /** Shared kill-restart protocol of the recovery differentials
+    * ([[killAndRestartRun]], [[rateLimitSweptRestarted]]): run `start` on a
+    * continuous trigger, `stop()` once at least two micro-batches have
+    * committed to `checkpoint`'s commit log (the interrupt may land
+    * mid-batch — the crash), then restart the IDENTICAL query with
+    * `AvailableNow` to completion. Returns the committed-batch count at
+    * the kill, so callers can assert the kill landed mid-stream.
+    */
+  private def runKillRestart(
+      checkpoint: Path,
+      start: Trigger => org.apache.spark.sql.streaming.StreamingQuery): Int = {
     // the authoritative committed-batch count: the checkpoint's commit log
     def committed(): Int = {
       val names = Option(checkpoint.resolve("commits").toFile.list())
         .getOrElse(Array.empty[String])
       names.count(n => n.nonEmpty && n.forall(_.isDigit))
     }
-
     // phase 1: continuous trigger, kill once >= 2 batches committed
     val q1 = start(Trigger.ProcessingTime(0L))
     val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
@@ -193,11 +207,10 @@ object StreamingState {
     q1.stop() // the kill — may interrupt a batch mid-flight
     q1.awaitTermination()
     val before = committed()
-
     // phase 2: same query, same checkpoint, run the remainder to completion
     val q2 = start(Trigger.AvailableNow())
     q2.awaitTermination()
-    (changelog.toString, before, chunks)
+    before
   }
 
   /** See [[Transport.writeBatchIdempotent]] — shared by the non-changelog
@@ -1387,22 +1400,7 @@ object StreamingState {
         .option("path", outDir.toString)
         .start()
 
-    def committed(): Int = {
-      val names = Option(checkpoint.resolve("commits").toFile.list())
-        .getOrElse(Array.empty[String])
-      names.count(n => n.nonEmpty && n.forall(_.isDigit))
-    }
-
-    val q1 = start(Trigger.ProcessingTime(0L))
-    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-    while (committed() < 2 && q1.isActive && System.nanoTime() < deadline)
-      Thread.sleep(20)
-    q1.stop() // the kill — may interrupt a batch mid-flight
-    q1.awaitTermination()
-    val before = committed()
-
-    val q2 = start(Trigger.AvailableNow())
-    q2.awaitTermination()
+    val before = runKillRestart(checkpoint, start)
     val df = spark.read.parquet(outDir.toString)
       .select(col("event_id"), col("user_id"), col("day"), col("us"),
         col("rank"))
