@@ -1,0 +1,61 @@
+#!/usr/bin/env bash
+# Round-13 measurements (r12 verdict tasks 1, 2, 4). Protocol: solo JVM,
+# 48g fixed heap, strictly sequential; shuffle partitions scale with data
+# (32 @ sf0.1, 64 @ sf1, 320 @ sf10 batch; streaming stays at 64 for
+# comparability with the committed r11/r12 jsonl). Stages:
+#   full01 — full-registry graft.Bench at sf0.1 → BENCH_r13_sf0.1.json
+#            (the decade pair's near side, same-session as full1 so the
+#            ratio isn't polluted by cross-round machine drift)
+#   full1  — full-registry graft.Bench at sf1 → BENCH_r13_sf1.json
+#            (r12 verdict task 1: the whole registry's first record above
+#            sf0.1 since the 99-query r8 era)
+#   streaming1|streaming10 — the committed solo-interleaved streaming
+#            record (r12 verdict task 2; replaces the contaminated
+#            shared-JVM BENCH_r12_streaming_sf10.json protocol) →
+#            BENCH_r13_streaming_sf{1,10}.jsonl, 2 passes × 8 queries
+#   tws2_1|tws2_10 — 3 MORE interleaved cold pairs per scale for the
+#            swept tws rate limiter vs the fMGWS primary (r12 verdict
+#            task 4: r12 had 3 pairs, 2 storm-hit; target ≥5 total) →
+#            BENCH_r13_tws2_sf{1,10}.jsonl
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+case "${1:?stage}" in
+  full01)
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=32 \
+      scripts/run_main.sh -m48g graft.Bench \
+      2>/dev/null | grep '^{' > BENCH_r13_sf0.1.json
+    ;;
+  full1)
+    SPARK_GRAFT_SF_DIR=target/benchdata/sf1 SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+      scripts/run_main.sh -m48g graft.Bench \
+      2>/dev/null | grep '^{' > BENCH_r13_sf1.json
+    ;;
+  streaming1)
+    : > BENCH_r13_streaming_sf1.jsonl
+    scripts/run_streaming_solo.sh target/benchdata/sf1 \
+      BENCH_r13_streaming_sf1.jsonl 2
+    ;;
+  streaming10)
+    : > BENCH_r13_streaming_sf10.jsonl
+    scripts/run_streaming_solo.sh target/benchdata/sf10 \
+      BENCH_r13_streaming_sf10.jsonl 2
+    ;;
+  tws2_1|tws2_10)
+    sf=sf1; [[ "$1" == tws2_10 ]] && sf=sf10
+    out="BENCH_r13_tws2_${sf}.jsonl"
+    : > "$out"
+    for pass in 1 2 3; do
+      for q in q_streaming_rate_limit_tws q_streaming_rate_limit; do
+        SPARK_GRAFT_SF_DIR=target/benchdata/$sf SPARK_GRAFT_CPUS=32 \
+          SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_ONLY=$q \
+          scripts/run_main.sh -m48g graft.StreamingBench \
+          2>/dev/null | grep '^{' >> "$out"
+      done
+    done
+    ;;
+  *) echo "unknown stage $1" >&2; exit 2 ;;
+esac
+echo "STAGE_DONE $1"

@@ -105,7 +105,8 @@ object SparkEntry {
     * ≤ 2000 vectors ⇒ k = 8, so the DuckDB oracle's static kmeansCtes(8,3)
     * replay stays exact at every gate sf (sf0.01 = 500, sf0.1 = 2000).
     */
-  private def semdedupK(n: Long): Int = math.max(8, math.ceil(n / 250.0).toInt)
+  private[graft] def semdedupK(n: Long): Int =
+    math.max(8, math.ceil(n / 250.0).toInt)
 
   /** Fails LOUDLY when a data-dependent engine knob diverges from the
     * constant its DuckDB oracle hardcodes. The semdedup-family oracles
@@ -1299,9 +1300,11 @@ object SparkEntry {
     // incrementally in keyed state — the continuous twin of q_events_trending,
     // same oracle. PRIMARY plan (r12) is the transformWithState MapState form:
     // per-type counts as named MapState entries + an incrementally-exact top-k
-    // board, O(types touched + k) state I/O per batch — measured faster than
-    // the fMGWS encoder-blob form on every alternating sf10 sample (min-ratio
-    // 0.88×, BENCH_r11_tws_sf10.jsonl)
+    // board, O(types touched + k) state I/O per batch. Promotion rests on the
+    // r11 like-for-like alternation of the old code (0.88× min-ratio) plus the
+    // structural O(touched + k) argument; the r12 re-measurement of the
+    // incremental-board code reads parity with fMGWS (both linear,
+    // BENCH_r12_trending_sf{1,10}.jsonl — see SCALING.md)
     "q_streaming_trending" -> ((s, dir) =>
       StreamingState.trendingSnapshotTws(s, dir)),
     // the SAME leaderboard on flatMapGroupsWithState (one encoder-blob count

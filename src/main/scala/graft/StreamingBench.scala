@@ -8,7 +8,19 @@ import org.apache.spark.sql.SparkSession
   * the stream. This main times each query's FIRST invocation — replay
   * staging + the full micro-batch stream + snapshot materialization — once
   * per query in a fresh JVM-wide cache, which IS the streaming cost a scale
-  * study needs. One JSON line on stdout, Bench-compatible shape.
+  * study needs.
+  *
+  * OUTPUT (r13 protocol): one JSON line PER QUERY in the solo-record shape
+  * (`"queries"` holds that single query; `"value"` = its seconds), tagged
+  * `"jvm_seq"` = the query's position in this JVM. Only `jvm_seq: 0` lines
+  * are comparable across rounds: the r12 shared-JVM record
+  * (`BENCH_r12_streaming_sf10.json`) measured cdc at 110 s where adjacent
+  * solo runs read 27–33 s — a query's RocksDB/staging residue contaminates
+  * every query after it. The committed cross-round artifact is therefore
+  * the interleaved SOLO protocol — one query per JVM, sides alternating
+  * within minutes, min as estimator (`scripts/run_streaming_solo.sh`) —
+  * the format the r12 tws2/trending decade records already use; shared-JVM
+  * multi-query runs remain available for local iteration only.
   *
   * Usage: SPARK_GRAFT_SF_DIR=… [SPARK_GRAFT_ONLY=q_a,q_b] runMain
   * graft.StreamingBench
@@ -49,30 +61,32 @@ object StreamingBench {
 
     val names = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
-    val errors = scala.collection.mutable.Map.empty[String, String]
-    val results = names.flatMap { name =>
-      System.gc()
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
-          None
-      }
-    }
     def q(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"streaming_cold_total","value":${results.map(_._2).sum},""" +
-      s""""unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    names.zipWithIndex.foreach { case (name, seq) =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val (qs, errJson, value) =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          (s"{${q(name)}:$t}", "{}", t)
+        } catch {
+          case e: Throwable =>
+            val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            errors(name) = msg
+            ("{}", s"{${q(name)}:${q(msg)}}", -1.0)
+        }
+      println(s"""{"metric":"streaming_cold_total","value":$value,""" +
+        s""""unit":"sec","queries":$qs,"errors":$errJson,""" +
+        s""""jvm_seq":$seq,"sf":"$sfDir"}""")
+    }
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[sbench] FAILED $k: $v") }

@@ -456,6 +456,20 @@ object NativeExpressions {
     * `forceFlat = true` disables the two-level branch at any k — the exact
     * flat scan used ONLY as the A/B baseline by the routing differentials
     * (`NativeKernelsSpec`, `graft.RouteBench`); no registered plan sets it.
+    *
+    * REGIME BOUNDARY (r12 study, `BENCH_r12_route_k.jsonl`): two-level
+    * routing is measured EXACT at serving occupancy — N/k ≳ 100 rows per
+    * cell (sf10, k = N/250: match_rate 1.000 vs the flat argmin, 1.9×
+    * faster end-to-end) — and degrades in the OVER-clustered regime: at
+    * N/k ≈ 20 (k = 1024 on a 20k corpus) match drops to 0.773 with 1.27×
+    * aggregate quantization-error inflation (floors pinned in
+    * `NativeKernelsSpec`). Callers that scale k with N should keep
+    * N/k ≥ ~50, preferring the flat scan (k ≤ 64, or `forceFlat`) below
+    * that. Every registered auto-k caller uses `SparkEntry.semdedupK`
+    * (k = max(8, ⌈N/250⌉)), whose two-level activations sit at N/k ≈ 250
+    * — inside the exact regime by construction; a spec pins this
+    * (`NativeKernelsSpec` "registered auto-k keeps two-level routing in
+    * the exact occupancy regime").
     */
   final class DoubleCentroidIndex(
       val centroids: Array[Array[Double]], forceFlat: Boolean = false)

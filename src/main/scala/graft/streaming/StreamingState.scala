@@ -155,13 +155,14 @@ object StreamingState {
   def killAndRestartRun(
       spark: SparkSession, sfDir: String, chunks: Int = 8): (String, Int, Int) = {
     val root = workDir(sfDir).resolve("restart_kill")
-    Fs.deleteRecursively(root)
     val staging = root.resolve("staging")
     val checkpoint = root.resolve("checkpoint")
     val changelog = root.resolve("changelog")
-    Files.createDirectories(staging)
-    stageChunks(
-      Tables.transactionsChunked(spark, sfDir, chunks), root, staging, chunks)
+    def stage(n: Int): Unit = {
+      Fs.deleteRecursively(root)
+      Files.createDirectories(staging)
+      stageChunks(Tables.transactionsChunked(spark, sfDir, n), root, staging, n)
+    }
 
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -178,39 +179,81 @@ object StreamingState {
         .start()
     }
 
-    val before = runKillRestart(checkpoint, start)
-    (changelog.toString, before, chunks)
+    val (before, staged) = runKillRestart(checkpoint, stage, start, chunks)
+    (changelog.toString, before, staged)
   }
+
+  /** Thrown by [[runKillRestart]] when phase 1 cannot commit two
+    * micro-batches within the per-attempt deadline — an environmental
+    * condition (overloaded machine), NOT a recovery defect. The specs
+    * convert it to a test cancellation rather than a failure.
+    */
+  final class KillRestartTimeout(msg: String) extends RuntimeException(msg)
 
   /** Shared kill-restart protocol of the recovery differentials
     * ([[killAndRestartRun]], [[rateLimitSweptRestarted]]): run `start` on a
     * continuous trigger, `stop()` once at least two micro-batches have
     * committed to `checkpoint`'s commit log (the interrupt may land
     * mid-batch — the crash), then restart the IDENTICAL query with
-    * `AvailableNow` to completion. Returns the committed-batch count at
-    * the kill, so callers can assert the kill landed mid-stream.
+    * `AvailableNow` to completion.
+    *
+    * The mid-stream kill is STRUCTURAL (r13), not statistical: if the
+    * stop() raced past end-of-stream (every staged chunk already
+    * committed, so there is nothing to recover), the attempt is discarded
+    * and the replay re-staged via `stage` with TWICE the chunks — a wider
+    * kill window — up to 5 attempts. The reference's failover test
+    * (`InteractiveQueriesIntegrationTest.java:100-158`) cannot silently
+    * skip, and neither can its Spark twin: callers assert, never assume,
+    * `2 <= before < chunks`. The one remaining escape is environmental —
+    * a machine too slow to commit two batches in 180 s — surfaced as the
+    * distinct [[KillRestartTimeout]] so the specs cancel instead of fail.
+    *
+    * Returns (batches committed at the kill, chunks staged for the
+    * successful attempt).
     */
   private def runKillRestart(
       checkpoint: Path,
-      start: Trigger => org.apache.spark.sql.streaming.StreamingQuery): Int = {
+      stage: Int => Unit,
+      start: Trigger => org.apache.spark.sql.streaming.StreamingQuery,
+      initialChunks: Int): (Int, Int) = {
     // the authoritative committed-batch count: the checkpoint's commit log
     def committed(): Int = {
       val names = Option(checkpoint.resolve("commits").toFile.list())
         .getOrElse(Array.empty[String])
       names.count(n => n.nonEmpty && n.forall(_.isDigit))
     }
-    // phase 1: continuous trigger, kill once >= 2 batches committed
-    val q1 = start(Trigger.ProcessingTime(0L))
-    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-    while (committed() < 2 && q1.isActive && System.nanoTime() < deadline)
-      Thread.sleep(20)
-    q1.stop() // the kill — may interrupt a batch mid-flight
-    q1.awaitTermination()
-    val before = committed()
-    // phase 2: same query, same checkpoint, run the remainder to completion
-    val q2 = start(Trigger.AvailableNow())
-    q2.awaitTermination()
-    before
+    val maxAttempts = 5
+    var chunks = initialChunks
+    var attempt = 1
+    while (true) {
+      stage(chunks) // wipes the run root: checkpoint, sink, and staging
+      // phase 1: continuous trigger, kill once >= 2 batches committed
+      val q1 = start(Trigger.ProcessingTime(0L))
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (committed() < 2 && q1.isActive && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      q1.stop() // the kill — may interrupt a batch mid-flight
+      q1.awaitTermination()
+      val before = committed()
+      if (before < 2)
+        throw new KillRestartTimeout(
+          s"timed out waiting for 2 commits ($before committed in 180s, " +
+            s"attempt $attempt of $maxAttempts)")
+      if (before < chunks) {
+        // phase 2: same query, same checkpoint, remainder to completion
+        val q2 = start(Trigger.AvailableNow())
+        q2.awaitTermination()
+        return (before, chunks)
+      }
+      // stop() raced past end-of-stream — discard, widen the window, retry
+      if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"kill raced past end of stream on all $maxAttempts attempts " +
+            s"(final chunk count $chunks)")
+      attempt += 1
+      chunks *= 2
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** See [[Transport.writeBatchIdempotent]] — shared by the non-changelog
@@ -881,14 +924,20 @@ object StreamingState {
     * in the state API (see [[TrendingProcessor]]): per-type counts as
     * MapState entries instead of one encoder-blob map.
     *
-    * This is the PRIMARY registered plan for `q_streaming_trending` (r12):
-    * on the like-for-like alternating sf10 samples it beat the fMGWS form
-    * on every pair (min-ratio 0.88×, `BENCH_r11_tws_sf10.jsonl`) — for
-    * multi-entry per-key state the MapState point ops win over the blob
-    * rewrite, and the registry doctrine is that the registered name serves
-    * the measured-best plan. The fMGWS form stays registered as
-    * `q_streaming_trending_fmgws` (measured linear too) so the oracle gate
-    * still pins both state APIs against one SQL.
+    * This is the PRIMARY registered plan for `q_streaming_trending` (r12).
+    * The promotion rests on (a) the r11 like-for-like alternation of the
+    * then-current code, where the tws form won every pair (min-ratio
+    * 0.88×, `BENCH_r11_tws_sf10.jsonl`), and (b) the structural argument:
+    * point writes plus an incrementally-exact O(touched + k) board vs the
+    * fMGWS whole-vocabulary blob rewrite per batch — the term that grows
+    * with vocabulary at 100 TB. The r12 re-measurement of THIS incremental
+    * -board code (`BENCH_r12_trending_sf{1,10}.jsonl`) reads parity
+    * between the forms (31.4 vs 29.2 s at sf10; decade 1.35× vs 1.2×) —
+    * both trigger-dominated and linear, with between-session ambient
+    * spread larger than the between-form gap (see SCALING.md r12 cont.).
+    * The fMGWS form stays registered as `q_streaming_trending_fmgws`
+    * (measured linear too) so the oracle gate still pins both state APIs
+    * against one SQL.
     */
   def trendingSnapshotTws(
       spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
@@ -1285,13 +1334,17 @@ object StreamingState {
       dirty.foreach(d => dayCounts.updateValue(d, counts(d)))
       // keep `armed` = min eviction epoch over open days: lower it if this
       // batch opened an earlier-closing day (on the time-ordered replay
-      // this happens ~once per user, at first sight)
-      val minTouched = counts.keysIterator.map(expiryOf).min
-      val cur = if (armed.exists()) armed.get() else Long.MaxValue
-      if (minTouched < cur) {
-        if (cur != Long.MaxValue) getHandle.deleteTimer(cur)
-        getHandle.registerTimer(minTouched)
-        armed.update(minTouched)
+      // this happens ~once per user, at first sight). Guarded on nonEmpty:
+      // today Spark only calls handleInputRows for keys with rows, but an
+      // empty slice must not crash the timer-lowering `min`
+      if (counts.nonEmpty) {
+        val minTouched = counts.keysIterator.map(expiryOf).min
+        val cur = if (armed.exists()) armed.get() else Long.MaxValue
+        if (minTouched < cur) {
+          if (cur != Long.MaxValue) getHandle.deleteTimer(cur)
+          getHandle.registerTimer(minTouched)
+          armed.update(minTouched)
+        }
       }
       out.iterator
     }
@@ -1379,9 +1432,11 @@ object StreamingState {
       chunks: Int = 8): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val root = workDir(sfDir).resolve(s"ratelimit_tws2r_$perDay")
-    val staging = stageRateLimitReplay(spark, sfDir, root, chunks)
+    val staging = root.resolve("staging")
     val checkpoint = root.resolve("checkpoint")
     val outDir = root.resolve("out")
+    // stageRateLimitReplay wipes `root`, resetting checkpoint + sink too
+    def stage(n: Int): Unit = { stageRateLimitReplay(spark, sfDir, root, n); () }
 
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -1400,11 +1455,11 @@ object StreamingState {
         .option("path", outDir.toString)
         .start()
 
-    val before = runKillRestart(checkpoint, start)
+    val (before, staged) = runKillRestart(checkpoint, stage, start, chunks)
     val df = spark.read.parquet(outDir.toString)
       .select(col("event_id"), col("user_id"), col("day"), col("us"),
         col("rank"))
-    (df, before, chunks)
+    (df, before, staged)
   }
 
   /** Streaming rate limiter on the `transformWithState` API — identical

@@ -590,6 +590,36 @@ class NativeKernelsSpec extends AnyFunSuite {
       f"quantization-error inflation ${inflation}%.4f×")
   }
 
+  test("registered auto-k keeps two-level routing in the exact occupancy regime") {
+    // the r12 regime study (BENCH_r12_route_k.jsonl): two-level routing is
+    // exact at serving occupancy (N/k ≈ 100+: match 1.000, sf10 at k=N/250)
+    // and degrades over-clustered (N/k ≈ 20: match 0.773, 1.27× inflation —
+    // the floors the test above pins). Every registered auto-k caller
+    // (q_similarity_dedup, q_similarity_knn_bounded, q_pipeline_semdedup,
+    // SemDeDup/bounded-KNN operators) sizes k via SparkEntry.semdedupK =
+    // max(8, ceil(N/250)); this pins that the two-level branch (k > 64)
+    // can only ever activate at occupancy ≈250 — never the over-clustered
+    // regime. (q_embed_route_fine deliberately exercises the coarse
+    // quantizer at fixed k=80; its EXACTNESS there is proven per-row by
+    // its own oracle hash gate every round, not by occupancy.)
+    for (n <- Seq(100L, 2000L, 16000L, 16001L, 100000L, 10000000L,
+        400000000000L)) {
+      val k = SparkEntry.semdedupK(n)
+      // ceil rounds k up, so occupancy dips just under 250 right above the
+      // threshold (16001/65 = 246.2) and rises toward 250 with N — the
+      // analytic floor is 250·N/(N+250) ≥ 246.1 for every two-level N
+      if (k > 64)
+        assert(n.toDouble / k >= 246.0,
+          s"N=$n -> k=$k: two-level at occupancy ${n.toDouble / k} < 246")
+      else
+        assert(n <= 16384,
+          s"N=$n -> k=$k stayed flat above the two-level threshold")
+    }
+    // the boundary itself: two-level turns on strictly above N=16000, the
+    // last flat corpus size (k(16000)=64, k(16001)=65)
+    assert(SparkEntry.semdedupK(16000L) == 64 && SparkEntry.semdedupK(16001L) == 65)
+  }
+
   test("FloatCentroidIndex.admissible == per-cell cos/angle filter form") {
     val cents = Similarity.trainIvfCentroids(emb, k = 23, iters = 2)
     val radii = Similarity.trainCellRadii(emb, cents)

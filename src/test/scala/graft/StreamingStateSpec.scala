@@ -341,12 +341,14 @@ class StreamingStateSpec extends AnyFunSuite {
     // lost counter would over-admit. Admissions are chunk-count-invariant,
     // so the 8-chunk killed-and-restarted run must equal the normal
     // 4-chunk run (and therefore the fMGWS form) row-for-row.
+    // the mid-stream kill is structural (re-staged with a wider window on a
+    // race); the only non-assertable condition left is an environment too
+    // slow to commit 2 batches in 180s, surfaced as the dedicated timeout
     val (restarted, before, chunks) =
-      StreamingState.rateLimitSweptRestarted(spark, sfDir, perDay = 5)
-    assert(before >= 2, s"kill fired before any progress ($before batches)")
-    // precondition, not a defect (see the changelog restart test above)
-    assume(before < chunks,
-      s"kill raced past end of stream ($before of $chunks batches committed)")
+      try StreamingState.rateLimitSweptRestarted(spark, sfDir, perDay = 5)
+      catch { case e: StreamingState.KillRestartTimeout => cancel(e.getMessage) }
+    assert(before >= 2 && before < chunks,
+      s"kill did not land mid-stream ($before of $chunks batches committed)")
     val normal = StreamingState.rateLimitEmissionsTwsSwept(spark, sfDir, perDay = 5)
     assert(normal.count() > 0)
     assert(restarted.exceptAll(normal).isEmpty && normal.exceptAll(restarted).isEmpty,
@@ -377,13 +379,15 @@ class StreamingStateSpec extends AnyFunSuite {
     // killAndRestartRun stop()s the continuous query once >= 2 batches have
     // committed (the interrupt may land mid-batch) and restarts the same
     // query on the same checkpoint to completion.
-    val (dir, before, chunks) = StreamingState.killAndRestartRun(spark, sfDir)
-    assert(before >= 2, s"kill fired before any progress ($before batches)")
-    // precondition, not a defect: on a machine fast enough to drain all
-    // chunks before stop() lands there is nothing to recover — cancel
-    // rather than fail (observed mid-stream on every run so far)
-    assume(before < chunks,
-      s"kill raced past end of stream ($before of $chunks batches committed)")
+    // the mid-stream kill is structural: runKillRestart re-stages with a
+    // doubled chunk count whenever stop() races past end-of-stream, so the
+    // contract is asserted, never assumed. Only the environmental
+    // slow-machine timeout cancels (a flake, not a recovery failure).
+    val (dir, before, chunks) =
+      try StreamingState.killAndRestartRun(spark, sfDir)
+      catch { case e: StreamingState.KillRestartTimeout => cancel(e.getMessage) }
+    assert(before >= 2 && before < chunks,
+      s"kill did not land mid-stream ($before of $chunks batches committed)")
     val log = spark.read.parquet(dir).drop("p_batch")
     // every epoch exactly once: batch ids are 0..chunks-1 with no gaps, and
     // within an epoch a key is emitted at most once (a replayed batch that
