@@ -56,6 +56,27 @@ case "${1:?stage}" in
       done
     done
     ;;
+  triage2)
+    # second-decade (sf1 -> sf10) alternation for the BENCH_r13 sf0.1->sf1
+    # queries that read >3x and are neither output-bound-by-substrate
+    # (containment/near/resample: salted evidence + named causes in
+    # SCALING.md) nor below the sf0.1 measurement floor. Solo JVM per
+    # (query, scale), scales alternated within each pass, Bench median-of-5.
+    : > BENCH_r13_triage2.jsonl
+    for pass in 1 2; do
+      for q in q_events_funnel q_text_perplexity q_sketch_cms \
+               q_text_rarity_join q_graph_triangles q_dedup_spans \
+               q_dedup_span_coverage q_text_keywords; do
+        for sf in sf1 sf10; do
+          parts=64; [[ $sf == sf10 ]] && parts=320
+          SPARK_GRAFT_SF_DIR=target/benchdata/$sf SPARK_GRAFT_CPUS=32 \
+            SPARK_GRAFT_SHUFFLE_PARTITIONS=$parts SPARK_GRAFT_ONLY=$q \
+            scripts/run_main.sh -m48g graft.Bench \
+            2>/dev/null | grep '^{' >> BENCH_r13_triage2.jsonl
+        done
+      done
+    done
+    ;;
   *) echo "unknown stage $1" >&2; exit 2 ;;
 esac
 echo "STAGE_DONE $1"

@@ -69,6 +69,8 @@ FAMILIES = {
         "q_streaming_cdc", "q_streaming_rate_limit",
         "q_streaming_join_outer", "q_streaming_late_drop",
         "q_streaming_trending", "q_streaming_kmv",
+        "q_streaming_trending_fmgws", "q_streaming_rate_limit_tws",
+        "q_streaming_restore",
     ],
     "olap (star joins / rollups / window-over-agg)": [
         "q_olap_pricing", "q_olap_volume", "q_olap_priority", "q_olap_heavy",
@@ -102,6 +104,7 @@ FAMILIES = {
     ],
     "embedding clustering / mining": [
         "q_embed_clusters", "q_embed_cluster_profile", "q_embed_dim_stats",
+        "q_embed_route_fine",
         "q_sample_clusters", "q_sample_importance",
         "q_similarity_negatives",
         "q_pipeline_semdedup",
