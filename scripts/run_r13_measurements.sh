@@ -77,6 +77,25 @@ case "${1:?stage}" in
       done
     done
     ;;
+  spans_salted)
+    # the span family's output-bound reading, measured instead of argued:
+    # on the CONSTANT-duplicate-density substrate (salted — replicas share
+    # zero shingles, so matched-window group sizes don't grow with N) the
+    # span plans must read ~linear decades. Requires target/benchdata/
+    # sf{1,10}s staged via `graft.ScaleData ... {10,100} salted`.
+    : > BENCH_r13_spans_salted.jsonl
+    for pass in 1 2; do
+      for q in q_dedup_spans q_dedup_span_coverage; do
+        for sf in sf1s sf10s; do
+          parts=64; [[ $sf == sf10s ]] && parts=320
+          SPARK_GRAFT_SF_DIR=target/benchdata/$sf SPARK_GRAFT_CPUS=32 \
+            SPARK_GRAFT_SHUFFLE_PARTITIONS=$parts SPARK_GRAFT_ONLY=$q \
+            scripts/run_main.sh -m48g graft.Bench \
+            2>/dev/null | grep '^{' >> BENCH_r13_spans_salted.jsonl
+        done
+      done
+    done
+    ;;
   *) echo "unknown stage $1" >&2; exit 2 ;;
 esac
 echo "STAGE_DONE $1"
