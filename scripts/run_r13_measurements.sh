@@ -96,6 +96,25 @@ case "${1:?stage}" in
       done
     done
     ;;
+  triage3)
+    # second-decade coverage for the REST of the expensive sf1 tail (the
+    # top-12 sf1 queries not already covered by triage2 or salted
+    # evidence): the iterative graph plans, the output-grid resample, the
+    # PQ serving scan, and the KMV pair sketch. Same protocol as triage2.
+    : > BENCH_r13_triage3.jsonl
+    for pass in 1 2; do
+      for q in q_graph_pagerank q_graph_components q_features_resample \
+               q_similarity_pq q_sketch_kmv_jaccard; do
+        for sf in sf1 sf10; do
+          parts=64; [[ $sf == sf10 ]] && parts=320
+          SPARK_GRAFT_SF_DIR=target/benchdata/$sf SPARK_GRAFT_CPUS=32 \
+            SPARK_GRAFT_SHUFFLE_PARTITIONS=$parts SPARK_GRAFT_ONLY=$q \
+            scripts/run_main.sh -m48g graft.Bench \
+            2>/dev/null | grep '^{' >> BENCH_r13_triage3.jsonl
+        done
+      done
+    done
+    ;;
   *) echo "unknown stage $1" >&2; exit 2 ;;
 esac
 echo "STAGE_DONE $1"
