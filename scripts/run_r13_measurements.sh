@@ -12,7 +12,7 @@
 #   streaming1|streaming10 — the committed solo-interleaved streaming
 #            record (r12 verdict task 2; replaces the contaminated
 #            shared-JVM BENCH_r12_streaming_sf10.json protocol) →
-#            BENCH_r13_streaming_sf{1,10}.jsonl, 2 passes × 8 queries
+#            BENCH_r13_streaming_sf{1,10}.jsonl, 3 passes × 8 queries
 #   tws2_1|tws2_10 — 3 MORE interleaved cold pairs per scale for the
 #            swept tws rate limiter vs the fMGWS primary (r12 verdict
 #            task 4: r12 had 3 pairs, 2 storm-hit; target ≥5 total) →
@@ -34,14 +34,17 @@ case "${1:?stage}" in
       2>/dev/null | grep '^{' > BENCH_r13_sf1.json
     ;;
   streaming1)
+    # the committed record has 3 passes (the third was appended under the
+    # identical protocol after the first two); run all 3 so a re-run
+    # reproduces the artifact of record
     : > BENCH_r13_streaming_sf1.jsonl
     scripts/run_streaming_solo.sh target/benchdata/sf1 \
-      BENCH_r13_streaming_sf1.jsonl 2
+      BENCH_r13_streaming_sf1.jsonl 3
     ;;
   streaming10)
     : > BENCH_r13_streaming_sf10.jsonl
     scripts/run_streaming_solo.sh target/benchdata/sf10 \
-      BENCH_r13_streaming_sf10.jsonl 2
+      BENCH_r13_streaming_sf10.jsonl 3
     ;;
   tws2_1|tws2_10)
     sf=sf1; [[ "$1" == tws2_10 ]] && sf=sf10

@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * sink — `count()` would let Catalyst prune the expensive projections out of
   * the timed plan (a fingerprinting query timed with count() measures a row
   * count, not fingerprinting).
+  *
+  * Every output line carries a `"config"` object (cores, shuffle partitions,
+  * max heap, pass count/estimator) — the batch analogue of StreamingBench's
+  * `jvm_seq` tag, so two records are only compared when their configs match
+  * (the r12→r13 87-vs-104 s sf0.1 delta was a CONFIG difference that took a
+  * judge to reconcile; see SCALING.md "Batch bench protocol"). The canonical
+  * cross-round protocol is declared there: solo 48g JVM, 32 cores, shuffle
+  * partitions scaled with data (32 @ sf0.1 / 64 @ sf1 / 320 @ sf10),
+  * median-of-5 after one warm-up.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -65,7 +74,9 @@ object Bench {
       try force(fn(spark, sfDir))
       catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
     }
+    System.err.println(s"[bench] warm-up done (${queries.size} queries, ${errors.size} errors)")
 
+    var done = 0
     val results = queries.collect { case (name, fn) if !errors.contains(name) =>
       System.gc()
       val samples = (1 to 5).map { _ =>
@@ -74,7 +85,11 @@ object Bench {
         catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> samples.sorted.apply(2) // median of 5
+      val med = samples.sorted.apply(2) // median of 5
+      done += 1
+      // progress on stderr only — stdout stays the single protocol JSON line
+      System.err.println(f"[bench] $done%3d/${queries.size} $name med=$med%.2fs")
+      name -> med
     }.filter { case (name, _) => !errors.contains(name) }
 
     def q(s: String): String =
@@ -86,8 +101,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val config = s"""{"cpus":${q(cpus)},"shuffle_partitions":${q(shufflePartitions)},""" +
+      f""""max_heap_gb":$heapGb%.1f,"passes":5,"estimator":"median"}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"config":$config,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }

@@ -58,17 +58,28 @@ import org.apache.spark.sql.functions._
   *     cosines scatter to ~0 (no cross-replica pairs at any sane ε).
   *   - events and the TPC-H tables replicate as in the default mode.
   *
-  * Usage: ScaleData <srcSfDir> <destDir> <factor> [salted]
+  * FIXED-KEYS mode (`fixedkeys` as the 4th arg): the events table
+  * replicates WITHOUT shifting user_id (event_id still shifts, so rows stay
+  * unique) — N× the event volume over the BASE key population. This is the
+  * resample analogue of the salted span study: output-grid-bounded plans
+  * (keys × time-steps, e.g. `Features.resampleFill`) hold their output
+  * CONSTANT while input grows, so an alternated fixed-keys decade isolates
+  * the non-output term of their cost — if time stays ~flat, the default
+  * substrate's ~10×/decade is measured (not argued) to be output rows, not
+  * plan degradation. All other tables replicate as in the default mode.
+  *
+  * Usage: ScaleData <srcSfDir> <destDir> <factor> [salted|fixedkeys]
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleData <srcSfDir> <destDir> <factor> [salted]")
+      "usage: ScaleData <srcSfDir> <destDir> <factor> [salted|fixedkeys]")
     val Array(src, dest, factorStr) = args.take(3)
-    val salted = args.length == 4 && {
-      require(args(3) == "salted", s"unknown mode '${args(3)}' (expected 'salted')")
-      true
-    }
+    val mode = if (args.length == 4) args(3) else ""
+    require(mode == "" || mode == "salted" || mode == "fixedkeys",
+      s"unknown mode '$mode' (expected 'salted' or 'fixedkeys')")
+    val salted = mode == "salted"
+    val fixedKeys = mode == "fixedkeys"
     val factor = factorStr.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -88,9 +99,12 @@ object ScaleData {
     val evN = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     val userN = ev.agg(max(col("user_id"))).head().getLong(0) + 1
     replicate(ev) { (d, i) =>
+      val uid =
+        if (fixedKeys) col("user_id") // key population pinned to the base
+        else col("user_id") + lit(i) * userN
       d.select(
         (col("event_id") + lit(i) * evN).as("event_id"), col("ts"),
-        (col("user_id") + lit(i) * userN).as("user_id"),
+        uid.as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.write.mode("overwrite").parquet(s"$dest/events.parquet")
 
@@ -142,7 +156,9 @@ object ScaleData {
     }
 
     println(s"staged ${factor}x of $src at $dest" +
-      (if (salted) " (salted: constant duplicate density)" else ""))
+      (if (salted) " (salted: constant duplicate density)"
+       else if (fixedKeys) " (fixedkeys: base event-key population)"
+       else ""))
     spark.stop()
   }
 }

@@ -10,9 +10,13 @@ import org.apache.spark.sql.SparkSession
   * per query in a fresh JVM-wide cache, which IS the streaming cost a scale
   * study needs.
   *
-  * OUTPUT (r13 protocol): one JSON line PER QUERY in the solo-record shape
-  * (`"queries"` holds that single query; `"value"` = its seconds), tagged
-  * `"jvm_seq"` = the query's position in this JVM. Only `jvm_seq: 0` lines
+  * OUTPUT (r13 protocol, metric renamed r14): one JSON line PER QUERY in the
+  * solo-record shape (`"queries"` holds that single query; `"value"` = its
+  * seconds; metric `"streaming_cold"` — pre-r14 records say
+  * `"streaming_cold_total"`, a misnomer once lines became per-query), tagged
+  * `"jvm_seq"` = the query's position in this JVM. A FAILED query's line has
+  * NO `"value"` key at all — an error sentinel must never be eligible for
+  * the protocol's min-over-passes estimator. Only `jvm_seq: 0` lines
   * are comparable across rounds: the r12 shared-JVM record
   * (`BENCH_r12_streaming_sf10.json`) measured cdc at 110 s where adjacent
   * solo runs read 27–33 s — a query's RocksDB/staging residue contaminates
@@ -68,24 +72,30 @@ object StreamingBench {
         case c => c.toString
       } + "\""
     val errors = scala.collection.mutable.Map.empty[String, String]
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val config = s"""{"cpus":${q(cpus)},"shuffle_partitions":${q(shufflePartitions)},""" +
+      f""""max_heap_gb":$heapGb%.1f,"passes":1,"estimator":"cold-first-run"}"""
     names.zipWithIndex.foreach { case (name, seq) =>
       System.gc()
       val t0 = System.nanoTime()
-      val (qs, errJson, value) =
+      // On failure the line carries NO "value" key (and empty "queries") so a
+      // min-over-passes aggregation can never pick up an error sentinel — an
+      // error is visible only in "errors" and the process exit code.
+      val (qs, errJson, valueField) =
         try {
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()
           val t = (System.nanoTime() - t0) / 1e9
-          (s"{${q(name)}:$t}", "{}", t)
+          (s"{${q(name)}:$t}", "{}", s""""value":$t,""")
         } catch {
           case e: Throwable =>
             val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
             errors(name) = msg
-            ("{}", s"{${q(name)}:${q(msg)}}", -1.0)
+            ("{}", s"{${q(name)}:${q(msg)}}", "")
         }
-      println(s"""{"metric":"streaming_cold_total","value":$value,""" +
+      println(s"""{"metric":"streaming_cold",$valueField""" +
         s""""unit":"sec","queries":$qs,"errors":$errJson,""" +
-        s""""jvm_seq":$seq,"sf":"$sfDir"}""")
+        s""""jvm_seq":$seq,"config":$config,"sf":"$sfDir"}""")
     }
     spark.stop()
     if (errors.nonEmpty) {

@@ -694,6 +694,24 @@ object Dedup {
     * trade-off. Window hashes are md5 of the window TEXT (portable across
     * engines, like the Sampling coordinates), computed by the codegen'd
     * [[NativeExpressions.wordWindowMd5]] kernel.
+    *
+    * MEASURED CONSTANT (r13, both decades, replica AND salted substrates —
+    * `BENCH_r13_triage2.jsonl` / `BENCH_r13_spans_salted.jsonl`): the span
+    * family's wall-clock trend is ~4.3–4.8× per 10× data, identical on the
+    * zero-shared-shingle salted substrate, so the cost is the exploded
+    * linear floor itself — ≈1 window-hash row shuffled PER CORPUS WORD
+    * (each ~16 B binary hash + 8 B id on the wire; ~5 rows per corpus word
+    * only in the sense that the downstream agg/join touches each hash a
+    * handful of times). Sublinear per decade but within a decade of the
+    * wall: a 100 TB (~15T-word) corpus shuffles ~15T hash rows ≈ 300+ TB
+    * through one exchange. Deploy-scale mitigations, in preference order:
+    * (a) per-partition PRE-AGGREGATION of window counts before the exchange
+    * (partial_count(whash) — cuts shuffle rows by the within-partition
+    * duplication factor; free to add, Catalyst already plans the partial
+    * agg for [[duplicateSpans]]); (b) a coarser STRIDE (hash every s-th
+    * window instead of every window — shuffle volume ÷ s, detection
+    * granularity w+s−1 words); (c) a cheap 8-byte xxhash64 in place of md5
+    * when cross-engine portability is not needed (halves wire bytes).
     */
   def spanWindows(
       docs: DataFrame, w: Int,
@@ -745,7 +763,12 @@ object Dedup {
     * sides; the dup-hash side is an aggregate projected to the hash alone,
     * and the flagging join is a hash equi-join on the 32-byte span hash
     * (both sides partition by it — no broadcast assumption: the duplicated
-    * set is corpus-dependent and can be large).
+    * set is corpus-dependent and can be large). This is the steepest
+    * registered trend in the engine (~4.8×/decade, measured identical on
+    * replica and salted substrates — the [[spanWindows]] linear floor times
+    * the two passes over the window table; see the constant and the
+    * stride/pre-aggregation mitigations documented there before running it
+    * at 100 TB).
     */
   def spanCoverage(
       docs: DataFrame, w: Int,

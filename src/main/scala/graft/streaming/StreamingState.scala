@@ -766,7 +766,8 @@ object StreamingState {
     * [[stageRateLimitReplay]]'s caveat.
     */
   private def stageTrendingReplay(
-      spark: SparkSession, sfDir: String, root: Path): Path = {
+      spark: SparkSession, sfDir: String, root: Path,
+      chunks: Int = NumChunks): Path = {
     Fs.deleteRecursively(root)
     val staging = root.resolve("staging")
     Files.createDirectories(staging)
@@ -774,8 +775,8 @@ object StreamingState {
       Tables.events(spark, sfDir).select(
         col("event_type"), col("ts"), col("event_id"),
         expr("(unix_micros(ts) DIV 3600000000) * 3600").as("ws")),
-      NumChunks, Seq(col("ts"), col("event_id"))).drop("ts", "event_id")
-    stageChunks(staged, root, staging)
+      chunks, Seq(col("ts"), col("event_id"))).drop("ts", "event_id")
+    stageChunks(staged, root, staging, chunks)
     staging
   }
 
@@ -966,6 +967,61 @@ object StreamingState {
       outDir.toString
     })
     trendingBoard(spark, out)
+  }
+
+  /** [[trendingSnapshotTws]] under a mid-flight kill — the recovery
+    * differential for the REGISTERED trending primary, closing the one
+    * state shape the kill-restart seam did not pin: [[TrendingProcessor]]
+    * carries a MapState counts column family PLUS two ValueStates (`topk`,
+    * the incrementally-exact board; `batches`, the emission ordinal). The
+    * board is the dangerous one: its exactness invariant (counts only grow
+    * ⇒ new top-k ⊆ previous board ∪ types touched this batch) assumes the
+    * PREVIOUS BOARD restores intact — a checkpoint that recovered counts
+    * but lost (or staled) `topk` would silently drop an untouched
+    * board member from every post-restart emission, and no count would
+    * ever disagree. Phase 1 runs the leaderboard on a continuous trigger
+    * and stop()s once ≥2 batches committed (the interrupt may land
+    * mid-batch); phase 2 restarts the identical query on the same
+    * checkpoint to completion ([[runKillRestart]] protocol: the mid-stream
+    * kill is structural, re-staged with doubled chunks on a race).
+    *
+    * The comparable artifact is the FINAL board per window
+    * ([[trendingBoard]]: highest-ordinal emission per window): final
+    * counts are chunk-count-invariant and the board is exact top-k of
+    * final counts, so the killed-and-restarted run must equal the
+    * never-killed [[trendingSnapshotTws]] row-for-row even though the two
+    * runs batch differently. Returns (board, batches committed before the
+    * kill, chunks staged).
+    */
+  def trendingTwsRestarted(
+      spark: SparkSession, sfDir: String, k: Int = 3,
+      chunks: Int = 8): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val root = workDir(sfDir).resolve(s"trending_twsr_$k")
+    val staging = root.resolve("staging")
+    val checkpoint = root.resolve("checkpoint")
+    val outDir = root.resolve("out")
+    // stageTrendingReplay wipes `root`, resetting checkpoint + sink too
+    def stage(n: Int): Unit = { stageTrendingReplay(spark, sfDir, root, n); () }
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    def start(trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery =
+      trendingSource(spark, staging)
+        .groupByKey(_.ws)
+        .transformWithState(
+          new TrendingProcessor(k), TimeMode.None(), OutputMode.Append())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint.toString)
+        .trigger(trigger)
+        .format("parquet")
+        .option("path", outDir.toString)
+        .start()
+
+    val (before, staged) = runKillRestart(checkpoint, stage, start, chunks)
+    (trendingBoard(spark, outDir.toString), before, staged)
   }
 
   /** One hashed value for the streaming KMV sketch (key = group). */

@@ -364,6 +364,29 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(tws.exceptAll(fmgws).isEmpty && fmgws.exceptAll(tws).isEmpty)
   }
 
+  test("mid-flight kill + restart recovers the trending MapState counts AND the incremental top-k board exactly") {
+    // the recovery seam for the REGISTERED trending primary: its state is a
+    // MapState counts column family + a topk ValueState (the incrementally
+    // exact board) + an ordinal ValueState. The board invariant (new top-k
+    // ⊆ previous board ∪ touched) assumes the previous board RESTORES — a
+    // checkpoint that recovered counts but lost topk would silently drop an
+    // untouched board member from every post-restart emission while every
+    // count stays right. Final boards are chunk-count-invariant (board =
+    // exact top-k of final counts), so the 8-chunk killed-and-restarted run
+    // must equal the normal 4-chunk run row-for-row.
+    // the mid-stream kill is structural (re-staged wider on a race); only
+    // the environmental slow-machine timeout cancels.
+    val (restarted, before, chunks) =
+      try StreamingState.trendingTwsRestarted(spark, sfDir)
+      catch { case e: StreamingState.KillRestartTimeout => cancel(e.getMessage) }
+    assert(before >= 2 && before < chunks,
+      s"kill did not land mid-stream ($before of $chunks batches committed)")
+    val normal = StreamingState.trendingSnapshotTws(spark, sfDir)
+    assert(normal.count() > 0)
+    assert(restarted.exceptAll(normal).isEmpty && normal.exceptAll(restarted).isEmpty,
+      "post-restart final leaderboard diverged from the never-killed run")
+  }
+
   test("restore-then-continue equals the full-history batch aggregate") {
     // the S6 contract: bootstrapping state from the materialized first-half
     // aggregate and streaming the second half must be invisible — the
