@@ -53,16 +53,21 @@ case "${1:?stage}" in
     done
     ;;
   triage)
+    # TRIAGE_SUBSTRATES defaults to the replica pair; pass "sf1s sf10s" to
+    # re-measure a substrate-adversarial query on the constant-density
+    # salted twins (the r13 span-study move)
     : "${TRIAGE_QUERIES:?set TRIAGE_QUERIES=q_a,q_b}"
-    : > BENCH_r14_triage.jsonl
+    subs="${TRIAGE_SUBSTRATES:-sf1 sf10}"
+    out="${TRIAGE_OUT:-BENCH_r14_triage.jsonl}"
+    : > "$out"
     for pass in 1 2; do
       for q in ${TRIAGE_QUERIES//,/ }; do
-        for sf in sf1 sf10; do
-          parts=64; [[ $sf == sf10 ]] && parts=320
+        for sf in $subs; do
+          parts=64; [[ $sf == sf10* ]] && parts=320
           SPARK_GRAFT_SF_DIR=target/benchdata/$sf SPARK_GRAFT_CPUS=32 \
             SPARK_GRAFT_SHUFFLE_PARTITIONS=$parts SPARK_GRAFT_ONLY=$q \
             scripts/run_main.sh -m48g graft.Bench \
-            2>/dev/null | grep '^{' >> BENCH_r14_triage.jsonl
+            2>/dev/null | grep '^{' >> "$out"
         done
       done
     done

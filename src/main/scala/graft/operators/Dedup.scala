@@ -352,6 +352,17 @@ object Dedup {
     * (containment is directional). Candidate volume is Σ_h df_prefix(h) ·
     * df(h) — bounded far below the Σ df² of a naive shingle self-join.
     *
+    * OUTPUT WALL (measured r14): on the adversarial replica substrate at
+    * sf10 (every base doc with 100 mutual near-duplicates) the exact
+    * re-check's shuffle spill exceeded a 69 GB disk — true-pair output is
+    * ∝ duplicate-group-size², and NO execution strategy makes a quadratic
+    * output linear. Deploy-scale guidance: run exact/near dedup FIRST (all
+    * registered pipelines do) so containment sees bounded duplicate
+    * groups; on salted (bounded-group) substrates the identical plan reads
+    * 1.9–2.8×/decade. If a corpus is suspected of pathological group
+    * sizes, cap emission per containing doc (top-k by containment) or
+    * pre-aggregate group representatives before pair listing.
+    *
     * Returns (doc_a, doc_b, containment), containment rounded to 6 dp and
     * thresholded on the unrounded value (same contract as cosinePairs).
     */
