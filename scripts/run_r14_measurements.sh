@@ -7,7 +7,11 @@
 #   full10  — full-registry graft.Bench at sf10 → BENCH_r14_sf10.json
 #             (r13 verdict task 1: the registry's first COMPLETE record at
 #             sf10 — before this, only the ~13-query expensive tail and the
-#             8 streaming plans had sf1→sf10 evidence)
+#             8 streaming plans had sf1→sf10 evidence). NOTE: the committed
+#             artifact records q_dedup_containment's substrate-constructed
+#             disk-wall failure verbatim in "errors", so Bench (and this
+#             stage) exits nonzero on this box — see SCALING.md "Round 14 —
+#             the full registry's SECOND decade" before re-running.
 #   stage_fixed — stage the FIXED-KEYS substrates (ScaleData fixedkeys mode:
 #             events replicate with user_id UNSHIFTED, so the resample
 #             output grid keys×hours is CONSTANT across scales) →
