@@ -18,8 +18,12 @@
 #             target/benchdata/sf1f (10×) and sf10f (100×)
 #   resample_fixed — the resample analogue of the r13 salted span study
 #             (r13 verdict task 3): alternate q_features_resample between
-#             sf1f and sf10f, 2 passes, solo JVM per (query, scale), Bench
-#             median-of-5 → BENCH_r14_resample_fixed.jsonl. If time is
+#             sf1f and sf10f, 3 passes, solo JVM per (query, scale), Bench
+#             median-of-5 → BENCH_r14_resample_fixed.jsonl. (The committed
+#             r14 artifacts carry 3 interleaved passes; the third was
+#             appended out-of-band in commit 5a2ec59 while the stage still
+#             said 2 — the loops below now match the artifact of record,
+#             ADVICE r14.) If time is
 #             ~flat while input grows 10× (output constant by construction),
 #             the replica substrate's 10.71×/decade is MEASURED to be
 #             output-grid rows, closing the last argued-not-measured trend.
@@ -45,7 +49,7 @@ case "${1:?stage}" in
     ;;
   resample_fixed)
     : > BENCH_r14_resample_fixed.jsonl
-    for pass in 1 2; do
+    for pass in 1 2 3; do
       for sf in sf1f sf10f; do
         parts=64; [[ $sf == sf10f ]] && parts=320
         SPARK_GRAFT_SF_DIR=target/benchdata/$sf SPARK_GRAFT_CPUS=32 \
@@ -64,7 +68,7 @@ case "${1:?stage}" in
     subs="${TRIAGE_SUBSTRATES:-sf1 sf10}"
     out="${TRIAGE_OUT:-BENCH_r14_triage.jsonl}"
     : > "$out"
-    for pass in 1 2; do
+    for pass in 1 2 3; do
       for q in ${TRIAGE_QUERIES//,/ }; do
         for sf in $subs; do
           parts=64; [[ $sf == sf10* ]] && parts=320

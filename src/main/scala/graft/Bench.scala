@@ -64,7 +64,30 @@ object Bench {
 
     // optional local-profiling filter (unset for driver runs = all queries)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // optional substrate-precondition exclusion (r14 verdict #4): a query
+    // whose documented failure mode is SUBSTRATE-constructed (e.g. the
+    // unguarded containment's output wall on the 100-replicas-per-doc sf10
+    // corpus) can be excluded from that substrate's record run without
+    // touching the registry. The skip list is recorded in the output's
+    // config tag so the artifact self-declares the reduced query set.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
+
+    // disk-headroom guard (r14 verdict #4): the r14 sf10 record showed one
+    // pathological query can exhaust the box's free disk in shuffle spill;
+    // recovery worked only by luck of ordering. Before EACH query, require
+    // a free-disk floor on the spill volume — a query starting under the
+    // floor is recorded as an error (never run), so one spill storm cannot
+    // poison the rest of a record run's substrate.
+    val spillDir = new java.io.File(
+      spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))
+    val minFreeGb = sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "8").toDouble
+    def freeGb: Double = spillDir.getUsableSpace / (1024.0 * 1024 * 1024)
+    require(freeGb >= minFreeGb,
+      f"pre-flight: only $freeGb%.1f GB free on $spillDir (floor $minFreeGb GB) — " +
+        "clean the spill volume before a record run")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -79,13 +102,20 @@ object Bench {
     var done = 0
     val results = queries.collect { case (name, fn) if !errors.contains(name) =>
       System.gc()
-      val samples = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) }
-        catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val med = samples.sorted.apply(2) // median of 5
+      val med =
+        if (freeGb < minFreeGb) {
+          errors(name) =
+            f"disk headroom $freeGb%.1f GB below $minFreeGb%.1f GB floor — not run"
+          0.0
+        } else {
+          val samples = (1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            try { force(fn(spark, sfDir)) }
+            catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+            (System.nanoTime() - t0) / 1e9
+          }
+          samples.sorted.apply(2) // median of 5
+        }
       done += 1
       // progress on stderr only — stdout stays the single protocol JSON line
       System.err.println(f"[bench] $done%3d/${queries.size} $name med=$med%.2fs")
@@ -102,8 +132,10 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val skipJson = skip.toSeq.sorted.map(q).mkString("[", ",", "]")
     val config = s"""{"cpus":${q(cpus)},"shuffle_partitions":${q(shufflePartitions)},""" +
-      f""""max_heap_gb":$heapGb%.1f,"passes":5,"estimator":"median"}"""
+      f""""max_heap_gb":$heapGb%.1f,"passes":5,"estimator":"median",""" +
+      s""""skip":$skipJson,"min_free_gb":$minFreeGb}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"config":$config,"sf":"$sfDir"}""")
     spark.stop()

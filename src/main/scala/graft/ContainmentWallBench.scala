@@ -21,6 +21,10 @@ import graft.operators.Dedup
   *   phase B — [[Dedup.containmentPairs]] over the survivors (same n=3,
   *             threshold=0.6 as the registered `q_dedup_containment`).
   *
+  * Since r15 this pipeline is ALSO the registered, oracle-backed
+  * `q_dedup_containment_guarded` — this main remains the solo timing
+  * harness for it on staged substrates.
+  *
   * Output: ONE JSON line `{"metric":"containment_after_dedup", "value":
   * totalSec, "phases":{"dedup":s,"containment":s}, "rows":{"docs":N,
   * "survivors":N,"pairs":N}, "config":{...}, "sf":...}` — same config tag
@@ -52,17 +56,19 @@ object ContainmentWallBench {
     val t0 = System.nanoTime()
     val labels = Dedup.nearDedupLabels(
       docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7))
-    val survivors = docs.join(
-      labels.filter(col("doc_id") === col("canonical_id")).select("doc_id"),
-      Seq("doc_id"))
+    val survivors = Dedup.survivorsOf(docs, labels)
       // labels are localCheckpointed; pin the joined survivor set too so
       // phase B's timing doesn't re-pay the survivor join per shuffle read
       .localCheckpoint(true)
     val nSurvivors = survivors.count()
     val t1 = System.nanoTime()
 
+    // eager localCheckpoint = ONE full materialization of the containment
+    // plan (all columns); the count then reads the checkpointed blocks.
+    // (ADVICE r14: the previous noop-write + uncached count executed the
+    // plan twice inside the timed window, doubling the reported phase.)
     val pairs = Dedup.containmentPairs(survivors, n = 3, threshold = 0.6)
-    pairs.write.mode("overwrite").format("noop").save() // full materialization
+      .localCheckpoint(true)
     val nPairs = pairs.count()
     val t2 = System.nanoTime()
 

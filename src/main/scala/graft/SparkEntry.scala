@@ -399,6 +399,21 @@ object SparkEntry {
     // misses; PPJoin-style rarest-prefix candidates + exact re-check
     "q_dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), n = 3, threshold = 0.6)),
+    // the SCALE-SAFE containment surface (r14 verdict): near-dup dedup
+    // FIRST (shared labels cache with q_dedup_survivors), then directional
+    // containment over canonical rows only — duplicate groups collapse to
+    // one representative before any pair is listed, so true-pair output is
+    // bounded by the SURVIVOR corpus, not by duplicate-group-size². This
+    // registers the exact pipeline ContainmentWallBench measured on the
+    // substrate where the unguarded plan hit the sf10-replica disk wall
+    // (4.6 s vs 69 GB spill). Deploy-scale callers wanting containment on
+    // an uncurated corpus should reach for THIS name.
+    "q_dedup_containment_guarded" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = dedupLabels.computeIfAbsent(s"${sessionKey(s)}:text:$dir", _ =>
+        Dedup.nearDedupLabels(docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7)))
+      Dedup.containmentPairs(Dedup.survivorsOf(docs, labels), n = 3, threshold = 0.6)
+    }),
     // near-dup survivor selection: connected components of the pair graph by
     // min-label propagation; canonical_id == doc_id picks the kept row
     "q_dedup_survivors" -> ((s, dir) =>
@@ -2041,6 +2056,28 @@ object SparkEntry {
          |  round(len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss), 6)
          |    AS containment
          |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss) >= 0.6""".stripMargin,
+    // guarded containment: the q_dedup_survivors transitive closure picks
+    // canonical rows, then the same directional-containment predicate runs
+    // over canonical rows ONLY — the composed oracle, not two separate ones,
+    // because the gate must pin the PIPELINE the registered query serves
+    "q_dedup_containment_guarded" ->
+      s"""WITH RECURSIVE sh AS ($dedupShCte),
+         |pairs AS ($dedupNearBody),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         |canon AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |surv AS (SELECT d.doc_id FROM documents d LEFT JOIN canon c USING (doc_id)
+         |         WHERE least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id),
+         |ssh AS (SELECT sh.* FROM sh JOIN surv USING (doc_id))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss), 6)
+         |    AS containment
+         |FROM ssh a JOIN ssh b ON a.doc_id <> b.doc_id
          |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss) >= 0.6""".stripMargin,
     // span-level dedup: same window/md5 construction in SQL; duplicated =
     // appears in >= 2 distinct docs

@@ -362,10 +362,11 @@ object Dedup {
     * 1.9–2.8×/decade, and the dedup-first order is itself MEASURED on the
     * wall's own substrate (graft.ContainmentWallBench, r14): containment
     * over the 4,756 near-dup survivors of the same 500k-doc corpus costs
-    * 4.6 s with zero disk pressure. If a corpus is suspected of
-    * pathological group sizes, cap emission per containing doc (top-k by
-    * containment) or pre-aggregate group representatives before pair
-    * listing.
+    * 4.6 s with zero disk pressure. Since r15 that guarded composition is
+    * a REGISTERED, oracle-backed query — `q_dedup_containment_guarded`
+    * ([[nearDedupLabels]] → [[survivorsOf]] → this) — so uncurated-corpus
+    * callers have a first-class scale-safe surface; this unguarded form
+    * stays registered for the already-deduplicated input it assumes.
     *
     * Returns (doc_a, doc_b, containment), containment rounded to 6 dp and
     * thresholded on the unrounded value (same contract as cosinePairs).
@@ -562,6 +563,21 @@ object Dedup {
     require(converged, s"label propagation did not converge in $maxIterations rounds")
     labels.select(col("id").as(idCol), col("lbl").as("canonical_id"))
   }
+
+  /** Canonical (survivor) rows of a corpus under a [[nearDedupLabels]]
+    * labeling: keep exactly the rows whose id IS their cluster's canonical
+    * id. This is the dedup-first guard the r14 containment study measured:
+    * any pair-listing operator whose true-pair output grows with
+    * duplicate-group-size² ([[containmentPairs]], [[nearDuplicatePairs]])
+    * becomes group-bounded when fed survivors instead of the raw corpus,
+    * because every duplicate cluster collapses to ONE representative before
+    * pairs are enumerated. One broadcast-or-shuffle equi-join on the id —
+    * no text moves, labels are a 2-column long frame.
+    */
+  def survivorsOf(docs: DataFrame, labels: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      labels.filter(col(idCol) === col("canonical_id")).select(idCol),
+      Seq(idCol))
 
   /** 64-bit SimHash over the document's word-3-gram shingles: bit b of the
     * fingerprint is the sign of sum over shingles of (+1 if bit b of

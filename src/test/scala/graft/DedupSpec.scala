@@ -261,6 +261,66 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute, s"missing=${brute -- got}, extra=${got -- brute}")
   }
 
+  test("guarded containment == containment restricted to near-dup survivors") {
+    // the scale-safe registered surface (q_dedup_containment_guarded) must
+    // be EXACTLY "dedup first, then the same containment semantics": pairs
+    // among canonical rows only, no pair lost or invented by the guard
+    val docs = Tables.documents(spark, sfDir)
+    val labels = Dedup.nearDedupLabels(
+      docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7))
+    val survivors = Dedup.survivorsOf(docs, labels)
+    val canonical = labels
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val nDocs = docs.count()
+    assert(survivors.count() == canonical.size.toLong)
+    assert(canonical.size.toLong < nDocs,
+      "fixture corpus must actually contain near-dup clusters")
+    val guarded = Dedup.containmentPairs(survivors, n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val unguardedOnSurvivors: Set[(Long, Long, Double)] = Dedup
+      .containmentPairs(docs, n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet[(Long, Long, Double)]
+      .filter { case (a, b, _) => canonical(a) && canonical(b) }
+    assert(guarded == unguardedOnSurvivors,
+      s"missing=${unguardedOnSurvivors -- guarded}, extra=${guarded -- unguardedOnSurvivors}")
+  }
+
+  test("guarded containment keeps the truncation axis while collapsing the quadratic cluster") {
+    // the guard's whole point, non-vacuously: a replica CLUSTER (mutual
+    // jaccard >= 0.7 — the group whose pair output is quadratic and hit the
+    // sf10 disk wall) must collapse to its canonical row, while a truncated
+    // COPY (containment = 1.0 but jaccard ~ 0.25, invisible to the jaccard
+    // guard) must survive dedup and still be reported by containment
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val cluster = (0 until 8).map(i => (10L + i, s"$base extra$i"))
+    val full = (100 to 140).map(i => s"v$i").mkString(" ")
+    val excerpt = (100 to 110).map(i => s"v$i").mkString(" ")
+    val docs = corpus(cluster ++ Seq((1L, full), (2L, excerpt), (3L,
+      (200 to 240).map(i => s"u$i").mkString(" "))): _*)
+
+    // unguarded: the cluster contributes its full quadratic pair mass
+    val unguarded: Set[(Long, Long)] = Dedup
+      .containmentPairs(docs, n = 3, threshold = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val clusterPairs = (for {
+      a <- cluster.map(_._1); b <- cluster.map(_._1) if a != b
+    } yield (a, b)).toSet
+    assert(clusterPairs.subsetOf(unguarded),
+      s"fixture cluster must be mutually containing: ${clusterPairs -- unguarded}")
+
+    // guarded: ONE canonical row per cluster -> zero within-cluster pairs;
+    // the truncation pair (jaccard below the 0.7 guard) survives intact
+    val labels = Dedup.nearDedupLabels(
+      docs, Dedup.nearDuplicatePairs(docs, n = 3, threshold = 0.7))
+    val guarded = Dedup
+      .containmentPairs(Dedup.survivorsOf(docs, labels), n = 3, threshold = 0.6)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded == Set((2L, 1L, 1.0)),
+      s"guard must keep exactly the truncation pair: $guarded")
+  }
+
   test("source overlap: shared spans counted once per pair, Jaccard exact") {
     // srcA and srcB share one 8-word span (via different docs); srcC shares
     // nothing; the shared span occurring TWICE in srcB must count once
