@@ -531,6 +531,14 @@ object Dedup {
     * transitive closure — the DuckDB oracle does, which is fine at oracle
     * scale and would be wrong at 100 TB.
     *
+    * r15 plan trims (guide §2.4/§1.2): the edge set is checkpointed
+    * HASH-PARTITIONED on the join key `u`, and LogicalRDD keeps that
+    * outputPartitioning, so each round's edges⋈labels join moves only the
+    * |V|-row label side — the |2E| edge shuffle is paid once, not per
+    * round. Each round's labels checkpoint is LAZY and materialized by the
+    * same job that computes the convergence sum: one job per round where
+    * there were two.
+    *
     * Returns (doc_id, canonical_id) for EVERY document (singletons map to
     * themselves).
     */
@@ -541,11 +549,13 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .repartition(col("u"))
       .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // coalesce: sum over ZERO rows is SQL NULL — an empty corpus must yield
-    // the empty labeling, not an unboxing NPE
+    // the empty labeling, not an unboxing NPE. The agg is also the action
+    // that materializes the lazy checkpoint — one job, not two.
     var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var converged = false
     var it = 0
@@ -554,7 +564,7 @@ object Dedup {
         .select(col("v").as("id"), col("lbl"))
       labels = labels.union(msgs)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
@@ -1017,12 +1027,21 @@ object Dedup {
     */
   def chunkOverlapPairs(docs: DataFrame, chunkChars: Int = 64,
       minShared: Int = 2, maxPostings: Int = 50): DataFrame = {
-    val h = chunkHashes(docs, chunkChars).distinct()
-    val usable = h.groupBy("chunk_md5")
-      .agg(count(lit(1)).as("nd"))
+    import org.apache.spark.sql.expressions.Window
+    // ONE chunk-keyed exchange serves everything (r15, guide §2.4): the
+    // (doc, chunk) dedup runs on it (hash-partitioning by chunk_md5 alone
+    // satisfies the distinct's clustering — equal pairs co-locate), the
+    // posting-list length is a window count over the same layout (the old
+    // groupBy + join-back paid a second chunk-keyed exchange to re-attach
+    // one integer), and the pair self-join consumes the window's
+    // partitioning with no further shuffle of the postings.
+    val hf = chunkHashes(docs, chunkChars)
+      .repartition(col("chunk_md5"))
+      .distinct()
+      .select(col("doc_id"), col("chunk_md5"),
+        count(lit(1)).over(Window.partitionBy("chunk_md5")).as("nd"))
       .filter(col("nd") > 1 && col("nd") <= maxPostings)
-      .select("chunk_md5")
-    val hf = h.join(usable, "chunk_md5")
+      .select("doc_id", "chunk_md5")
     hf.as("a")
       .join(hf.as("b"),
         col("a.chunk_md5") === col("b.chunk_md5") &&

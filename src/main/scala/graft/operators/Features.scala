@@ -63,14 +63,29 @@ object Features {
     *
     * Each key's grid runs from its own first observation to the GLOBAL last
     * grid point (once an entity exists it has a row every step), so the
-    * first row per key is never null and the fill is total. Grid generation
-    * is a map-side `sequence` explode off the bounded per-key minima — grid
-    * cardinality is keys × steps, independent of the raw event volume. The
-    * global max is one bounded scalar aggregate (a driver artifact, the
-    * repo's trained-model move). Fill is `last(value, ignoreNulls)` over the
-    * key-partitioned hour order: one exchange + one in-partition sort after
-    * the grid⋈observations hash join — two key-partitioned shuffles total
-    * at any scale.
+    * first row per key is never null and the fill is total. The global max
+    * is one bounded scalar aggregate (a driver artifact, the repo's
+    * trained-model move).
+    *
+    * Plan shape (r15, guide §2.3/§2.4 — shuffle the sparse proxy, explode
+    * after): the islands formulation. ONE window over the OBSERVATIONS
+    * (lead(time) per key) finds each observation's reign [t, next_t), and a
+    * map-side `sequence` explode emits that reign's grid points carrying
+    * the observation's value — fill needs no grid⋈observations join and no
+    * grid-sized shuffle at all. The only exchange after the input
+    * aggregate moves the sparse observations once (keys × observations,
+    * not keys × steps); everything grid-sized is generated map-side
+    * AFTER the shuffle. (The previous shape — grid explode off per-key
+    * minima, (key,time) equi-join against the observations, then a second
+    * grid-sized window exchange for last(ignoreNulls) — shuffled the dense
+    * grid twice to attach the same sparse values.)
+    *
+    * Contract (unchanged, now load-bearing for the plan): observation times
+    * lie ON the step grid (t ≡ min(t) mod step per key — true for any
+    * bucketed/windowed aggregate input) and are unique per (key, time).
+    * Misaligned rows were silently invisible to the old fill; here they
+    * would seed their own grid offsets, so the precondition is asserted by
+    * the focused spec rather than left implicit.
     *
     * Returns (keyCol, timeCol, <valueCol> filled, is_gap).
     */
@@ -92,18 +107,18 @@ object Features {
             "is_gap", org.apache.spark.sql.types.BooleanType, nullable = true))))
     }
     val gmax = gmaxRow.getLong(0)
-    val grid = series
-      .groupBy(col(keyCol))
-      .agg(min(col(timeCol)).as("s0"))
-      .select(col(keyCol),
-        explode(sequence(col("s0"), lit(gmax), lit(step))).as(timeCol))
+    // each observation reigns over [t, next observation) — or to the global
+    // grid end for a key's last observation; its reign's grid points are a
+    // map-side sequence explode, value carried along, gap = every generated
+    // point except the observation's own
     val w = Window.partitionBy(keyCol).orderBy(timeCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(series.select(col(keyCol), col(timeCol), col(valueCol).as("_v")),
-        Seq(keyCol, timeCol), "left")
-      .select(col(keyCol), col(timeCol),
-        last(col("_v"), ignoreNulls = true).over(w).as(valueCol),
-        col("_v").isNull.as("is_gap"))
+    series
+      .select(col(keyCol), col(timeCol), col(valueCol).as("_v"))
+      .withColumn("_end",
+        coalesce(lead(col(timeCol), 1).over(w) - lit(step), lit(gmax)))
+      .select(col(keyCol), col(timeCol).as("_t"), col("_v"),
+        explode(sequence(col(timeCol), col("_end"), lit(step))).as(timeCol))
+      .select(col(keyCol), col(timeCol), col("_v").as(valueCol),
+        (col(timeCol) =!= col("_t")).as("is_gap"))
   }
 }

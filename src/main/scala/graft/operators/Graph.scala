@@ -90,22 +90,32 @@ object Graph {
   def pageRank(
       edges: DataFrame, dNum: Long = 85, dDen: Long = 100,
       iters: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val Scale = 1000000000000L
+    // per-src out-weight via ONE window instead of a self-join (guide §2.4:
+    // two operations keyed the same way share one exchange). Under AQE the
+    // checkpoint surfaces as UnknownPartitioning, so each sweep PLANS an
+    // edge-side exchange — but all sweeps' edge exchanges are canonically
+    // identical (same RDD scan, same key), so runtime ReusedExchange
+    // materializes the |E| shuffle once per run and later sweeps only read
+    // it; the per-sweep shuffle WRITE is the |V|-row rank side
     val g = edges
-      .join(edges.groupBy("src").agg(sum(col("w")).as("wt")), Seq("src"))
-      .select(col("src"), col("dst"), col("w"), col("wt"))
+      .select(col("src"), col("dst"), col("w"),
+        sum(col("w")).over(Window.partitionBy("src")).as("wt"))
       .localCheckpoint()
-    val srcs = g.select(col("src").as("node")).distinct().localCheckpoint()
-    // dst-only nodes are the dangling set; one bounded existence check
-    // picks the plan shape for the whole run
-    val dangling = g.select(col("dst").as("node")).distinct()
-      .join(srcs, Seq("node"), "left_anti").localCheckpoint()
-    val hasDangling = dangling.limit(1).count() > 0
-    // one distinct pass serves both the node count and the rank init
-    // (recomputing it per consumer re-shuffled the edge set twice)
-    val nodes =
-      if (hasDangling) srcs.unionByName(dangling).localCheckpoint() else srcs
-    val n = nodes.count()
+    // node set + dangling detection in ONE pass and ONE action: a node is
+    // dangling iff it appears as dst but never as src (web-crawl sink).
+    // The lazy checkpoint is materialized by the same job that computes
+    // the (count, dangling-count) scalars — no separate eager pass.
+    val nodes = g.select(col("src").as("node"), lit(1).as("has_out"))
+      .unionByName(g.select(col("dst").as("node"), lit(0).as("has_out")))
+      .groupBy("node").agg(max(col("has_out")).as("has_out"))
+      .localCheckpoint(false)
+    val cnts = nodes
+      .agg(count(lit(1)), sum(lit(1) - col("has_out"))).head()
+    val n = cnts.getLong(0)
+    val hasDangling = !cnts.isNullAt(1) && cnts.getLong(1) > 0
+    val dangling = nodes.filter(col("has_out") === 0).select("node")
     val baseQ = (Scale * (dDen - dNum) / dDen) / n
     var pr = nodes.select(col("node"), lit(Scale / n).as("prq"))
     (1 to iters).foreach { i =>

@@ -641,7 +641,13 @@ object TextAnalysis {
     val terms = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df from tf, not from terms.distinct(): tf already holds one row per
+    // (doc, term), so counting its rows per term IS the document frequency —
+    // and because the tf subtree appears twice in the final plan, Catalyst's
+    // ReuseExchange serves both consumers from ONE shuffle of the exploded
+    // terms (the distinct() form paid a second full (doc_id, term) exchange
+    // for the same information; guide §2.4)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus size is a bounded driver-side artifact, like the trained-model
     // builds elsewhere
     val nDocs = docs.count()
@@ -674,7 +680,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df from tf, not from terms.distinct(): tf already holds one row per
+    // (doc, term), so counting its rows per term IS the document frequency —
+    // and because the tf subtree appears twice in the final plan, Catalyst's
+    // ReuseExchange serves both consumers from ONE shuffle of the exploded
+    // terms (the distinct() form paid a second full (doc_id, term) exchange
+    // for the same information; guide §2.4)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus size is a bounded driver-side artifact (one long), like the
     // trained-model builds elsewhere
     val nDocs = docs.count()
@@ -732,7 +744,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df from tf, not from terms.distinct(): tf already holds one row per
+    // (doc, term), so counting its rows per term IS the document frequency —
+    // and because the tf subtree appears twice in the final plan, Catalyst's
+    // ReuseExchange serves both consumers from ONE shuffle of the exploded
+    // terms (the distinct() form paid a second full (doc_id, term) exchange
+    // for the same information; guide §2.4)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
@@ -819,7 +837,13 @@ object TextAnalysis {
   def termRarity(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df from tf, not from terms.distinct(): tf already holds one row per
+    // (doc, term), so counting its rows per term IS the document frequency —
+    // and because the tf subtree appears twice in the final plan, Catalyst's
+    // ReuseExchange serves both consumers from ONE shuffle of the exploded
+    // terms (the distinct() form paid a second full (doc_id, term) exchange
+    // for the same information; guide §2.4)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus size is a bounded driver-side artifact (one long), like the
     // trained-model builds elsewhere
     val nDocs = docs.count()

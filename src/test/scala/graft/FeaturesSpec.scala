@@ -103,6 +103,24 @@ class FeaturesSpec extends AnyFunSuite {
       "(a,NULL) vs (NULL,a) must fingerprint differently")
   }
 
+  test("resample+fill islands plan: no join at all — one obs-scale window, " +
+    "grid exploded map-side above it") {
+    val series = Seq(("A", 0L, 5L), ("A", 20L, 7L), ("B", 10L, 1L))
+      .toDF("k", "t", "v")
+    val plan = Features.resampleFill(series, "k", "t", "v", step = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"fill must come from the lead() reign explode, never a grid join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length <= 1,
+      s"only the observation-scale window exchange may shuffle:\n$plan")
+    // the explode sits ABOVE the window: grid rows are generated after the
+    // shuffle, so the exchange moves observations, never the dense grid
+    val gen = plan.indexOf("Generate")
+    val win = plan.indexOf("Window")
+    assert(gen >= 0 && win > gen,
+      s"Generate (explode) must consume the Window's output:\n$plan")
+  }
+
   test("resample+fill plan: no cartesian, no nested loop, bounded exchanges") {
     val series = Seq(("A", 0L, 5L), ("A", 20L, 7L), ("B", 10L, 1L))
       .toDF("k", "t", "v")
