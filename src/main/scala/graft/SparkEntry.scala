@@ -60,6 +60,20 @@ object SparkEntry {
   private val ivfSeeds =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Double]]()
 
+  /** The |q|-row query-vector probe set — the bounded artifact every
+    * similarity audit collects before building its pipelines (seed floors
+    * derive from the same rows). One L1-memoized collect per (corpus,
+    * query set) serves the ivf-exact, ANN, IVF and PQ audits instead of
+    * each pipeline paying its own scan job per invocation (r15).
+    */
+  private val queryVecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Float])]]()
+
+  private def qvecs(
+      dir: String, emb: DataFrame, qids: Seq[Long]): Seq[(Long, Array[Float])] =
+    queryVecs.computeIfAbsent(s"$dir|${qids.mkString(",")}", _ =>
+      Similarity.collectQueryVecs(emb, qids))
+
   private def cents(dir: String, emb: DataFrame): Array[Array[Float]] =
     ivfCentroids.computeIfAbsent(dir, _ =>
       graft.state.ArtifactStore.floatMatrix(emb.sparkSession, dir, "ivf_centroids_k16_i5")(
@@ -463,7 +477,8 @@ object SparkEntry {
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
       Similarity.ivfExactTopK(emb, qids, k = 10, cents(dir, emb),
         precomputedRadii = Some(radii(dir, emb)),
-        precomputedSeeds = Some(seeds(dir, emb, qids, 10)))
+        precomputedSeeds = Some(seeds(dir, emb, qids, 10)),
+        precomputedQVecs = Some(qvecs(dir, emb, qids)))
     }),
     // embedding-space dedup survivors: connected-components min-label
     // propagation (same as q_dedup_survivors) over WITHIN-CELL ε-pairs
@@ -503,7 +518,8 @@ object SparkEntry {
       Similarity.recallAudit(
         Similarity.ivfExactTopK(emb, qids, k = 10, cents(dir, emb),
           precomputedRadii = Some(radii(dir, emb)),
-          precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
+          precomputedSeeds = Some(seeds(dir, emb, qids, 10)),
+          precomputedQVecs = Some(qvecs(dir, emb, qids))),
         Similarity.topKPerQuery(annScored, 10),
         annScored, emb, qids, k = 10)
     }),
@@ -520,7 +536,8 @@ object SparkEntry {
       Similarity.recallAudit(
         Similarity.ivfExactTopK(emb, qids, k = 10, c,
           precomputedRadii = Some(radii(dir, emb)),
-          precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
+          precomputedSeeds = Some(seeds(dir, emb, qids, 10)),
+          precomputedQVecs = Some(qvecs(dir, emb, qids))),
         Similarity.topKPerQuery(scored, 10),
         scored, emb, qids, k = 10)
     }),
@@ -541,11 +558,17 @@ object SparkEntry {
     "q_similarity_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
-      val shortlist = Similarity.pqShortlist(emb, qids, pqBooks(dir, emb), l = 50)
+      // the shortlist feeds BOTH the exact re-rank (broadcast build) and the
+      // audit's candidate branch; checkpointing the ≤|q|·l-row result runs
+      // the PQ scoring scan once per invocation instead of once per consumer
+      val shortlist = Similarity.pqShortlist(emb, qids, pqBooks(dir, emb), l = 50,
+        precomputedQVecs = Some(qvecs(dir, emb, qids)))
+        .localCheckpoint()
       Similarity.recallAudit(
         Similarity.ivfExactTopK(emb, qids, k = 10, cents(dir, emb),
           precomputedRadii = Some(radii(dir, emb)),
-          precomputedSeeds = Some(seeds(dir, emb, qids, 10))),
+          precomputedSeeds = Some(seeds(dir, emb, qids, 10)),
+          precomputedQVecs = Some(qvecs(dir, emb, qids))),
         Similarity.rerankExact(emb, shortlist, qids, k = 10),
         shortlist, emb, qids, k = 10)
     }),

@@ -1185,10 +1185,16 @@ object Dedup {
     val base = docs
       .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= n)
+    // sigd feeds THREE pipelines (the probe stream, the grid join's build
+    // side, and the truncation branch's full-side join); checkpointing it
+    // runs the fused md5 shingle/minhash kernels once per corpus pass
+    // instead of once per consumer — the kernels ARE this operator's cost
+    // (r15, guide §1.2 per-task work)
     val sigd = base
       .select(col("doc_id"),
         NativeExpressions.shingleMd5Hashes60(col("text"), n).as("hs"),
         NativeExpressions.minhashCw56(col("text"), n, numHashes).as("sig"))
+      .localCheckpoint()
     val probes = sigd
       .select(col("doc_id").as("ida"), col("hs").as("sa"), col("sig").as("siga"),
         explode(array(offsets.map(d => lit(d.toLong)): _*)).as("d"))

@@ -422,7 +422,8 @@ object Similarity {
       centroids: Array[Array[Float]],
       nprobe: Int = 4,
       precomputedRadii: Option[Map[Int, Double]] = None,
-      precomputedSeeds: Option[Map[Long, Double]] = None): DataFrame = {
+      precomputedSeeds: Option[Map[Long, Double]] = None,
+      precomputedQVecs: Option[Seq[(Long, Array[Float])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val assigned = assignCells(embeddings, centroids)
@@ -430,10 +431,11 @@ object Similarity {
     // phase 1: per-query floor from the approximate probe (≤ |q| rows)
     val seed = precomputedSeeds.getOrElse(
       trainSeedFloors(embeddings, queryIds, k, centroids, nprobe))
-    // query vectors driver-side (|q| × dim — bounded artifact)
-    val qVecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // query vectors driver-side (|q| × dim — bounded artifact; callers that
+    // run several probe pipelines over the same query set pass them in so
+    // the collect job runs once, not once per pipeline — r15, guide §1.2)
+    val qVecs = precomputedQVecs.getOrElse(collectQueryVecs(embeddings, queryIds))
+      .toMap
     val margin = 2e-6 // 6-dp rounding (5e-7) + float slack, admit-only
     val probe = for {
       (qid, qv) <- qVecs.toSeq.sortBy(_._1)
@@ -1453,11 +1455,25 @@ object Similarity {
     * the shared encode, and the per-query top-l is the size-capped
     * [[graft.functions.BoundedTopKAgg]]; shuffle ≤ queries × partitions × l.
     */
+  /** The |q|-row driver-side query-vector collect every probe pipeline
+    * needs — exposed so one collect can feed several pipelines over the
+    * same query set (ivf-exact, PQ shortlist, re-rank) instead of each
+    * paying its own scan job. Sorted by id; a bounded probe artifact like
+    * the seed floors.
+    */
+  def collectQueryVecs(
+      embeddings: DataFrame, queryIds: Seq[Long]): Seq[(Long, Array[Float])] =
+    embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).toSeq
+
   def pqShortlist(
       embeddings: DataFrame,
       queryIds: Seq[Long],
       codebooks: Array[Array[Array[Double]]],
-      l: Int = 50): DataFrame = {
+      l: Int = 50,
+      precomputedQVecs: Option[Seq[(Long, Array[Float])]] = None): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val codeCols = (0 until m).map { s =>
@@ -1468,11 +1484,8 @@ object Similarity {
     val base = embeddings.select(
       (Seq(col("vec_id").as("neighbor_id"),
         norm(col("embedding")).as("nn")) ++ codeCols): _*)
-    val qvecs = embeddings
-      .filter(col("vec_id").isin(queryIds: _*))
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-      .sortBy(_._1)
+    val qvecs = precomputedQVecs.getOrElse(collectQueryVecs(embeddings, queryIds))
+      .map { case (id, v) => id -> v.map(_.toDouble) }
     require(qvecs.length == queryIds.distinct.length,
       s"pqShortlist: ${queryIds.distinct.length} query ids, found ${qvecs.length}")
     // ONE scan for all queries: the code columns are query-INDEPENDENT, so
