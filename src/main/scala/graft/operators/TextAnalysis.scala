@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.NativeExpressions
@@ -641,19 +642,20 @@ object TextAnalysis {
     val terms = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df from tf, not from terms.distinct(): tf already holds one row per
-    // (doc, term), so counting its rows per term IS the document frequency —
-    // and because the tf subtree appears twice in the final plan, Catalyst's
-    // ReuseExchange serves both consumers from ONE shuffle of the exploded
-    // terms (the distinct() form paid a second full (doc_id, term) exchange
-    // for the same information; guide §2.4)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a window count over tf, not a groupBy + join-back: tf already
+    // holds one row per (doc, term), so counting its term partition IS the
+    // document frequency, and the window's term-keyed exchange is the SAME
+    // layout the seed join needs — one explode + two exchanges where the
+    // distinct() form paid two explodes + four (guide §2.4; the same
+    // posting-cap-by-window move as chunkOverlapPairs)
     // corpus size is a bounded driver-side artifact, like the trained-model
     // builds elsewhere
     val nDocs = docs.count()
-    val w = tf.join(df, Seq("term"))
+    val w = tf
       .select(col("doc_id"), col("term"),
-        (col("tf") * round(lit(nDocs) / col("df"), 6).cast("decimal(18,6)"))
+        (col("tf") * round(lit(nDocs) /
+            count(lit(1)).over(Window.partitionBy("term")), 6)
+          .cast("decimal(18,6)"))
           .cast("decimal(18,6)").as("w"))
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
@@ -680,19 +682,17 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df from tf, not from terms.distinct(): tf already holds one row per
-    // (doc, term), so counting its rows per term IS the document frequency —
-    // and because the tf subtree appears twice in the final plan, Catalyst's
-    // ReuseExchange serves both consumers from ONE shuffle of the exploded
-    // terms (the distinct() form paid a second full (doc_id, term) exchange
-    // for the same information; guide §2.4)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a window count over tf (the chunkOverlapPairs posting-cap move):
+    // one explode + one term-keyed exchange replaces the distinct() form's
+    // second explode + aggregate + join-back (guide §2.4). The query-term
+    // isin filter has already collapsed tf to k posting lists.
     // corpus size is a bounded driver-side artifact (one long), like the
     // trained-model builds elsewhere
     val nDocs = docs.count()
-    tf.join(broadcast(df), Seq("term"))
+    tf
       .select(col("doc_id"), col("term"),
-        round(col("tf") * lit(nDocs) / col("df"), 6)
+        round(col("tf") * lit(nDocs) /
+            count(lit(1)).over(Window.partitionBy("term")), 6)
           .cast("decimal(18,6)").as("contrib"))
       .groupBy("doc_id")
       .agg(
@@ -744,17 +744,16 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df from tf, not from terms.distinct(): tf already holds one row per
-    // (doc, term), so counting its rows per term IS the document frequency —
-    // and because the tf subtree appears twice in the final plan, Catalyst's
-    // ReuseExchange serves both consumers from ONE shuffle of the exploded
-    // terms (the distinct() form paid a second full (doc_id, term) exchange
-    // for the same information; guide §2.4)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a window count over tf BEFORE the doc-length join (the
+    // chunkOverlapPairs posting-cap move): one corpus explode + one
+    // term-keyed exchange of the k posting lists replaces the distinct()
+    // form's SECOND corpus scan + explode + aggregate (guide §2.4)
+    val tfd = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
     val idf = log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-    tf.join(broadcast(df), Seq("term"))
+    tfd
       .join(lens, Seq("doc_id"))
       .select(col("doc_id"), col("dl"),
         round(idf * norm, 6).cast("decimal(18,6)").as("contrib"))
@@ -837,17 +836,16 @@ object TextAnalysis {
   def termRarity(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df from tf, not from terms.distinct(): tf already holds one row per
-    // (doc, term), so counting its rows per term IS the document frequency —
-    // and because the tf subtree appears twice in the final plan, Catalyst's
-    // ReuseExchange serves both consumers from ONE shuffle of the exploded
-    // terms (the distinct() form paid a second full (doc_id, term) exchange
-    // for the same information; guide §2.4)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a window count over tf (the chunkOverlapPairs posting-cap
+    // move): one corpus explode + one term-keyed exchange replaces the
+    // distinct() form's second corpus explode + aggregate + join-back
+    // (guide §2.4)
+    val df = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
     // corpus size is a bounded driver-side artifact (one long), like the
     // trained-model builds elsewhere
     val nDocs = docs.count()
-    tf.join(df, Seq("term"))
+    df
       .select(col("doc_id"),
         round(col("tf") * lit(nDocs) / col("df"), 6)
           .cast("decimal(18,6)").as("contrib"))

@@ -23,11 +23,19 @@ class JoinSkewSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("term-rarity join broadcasts the df side at test scale") {
+  test("term-rarity computes df without any join — one corpus explode, " +
+    "window count over the tf aggregate (r15 plan)") {
     val plan = TextAnalysis.termRarity(Tables.documents(spark, sfDir))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"small df side should broadcast:\n$plan")
+    // r15: the df side no longer exists as a join input — it's a window
+    // count over tf's own term partitioning, so the exploded term stream
+    // is scanned and shuffled once (OPTIMIZATION_r15.md §5)
+    assert(!plan.contains("Join"),
+      s"df must come from the window, never a join:\n$plan")
+    assert("Generate".r.findAllIn(plan).length == 1,
+      s"exactly one corpus explode may run:\n$plan")
+    assert(plan.contains("windowspecdefinition(term"),
+      s"df must be the term-partitioned window count:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
