@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver protocol is ONE JSON line on stdout; sbt's own
+// "[success] Total time..." epilogue printed AFTER the forked JVM exits was
+// what broke the driver's parser for four rounds (parsed:null in
+// BENCH_r12..r15 — the JSON was there, just not the last line). Suppress the
+// success epilogue so a program's final stdout line IS the last line sbt
+// emits; failures still print [error] + nonzero exit.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

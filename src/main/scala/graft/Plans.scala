@@ -12,7 +12,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Plans {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.Plans <sfDir> <outDir> <tag> <q1,q2,...|all>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, tag, qlist) = args.take(4)
+    if (qlist != "all") {
+      val unknown = qlist.split(",").filterNot(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(s"unknown queries: ${unknown.mkString(", ")} " +
+          s"(registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
