@@ -84,8 +84,13 @@ object Features {
     * lie ON the step grid (t ≡ min(t) mod step per key — true for any
     * bucketed/windowed aggregate input) and are unique per (key, time).
     * Misaligned rows were silently invisible to the old fill; here they
-    * would seed their own grid offsets, so the precondition is asserted by
-    * the focused spec rather than left implicit.
+    * would seed their own grid offsets, so the precondition is enforced AT
+    * RUNTIME (r16): a per-row assert_true (alignment + per-key uniqueness)
+    * rides the same window operator and fails the job with a named
+    * key/time/step message instead of emitting shifted grids. Values may be
+    * NULL only if callers accept the island semantics: a null-valued
+    * observation propagates null (is_gap=false) over its whole reign, where
+    * the old join+last(ignoreNulls) form forward-filled past it.
     *
     * Returns (keyCol, timeCol, <valueCol> filled, is_gap).
     */
@@ -112,10 +117,25 @@ object Features {
     // map-side sequence explode, value carried along, gap = every generated
     // point except the observation's own
     val w = Window.partitionBy(keyCol).orderBy(timeCol)
+    // LOUD precondition guard (r15 verdict #8): out-of-contract inputs must
+    // fail with a named cause, not emit shifted grids. Both checks ride the
+    // SAME window operator (no extra exchange or sort): alignment = every
+    // observation sits on its key's step grid (t ≡ first(t) mod step);
+    // uniqueness = strictly increasing times per key (a duplicate (key,time)
+    // makes lead(t) == t). assert_true returns NULL when the row passes, so
+    // coalescing it into `_end` keeps the check alive under column pruning.
+    val nextT = lead(col(timeCol), 1).over(w)
+    val contractOk =
+      ((col(timeCol) - first(col(timeCol)).over(w)) % lit(step) === 0) &&
+        (nextT.isNull || nextT > col(timeCol))
+    val guard = assert_true(contractOk, concat(
+      lit(s"resampleFill contract violation on key="), col(keyCol).cast("string"),
+      lit(s" t="), col(timeCol).cast("string"),
+      lit(s": observation times must be unique per key and step-aligned (step=$step)")))
     series
       .select(col(keyCol), col(timeCol), col(valueCol).as("_v"))
       .withColumn("_end",
-        coalesce(lead(col(timeCol), 1).over(w) - lit(step), lit(gmax)))
+        coalesce(guard.cast("long"), nextT - lit(step), lit(gmax)))
       .select(col(keyCol), col(timeCol).as("_t"), col("_v"),
         explode(sequence(col(timeCol), col("_end"), lit(step))).as(timeCol))
       .select(col(keyCol), col(timeCol), col("_v").as(valueCol),
