@@ -790,37 +790,45 @@ object TextAnalysis {
     * with the double `avg_nll` derived from the integer by one exact cast +
     * one IEEE division — the same fixed-point move as the PageRank oracle.
     *
-    * Scale shape: the model is two hash aggregates bounded by the observed
-    * bigram inventory (vocab² worst case — for an open-vocabulary corpus
-    * you'd cap histories with [[trainVocab]]'s top-k first, same call
-    * shape); scoring is a per-doc bigram explode joined to the broadcast
-    * model and one doc-keyed aggregate. Documents with fewer than two
-    * tokens have no bigrams and are excluded (the oracle mirrors this).
+    * Scale shape: ONE corpus bigram explode into a (doc, bigram) hash
+    * aggregate; the model counts attach as two window sums over that frame
+    * (one w1-keyed exchange — the (w1, bigram) window reuses its
+    * partitioning), then one doc-keyed aggregate. The bigram inventory is
+    * vocab² worst case — for an open-vocabulary corpus you'd cap histories
+    * with [[trainVocab]]'s top-k first, same call shape. Documents with
+    * fewer than two tokens have no bigrams and are excluded (the oracle
+    * mirrors this).
     *
     * Returns (doc_id, n_bigrams, avg_nll_micro, avg_nll).
     */
   def perplexity(docs: DataFrame): DataFrame = {
     val bigrams = docs.select(col("doc_id"),
       explode(NativeExpressions.wordBigrams(col("text"))).as("bigram"))
-    // model: bigram counts + history counts + vocabulary size
-    val cBi = bigrams.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-      .withColumn("w1", split(col("bigram"), " ")(0))
-    val cHist = cBi.groupBy("w1").agg(sum(col("c_ab")).as("c_h"))
     val vocabSize = docs
       .select(explode(split(col("text"), " ")).as("w")).agg(countDistinct(col("w")))
       .head().getLong(0)
-    val model = cBi.join(cHist, Seq("w1"))
-      .select(col("bigram"),
+    // model counts as WINDOWS over the per-(doc, bigram) tf frame (r16; the
+    // termRarity/chunkOverlap posting-count move, guide §2.4): c_ab (global
+    // bigram count) = Σ tf over the bigram's rows, c_h (history count) =
+    // Σ tf over all rows whose bigram starts with w1 — so ONE corpus
+    // explode serves model and scoring where the join form exploded the
+    // corpus twice (model branch + scoring branch; ReuseExchange never
+    // fires across the pruning-specialized branches — the r15 lesson) and
+    // then paid a bigram-keyed model join. Window order matters: the w1
+    // window runs first (one w1-keyed exchange), and the (w1, bigram)
+    // window reuses that partitioning (hash(w1) clusters (w1, bigram)) with
+    // only an in-partition sort — verified on the executed plan. The w1
+    // window partition is every occurrence-row of one history — the same
+    // cardinality bound as the join form's cHist aggregate input.
+    val wHist = Window.partitionBy("w1")
+    val wBi = Window.partitionBy("w1", "bigram")
+    bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+      .withColumn("w1", split(col("bigram"), " ")(0))
+      .withColumn("c_h", sum(col("tf")).over(wHist))
+      .withColumn("c_ab", sum(col("tf")).over(wBi))
+      .select(col("doc_id"), col("tf"),
         round(-log((col("c_ab") + lit(1.0)) / (col("c_h") + lit(vocabSize.toDouble))), 6)
           .cast("decimal(18,6)").as("contrib"))
-    bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
-      // NO broadcast hint: the model is the observed bigram inventory,
-      // which grows with the corpus vocabulary — a forced broadcast
-      // measured 38x per 10x data on the 100x renamed-vocabulary substrate
-      // (driver collect + rebroadcast of a multi-million-row "artifact");
-      // unhinted, Catalyst broadcasts while small and shuffle-joins once
-      // it isn't (the moreLikeThis df-join precedent)
-      .join(model, Seq("bigram"))
       .groupBy("doc_id")
       .agg(
         sum(col("tf")).as("n_bigrams"),
@@ -890,11 +898,10 @@ object TextAnalysis {
     * the keyword-level counterpart of [[moreLikeThis]]'s whole-doc cosine.
     *
     * Distributed shape: explode → one hash aggregate keyed by (doc_id, term)
-    * for tf; the term document-frequency dictionary comes from a second
-    * aggregate over the SAME exchange's output (term keys) and joins back
-    * UN-broadcast — at 100 TB the dictionary is millions of terms, a real
-    * shuffle join, never a driver collect (the [[moreLikeThis]] df-join
-    * precedent). Ranking is round-before-rank at 6 dp with a term-asc
+    * for tf; the term document frequency is a window count over tf
+    * partitioned by term (one term-keyed exchange; tf has one row per
+    * (doc, term) so the partition row count IS df) — never a driver
+    * collect, and no second corpus explode. Ranking is round-before-rank at 6 dp with a term-asc
     * tiebreak, served by [[Ranking.topKPerKey]]'s O(k) streaming heaps — no
     * per-doc sort of the full term list. N (corpus size) is one bounded
     * driver-side scalar, the trained-artifact move.
@@ -906,8 +913,15 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, Seq("term"))
+    // df as a window count over tf partitioned by term (r16; the termRarity
+    // move, guide §2.4): tf has exactly one row per (doc, term), so the
+    // per-term row count IS the document frequency. The groupBy + join-back
+    // form evaluated the whole explode+aggregate subtree TWICE (column
+    // pruning specializes the two branches' partial aggregates, so their
+    // exchanges are not canonically equal and ReuseExchange never fires —
+    // the r15 termRarity lesson, verified on the executed plan).
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") *
           log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")),
