@@ -734,6 +734,28 @@ object Kernels {
     new GenericArrayData(
       if (m == nWin) out else java.util.Arrays.copyOf(out, m))
   }
+
+  /** First index at which two equal-length long arrays hold the same value,
+    * or -1 when they disagree at every position — the join-side candidate
+    * dedup predicate behind `nearDuplicatePairs` (a banded pair is kept only
+    * where its band equals the pair's FIRST agreeing band, so every
+    * candidate pair is emitted exactly once and the 10⁸-row pair `distinct`
+    * aggregate disappears). Equals `array_position(zip_with(a, b,
+    * (x, y) -> x = y), true) - 1` for equal-length null-free inputs; a
+    * length mismatch is data corruption and throws loudly.
+    */
+  def firstIndexEqual(a: ArrayData, b: ArrayData): Int = {
+    checkNoNull(a, "first_index_equal"); checkNoNull(b, "first_index_equal")
+    val m = a.numElements()
+    if (m != b.numElements()) throw new IllegalArgumentException(
+      s"first_index_equal: length mismatch ($m vs ${b.numElements()})")
+    var i = 0
+    while (i < m) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
 }
 
 /** One-pass multi-profile n-gram scorer backing `ProfileBestMatchExpr`: the
@@ -817,5 +839,116 @@ final class ProfileMatcher(langs: Array[String], profiles: Array[Array[String]])
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](counts(best), langU(best)))
+  }
+}
+
+/** Serializable carrier for a trained BPE type→tokens memo (the
+  * reference-object pattern of [[ProfileMatcher]]): per document, the whole
+  * subword encode — `split(text, " ")` words (empties dropped), memo lookup
+  * with OOV → `<unk>`, token counting, and the md5 fingerprint of the
+  * space-joined token stream — runs as ONE compiled pass over the text
+  * bytes. The explode → broadcast-join → collect_list/array_sort reassembly
+  * it replaces shuffled one struct row per corpus WORD (measured sf10:
+  * 27.5M exploded rows, a 2.76 GB exchange) to recompute a value that is a
+  * pure per-row function of (text, memo).
+  *
+  * Bit-compatible with the combinator form (differential-tested in
+  * NativeKernelsSpec): per word the memo's token list (or ["<unk>"]),
+  * tokens_hash = md5 hex of `concat_ws(" ", flatten(tokens in word order))`
+  * over the UTF-8 bytes. The memo is a bounded model artifact (vocab-capped
+  * at training); the per-word joined-token bytes rebuild lazily per
+  * executor JVM.
+  */
+final class BpeMemoKernel(words: Array[String], tokenLists: Array[Array[String]])
+    extends Serializable {
+  require(words.length == tokenLists.length,
+    s"bpe_memo: ${words.length} words but ${tokenLists.length} token lists")
+
+  @transient private lazy val unkBytes: Array[Byte] =
+    "<unk>".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** word → index; joined(i)/nTok(i) are the word's space-joined token bytes
+    * and token count.
+    */
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](words.length * 2)
+    var i = 0
+    while (i < words.length) { m.put(UTF8String.fromString(words(i)), i); i += 1 }
+    m
+  }
+  @transient private lazy val joined: Array[Array[Byte]] =
+    tokenLists.map(_.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  @transient private lazy val nTok: Array[Int] = tokenLists.map(_.length)
+
+  @transient private lazy val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private final val HexDigits = "0123456789abcdef".getBytes
+
+  // token boundaries under split(text, " "): slices between single spaces,
+  // empty slices dropped (UTF-8 continuation bytes are >= 0x80, never 0x20,
+  // so byte scanning is code-point safe)
+  private def eachWord(text: UTF8String)(f: UTF8String => Unit): Long = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nWords = 0L
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        if (i > start) {
+          f(UTF8String.fromBytes(bytes, start, i - start))
+          nWords += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    nWords
+  }
+
+  /** struct(n_words, n_tokens, tokens_hash) — the registered encode row.
+    * Zero-word texts return (0, 0, md5("")); callers filter them to match
+    * the aggregate form's absent-group semantics.
+    */
+  def encodeStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val md = md5Local.get()
+    var nTokens = 0L
+    var emitted = false
+    val nWords = eachWord(text) { w =>
+      val idx = index.get(w)
+      val bytes = if (idx == null) unkBytes else joined(idx)
+      // concat_ws separators go between emitted TOKENS, so a (degenerate)
+      // empty token list contributes neither bytes nor a separator
+      if (bytes.length > 0) {
+        if (emitted) md.update(' '.toByte)
+        md.update(bytes)
+        emitted = true
+      }
+      nTokens += (if (idx == null) 1 else nTok(idx))
+    }
+    val digest = md.digest() // resets the digest for the next row
+    val hex = new Array[Byte](32)
+    var d = 0
+    while (d < 16) {
+      hex(2 * d) = HexDigits((digest(d) >> 4) & 0xF)
+      hex(2 * d + 1) = HexDigits(digest(d) & 0xF)
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nTokens, UTF8String.fromBytes(hex)))
+  }
+
+  /** Σ token counts over the words (OOV words count 1) — the
+    * [[graft.operators.Bpe.tokenCounts]] value without the fingerprint.
+    */
+  def tokenCount(text: UTF8String): Long = {
+    var nTokens = 0L
+    eachWord(text) { w =>
+      val idx = index.get(w)
+      nTokens += (if (idx == null) 1 else nTok(idx))
+    }
+    nTokens
   }
 }

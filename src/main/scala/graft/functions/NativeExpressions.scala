@@ -680,6 +680,73 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** `int` — first index at which two equal-length long arrays agree, -1
+    * when none (see [[Kernels.firstIndexEqual]]): the banded-LSH join-side
+    * candidate dedup predicate.
+    */
+  case class FirstIndexEqualExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (a, b) => TypeCheckResult.TypeCheckFailure(
+          s"expected two array<bigint>, got ${a.sql} and ${b.sql}")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.firstIndexEqual(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$kernels.firstIndexEqual($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `struct<n_words:bigint, n_tokens:bigint, tokens_hash:string>` — the
+    * whole per-document BPE encode as one compiled pass (memo rides as a
+    * reference object; see [[BpeMemoKernel]]).
+    */
+  case class BpeEncodeStatsExpr(child: Expression, memo: BpeMemoKernel)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("tokens_hash", StringType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      memo.encodeStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMemo", memo, classOf[BpeMemoKernel].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.encodeStats($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `bigint` — per-document BPE token count under the memo (OOV words
+    * count 1); the [[BpeEncodeStatsExpr]] value without the fingerprint.
+    */
+  case class BpeTokenCountExpr(child: Expression, memo: BpeMemoKernel)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType.sql}")
+    override protected def nullSafeEval(input: Any): Any =
+      memo.tokenCount(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMemo", memo, classOf[BpeMemoKernel].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.tokenCount($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------ Column API
 
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -747,4 +814,13 @@ object NativeExpressions {
       index: FloatCentroidIndex, margin: Double): Column =
     ColumnBridge.column(
       AdmissibleCellsExpr(expr(v), expr(nrm), expr(floor), index, margin))
+
+  def firstIndexEqual(a: Column, b: Column): Column =
+    ColumnBridge.column(FirstIndexEqualExpr(expr(a), expr(b)))
+
+  def bpeEncodeStats(text: Column, memo: BpeMemoKernel): Column =
+    ColumnBridge.column(BpeEncodeStatsExpr(expr(text), memo))
+
+  def bpeTokenCount(text: Column, memo: BpeMemoKernel): Column =
+    ColumnBridge.column(BpeTokenCountExpr(expr(text), memo))
 }

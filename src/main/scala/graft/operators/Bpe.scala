@@ -257,18 +257,48 @@ object Bpe {
   }
 
   /** Encode `docs` with the trained model: per document, words in order are
-    * mapped through the broadcast type→tokens memo (OOV → `<unk>`) and the
-    * flattened token stream is fingerprinted. Returns
+    * mapped through the type→tokens memo (OOV → `<unk>`) and the flattened
+    * token stream is fingerprinted. Returns
     * (doc_id, n_words, n_tokens, tokens_hash) where tokens_hash is
     * md5 of the space-joined token stream — a bit-exact witness of the full
     * encoding, not just its length.
     *
-    * Shape: map-side split+posexplode, ONE broadcast hash join against the
-    * bounded memo, one per-doc hash aggregate; reassembly sorts only each
-    * doc's word structs (array_sort on the collected pairs — deterministic
-    * regardless of collection order, same move as packedPayloads).
+    * Shape (r16, guide §2.3/§2.4): the encode is a PURE PER-ROW function of
+    * (text, memo), so it runs as one compiled map-side pass — the memo
+    * rides as a reference object inside whole-stage codegen
+    * ([[graft.functions.BpeMemoKernel]]), and the plan is scan → project →
+    * filter with NO shuffle at all. The previous explode → broadcast-join →
+    * collect_list/array_sort reassembly shuffled one struct row per corpus
+    * WORD into a doc-keyed aggregate (measured at sf10: 27.5M exploded
+    * rows, a 2.76 GB exchange) to rebuild an order the scan already had.
+    * Zero-word documents are absent, exactly like the aggregate form
+    * ([[encodeComposed]] — kept as the executable semantics,
+    * differential-tested in BpeSpec).
     */
   def encode(docs: DataFrame, textCol: String, model: Model): DataFrame = {
+    val kernel = memoKernel(model)
+    docs
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.bpeEncodeStats(col(textCol), kernel).as("e"))
+      .filter(col("e.n_words") > 0)
+      .select(col("doc_id"), col("e.n_words").as("n_words"),
+        col("e.n_tokens").as("n_tokens"), col("e.tokens_hash").as("tokens_hash"))
+  }
+
+  /** The memo as a compiled-kernel carrier — entries sorted by word so the
+    * carrier (and any plan containing it) is deterministic.
+    */
+  private def memoKernel(model: Model): graft.functions.BpeMemoKernel = {
+    val entries = model.memo.toSeq.sortBy(_._1)
+    new graft.functions.BpeMemoKernel(
+      entries.map(_._1).toArray, entries.map(_._2.toArray).toArray)
+  }
+
+  /** The aggregate (explode → broadcast memo join → collect/sort/flatten)
+    * form of [[encode]] — the executable definition the map-side kernel is
+    * differential-tested against; spec-side only since r16.
+    */
+  def encodeComposed(docs: DataFrame, textCol: String, model: Model): DataFrame = {
     val spark = docs.sparkSession
     import org.apache.spark.sql.types._
     val memoSchema = StructType(Seq(
@@ -295,25 +325,20 @@ object Bpe {
   }
 
   /** Per-document subword token counts only — the packing/budgeting input
-    * (doc_id, n_tokens). Same plan as [[encode]] minus the reassembly: the
-    * aggregate carries a running sum instead of collected structs.
+    * (doc_id, n_tokens). Same map-side kernel as [[encode]] minus the
+    * fingerprint: scan → project, no shuffle (r16; was explode → broadcast
+    * join → doc-keyed sum). Zero-word docs are absent, like the aggregate
+    * form it replaced.
     */
   def tokenCounts(docs: DataFrame, textCol: String, model: Model): DataFrame = {
-    val spark = docs.sparkSession
-    import org.apache.spark.sql.types._
-    val memoSchema = StructType(Seq(
-      StructField("w", StringType, nullable = false),
-      StructField("n_tok", IntegerType, nullable = false)))
-    val memoRows = model.memo.toSeq.sortBy(_._1)
-      .map { case (w, t) => Row(w, t.length) }
-    val memo = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(memoRows: _*), memoSchema))
+    val kernel = memoKernel(model)
     docs
-      .select(col("doc_id"), explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .join(memo, Seq("w"), "left")
-      .groupBy(col("doc_id"))
-      .agg(sum(coalesce(col("n_tok"), lit(1))).cast("int").as("n_tokens"))
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.bpeTokenCount(col(textCol), kernel)
+          .as("n_tok_l"))
+      // zero tokens ⟺ zero words (every word encodes to ≥ 1 token)
+      .filter(col("n_tok_l") > 0)
+      .select(col("doc_id"), col("n_tok_l").cast("int").as("n_tokens"))
   }
 
   /** Tokenizer-efficiency audit per source: chars-per-token and

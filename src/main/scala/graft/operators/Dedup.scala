@@ -246,10 +246,13 @@ object Dedup {
         NativeExpressions.shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** (id, band, bkt) banded-MinHash bucket keys over a [[shingled]] frame:
-    * all k permutation minima in one native scan, then one bucket key per
-    * band — hash of the band's r-minhash slice (+ band id so equal slices in
-    * different bands stay distinct buckets). SHARED by the self-join
+  /** (id, bkts, band, bkt) banded-MinHash bucket keys over a [[shingled]]
+    * frame: all k permutation minima in one native scan, then one bucket key
+    * per band — hash of the band's r-minhash slice (+ band id so equal
+    * slices in different bands stay distinct buckets). Each exploded row
+    * also CARRIES the doc's full bucket array `bkts` (nBands longs), which
+    * is what lets the candidate joins dedup pairs join-side (below) instead
+    * of through a pair-keyed distinct aggregate. SHARED by the self-join
     * ([[nearDuplicatePairs]]) and cross-side ([[incrementalNearDedup]])
     * candidate generators — tuning the banding scheme in one place cannot
     * desynchronize their candidate recall.
@@ -260,10 +263,30 @@ object Dedup {
     withSh
       .select(col("id"), NativeExpressions.minhashSignature(col("sh"), k).as("sig"))
       .select(col("id"),
-        posexplode(array((0 until nBands).map { b =>
+        array((0 until nBands).map { b =>
           xxhash64(lit(b), slice(col("sig"), b * bandSize + 1, bandSize))
-        }: _*)).as(Seq("band", "bkt")))
+        }: _*).as("bkts"))
+      .select(col("id"), col("bkts"),
+        posexplode(col("bkts")).as(Seq("band", "bkt")))
   }
+
+  /** The join-side candidate dedup (r16, guide §2.3/§2.4): a pair agreeing
+    * in m bands is emitted by the bucket equi-join m times, and the old
+    * `.distinct()` paid for that multiplicity as an aggregate over the RAW
+    * candidate stream — measured at sf10 (100-replica groups): 488M
+    * pre-distinct rows, a 33 GB spill in the partial aggregate (22 GB peak,
+    * 32 tasks falling back to sort) and a 382M-row exchange, for 28M
+    * distinct pairs. Keeping a candidate only where its band equals the
+    * pair's FIRST agreeing band ([[NativeExpressions.firstIndexEqual]] over
+    * the two carried bucket arrays — one compiled ≤nBands-long loop) emits
+    * every candidate pair EXACTLY once inside the join stage: no aggregate,
+    * no spillable state, no extra exchange. The candidate SET is identical
+    * by construction (each true candidate agrees somewhere, and its first
+    * agreement is unique).
+    */
+  private def firstAgreeingBand(a: String, b: String): Column =
+    col(s"$a.band") ===
+      NativeExpressions.firstIndexEqual(col(s"$a.bkts"), col(s"$b.bkts"))
 
   def nearDuplicatePairs(
       docs: DataFrame,
@@ -279,13 +302,20 @@ object Dedup {
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
+      .filter(firstAgreeingBand("a", "b"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
 
+    // exact re-check: the two set joins build their hash table from the
+    // bounded per-partition sets side and STREAM the pair side
+    // (shuffled-hash, guide §3.1) — the sort-merge default sorted the
+    // array-carrying pair stream (measured sf10: 22 GB sort peak over a
+    // 13.3 GB exchange before the second join)
     val sets = withShingles.select(col("id"), col("sh"))
     candidates
-      .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -486,11 +516,14 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val exSh = shingled(existing, n, textCol, idCol)
     val incSh = shingled(incoming, n, textCol, idCol)
+    // pairs dedup'd join-side by the first-agreeing band (see
+    // [[firstAgreeingBand]]) — same candidate set as the old `.distinct()`,
+    // no pair-keyed aggregate
     val candidates = bandBuckets(incSh, k, bandSize).as("i")
       .join(bandBuckets(exSh, k, bandSize).as("e"),
         col("i.band") === col("e.band") && col("i.bkt") === col("e.bkt"))
+      .filter(firstAgreeingBand("i", "e"))
       .select(col("i.id").as("inc_id"), col("e.id").as("ex_id"))
-      .distinct()
 
     val best = candidates
       .join(incSh.select(col("id").as("inc_id"), col("sh").as("sh_i")), "inc_id")
