@@ -62,9 +62,14 @@ object SparkEntry {
 
   /** The |q|-row query-vector probe set — the bounded artifact every
     * similarity audit collects before building its pipelines (seed floors
-    * derive from the same rows). One L1-memoized collect per (corpus,
-    * query set) serves the ivf-exact, ANN, IVF and PQ audits instead of
-    * each pipeline paying its own scan job per invocation (r15).
+    * derive from the same rows). A DECLARED two-level artifact since r16
+    * (r15 verdict #3 drew the cache boundary): L1 memo per (corpus, query
+    * set) like every other trained artifact, L2 persisted through
+    * ArtifactStore beside the seed floors it pairs with — so its population
+    * is an auditable artifact build, not an undeclared JVM memo timed in
+    * one query and served in another. Staleness class is the same as
+    * ivfCentroids/ivfSeeds (dir-keyed; rewriting data under an unchanged
+    * dir within one JVM serves stale rows — the bench never does).
     */
   private val queryVecs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Float])]]()
@@ -72,7 +77,9 @@ object SparkEntry {
   private def qvecs(
       dir: String, emb: DataFrame, qids: Seq[Long]): Seq[(Long, Array[Float])] =
     queryVecs.computeIfAbsent(s"$dir|${qids.mkString(",")}", _ =>
-      Similarity.collectQueryVecs(emb, qids))
+      graft.state.ArtifactStore.longFloatVecs(emb.sparkSession, dir,
+        s"query_vecs_q${qids.mkString("-")}")(
+        Similarity.collectQueryVecs(emb, qids)))
 
   private def cents(dir: String, emb: DataFrame): Array[Array[Float]] =
     ivfCentroids.computeIfAbsent(dir, _ =>
@@ -239,6 +246,7 @@ object SparkEntry {
     ivfSeeds.clear(); kmeansCentroids.clear(); corpusSizes.clear()
     pqCodebooks.clear(); knnIdx.clear(); vocabCache.clear()
     bpeModels.clear(); dedupLabels.clear(); layoutBounds.clear()
+    queryVecs.clear()
   }
 
   private def windowedAgg(s: SparkSession, dir: String): DataFrame = {
@@ -497,12 +505,12 @@ object SparkEntry {
       dedupLabels.computeIfAbsent(s"${sessionKey(s)}:embb:$dir", _ => {
         val emb = Tables.embeddings(s, dir)
         val k = semdedupK(embCount(dir, emb))
-        val asg = Similarity.kmeansAssignments(emb, k = k, iters = 3,
-          precomputedCentroids = Some(semCents(dir, emb, k)))
-          .select(col("vec_id"), col("cell"))
+        // centroid-model pair search (r16): cells computed map-side from the
+        // trained matrix — the kmeansAssignments-join-back frame is gone
         Dedup.nearDedupLabels(
           emb.select(col("vec_id")),
-          Similarity.cosinePairsWithinCells(emb, asg, threshold = 0.45)
+          Similarity.cosinePairsWithinCells(emb, semCents(dir, emb, k),
+              threshold = 0.45)
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
           idCol = "vec_id")
       })),
@@ -586,10 +594,9 @@ object SparkEntry {
     "q_similarity_knn_bounded" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val k = semdedupK(embCount(dir, emb))
-      val asg = Similarity.kmeansAssignments(emb, k = k, iters = 3,
-        precomputedCentroids = Some(semCents(dir, emb, k)))
-        .select(col("vec_id"), col("cell"))
-      Similarity.knnJoinWithinCells(emb, asg, k = 5)
+      // centroid-model form (r16): cells map-side, no assignments join; the
+      // unordered pair is scored once and mirrored (see knnJoinWithinCells)
+      Similarity.knnJoinWithinCells(emb, semCents(dir, emb, k), k = 5)
     }),
     // ---- Beyond-reference: text analysis over `documents` ----------------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
@@ -996,7 +1003,10 @@ object SparkEntry {
       val asg = Similarity.kmeansAssignments(emb, k = k, iters = 3,
         precomputedCentroids = Some(semCents(dir, emb, k)))
         .select(col("vec_id"), col("cell"))
-      val pairs = Similarity.cosinePairsWithinCells(emb, asg, threshold = 0.45)
+      // the PAIR SEARCH (the quadratic side) runs on map-side cells (r16);
+      // asg still feeds semDedupKeep's per-vector keep/drop joins
+      val pairs = Similarity.cosinePairsWithinCells(emb, semCents(dir, emb, k),
+        threshold = 0.45)
       Similarity.semDedupKeep(emb, asg, pairs)
     }),
     // per-cluster curation profile: size, majority label (ties to lowest),

@@ -78,7 +78,15 @@ object Graph {
     * Each iteration is one shuffle-keyed equi-join (edges ⋈ ranks on src —
     * ranks is |V| rows, broadcastable when nodes ≪ edges) plus one hash
     * aggregate keyed by dst; the weighted edge set is `localCheckpoint`ed
-    * once and reused. Iteration results checkpoint only every
+    * once and reused. DEPLOY-SCALE SUBSTITUTION: `localCheckpoint` stores
+    * blocks on executors with lineage truncated — executor loss (or dynamic
+    * allocation) makes the run unrecoverable. On a cluster, substitute
+    * reliable checkpoints (`sparkContext.setCheckpointDir` + `checkpoint()`)
+    * or materialize the weighted edge set / periodic rank snapshots as
+    * tables; the recursion is unchanged. The same note applies to every
+    * iterative localCheckpoint seam in this repo
+    * ([[Dedup.nearDedupLabels]], the lshCalibration/pqShortlist
+    * per-invocation caches). Iteration results checkpoint only every
     * `checkpointEvery` sweeps — a short fixed-iteration run (the common
     * case) executes as ONE shallow plan instead of paying an eager
     * materialization per sweep, while long runs keep lineage bounded (the
@@ -177,8 +185,11 @@ object Graph {
     * derived from the edges.
     *
     * Returns (node, component, n_members); component = the minimum node id
-    * reachable, sizes via one component-keyed aggregate + an equi-join
-    * (components ≤ nodes — broadcastable once components are few).
+    * reachable, sizes via a window count over the labeling (r16, guide
+    * §2.4: the aggregate + join-back form re-keyed the |V|-row labeling
+    * twice — component-keyed aggregate exchange, then the join's own pair
+    * of exchanges; the window pays ONE component-keyed exchange and counts
+    * in place).
     */
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
     val pairs = edges.select(col("u").as("doc_a"), col("v").as("doc_b"))
@@ -186,7 +197,9 @@ object Graph {
       .union(edges.select(col("v").as("doc_id"))).distinct()
     val lbl = Dedup.nearDedupLabels(nodes, pairs, maxIterations)
       .select(col("doc_id").as("node"), col("canonical_id").as("component"))
-    val sizes = lbl.groupBy("component").agg(count(lit(1)).as("n_members"))
-    lbl.join(sizes, "component").select("node", "component", "n_members")
+    lbl.withColumn("n_members",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .select("node", "component", "n_members")
   }
 }

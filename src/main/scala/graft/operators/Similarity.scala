@@ -1119,11 +1119,59 @@ object Similarity {
     * unrounded cosine, 6-dp round on output.
     */
   def cosinePairsWithinCells(
-      embeddings: DataFrame, assignments: DataFrame, threshold: Double): DataFrame = {
-    val sides = embeddings
+      embeddings: DataFrame, assignments: DataFrame, threshold: Double): DataFrame =
+    cosinePairsFromSides(joinedSides(embeddings, assignments), threshold)
+
+  /** Centroid-model form (r16, guide §2.4): the cell is computed MAP-SIDE
+    * from the trained centroid matrix — same kernel, same result as joining
+    * [[kmeansAssignments]] back on vec_id, minus the self-join of the scan
+    * (see [[cellSides]]). Differential-pinned equal to the join form in
+    * SimilaritySpec.
+    */
+  def cosinePairsWithinCells(
+      embeddings: DataFrame, cents: Array[Array[Double]],
+      threshold: Double): DataFrame =
+    cosinePairsFromSides(cellSides(embeddings, cents), threshold)
+
+  private def cosinePairsFromSides(sides: DataFrame, threshold: Double): DataFrame =
+    pairsOnceWithinCells(sides)
+      .filter(col("raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("score"))
+
+  /** (vec_id, v, nrm, cell) candidate sides under an EXTERNAL assignment
+    * frame — one vec_id equi-join attaches the cell. The generic form: any
+    * assignment source works, at the cost of re-keying the corpus by vec_id.
+    */
+  private def joinedSides(embeddings: DataFrame, assignments: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), col("embedding").as("v"),
         norm(col("embedding")).as("nrm"))
       .join(assignments.select(col("vec_id"), col("cell")), Seq("vec_id"))
+
+  /** (vec_id, v, nrm, cell) candidate sides under a trained centroid model,
+    * computed in the SCAN's own projection (r16, guide §2.4): cell is a pure
+    * per-row function of the embedding under a fixed centroid matrix — the
+    * identical [[NativeExpressions.DoubleCentroidIndex]] argmin
+    * [[kmeansAssignments]] runs — so attaching it via
+    * (embeddings ⋈ assignments-on-vec_id) was a self-join of the same scan:
+    * two extra exchanges + one join to recover a value the projection
+    * already had in hand.
+    */
+  private def cellSides(embeddings: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").as("v"),
+      norm(col("embedding")).as("nrm"),
+      nearestByDist2(col("embedding"), cents).as("cell"))
+
+  /** Every unordered same-cell pair scored EXACTLY ONCE (vec_a < vec_b, raw
+    * = unrounded cosine). The cell equi-join enumerates each unordered pair
+    * in both orders; keeping a < b halves the rows that reach the dot-product
+    * projection — the scoring arithmetic is symmetric bit-for-bit (IEEE
+    * multiplication commutes; [[NativeExpressions.vecDot]] accumulates in
+    * the same index order on either side), so consumers needing both
+    * directions mirror the scored row instead of re-scoring it
+    * ([[knnJoinWithinCells]]).
+    */
+  private def pairsOnceWithinCells(sides: DataFrame): DataFrame = {
     val a = sides.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"))
     val b = sides.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -1133,8 +1181,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         (NativeExpressions.vecDot(col("va"), col("vb")) /
           (col("na") * col("nb"))).as("raw"))
-      .filter(col("raw") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("score"))
   }
 
   /** Cluster-bounded exact self-KNN — every vector's top-k cosine neighbors
@@ -1156,19 +1202,36 @@ object Similarity {
     * are absent, like the brute force over the same candidate set.
     */
   def knnJoinWithinCells(
-      embeddings: DataFrame, assignments: DataFrame, k: Int): DataFrame = {
-    val sides = embeddings
-      .select(col("vec_id"), col("embedding").as("v"),
-        norm(col("embedding")).as("nrm"))
-      .join(assignments.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    val q = sides.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("cell"))
-    val nbr = sides.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
-      col("nrm").as("nn"), col("cell"))
-    val scored = q.join(nbr, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("score"))
+      embeddings: DataFrame, assignments: DataFrame, k: Int): DataFrame =
+    knnFromSides(joinedSides(embeddings, assignments), k)
+
+  /** Centroid-model form (r16): map-side cells, no assignments join — see
+    * [[cellSides]]. Differential-pinned equal to the join form in
+    * SimilaritySpec.
+    */
+  def knnJoinWithinCells(
+      embeddings: DataFrame, cents: Array[Array[Double]], k: Int): DataFrame =
+    knnFromSides(cellSides(embeddings, cents), k)
+
+  /** Scoring shape (r16, guide §1.2/§2.3): each unordered same-cell pair is
+    * scored ONCE ([[pairsOnceWithinCells]]) and the scored row is MIRRORED
+    * into both directed rows by a 2-element explode before the bounded
+    * heaps — at sf10 the `query ≠ neighbor` join emitted 229.5M rows
+    * through the dot-product projection where the unordered pair set is
+    * half that; cosine symmetry makes the mirrored score bit-identical to
+    * re-scoring (same-order accumulation, commuting IEEE multiplies), so
+    * the heap input row set — and hence the ranking under the
+    * (score desc, neighbor_id asc) tie-break — is unchanged.
+    */
+  private def knnFromSides(sides: DataFrame, k: Int): DataFrame = {
+    val scored = pairsOnceWithinCells(sides)
+      .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("score"))
+      .select(explode(array(
+        struct(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
+          col("score")),
+        struct(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id"),
+          col("score")))).as("p"))
+      .select(col("p.query_id"), col("p.neighbor_id"), col("p.score"))
     topKPerQuery(scored, k)
   }
 

@@ -149,6 +149,21 @@ object ArtifactStore {
           StructField("v", DoubleType, nullable = false)))),
       d => d.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)(train)
 
+  /** (id, float-vector) rows in id order — the |q|-row query-vector probe
+    * set the similarity audits share (the seed floors derive from the same
+    * rows and are already persisted beside it).
+    */
+  def longFloatVecs(spark: SparkSession, corpusKey: String, name: String)(
+      train: => Seq[(Long, Array[Float])]): Seq[(Long, Array[Float])] =
+    loadOrTrain[Seq[(Long, Array[Float])]](spark, corpusKey, name)(
+      v => df(spark,
+        v.map { case (k, vec) => Row(k, vec.toSeq) },
+        StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))),
+      d => d.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1).toSeq)(train)
+
   def stringSeq(spark: SparkSession, corpusKey: String, name: String)(
       train: => Seq[String]): Seq[String] =
     loadOrTrain[Seq[String]](spark, corpusKey, name)(

@@ -646,6 +646,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(within.count() > 0, "fixture degenerate: no same-cell pairs at all")
   }
 
+  test("centroid-model within-cells forms == kmeansAssignments-join forms") {
+    // r16: the registered semdedup-family queries compute the cell MAP-SIDE
+    // from the trained centroid matrix instead of joining kmeansAssignments
+    // back on vec_id — same kernel, so both knn and pair outputs must be
+    // row-identical to the join forms (scores included: the pair-once
+    // mirroring relies on bit-exact cosine symmetry)
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.trainKmeans(emb, k = 8, iters = 3)
+    val asg = Similarity.kmeansAssignments(emb, k = 8, iters = 3,
+      precomputedCentroids = Some(cents))
+      .select(col("vec_id"), col("cell"))
+    val knnJoin = Similarity.knnJoinWithinCells(emb, asg, k = 5)
+    val knnCents = Similarity.knnJoinWithinCells(emb, cents, k = 5)
+    assert(knnCents.except(knnJoin).isEmpty && knnJoin.except(knnCents).isEmpty)
+    assert(knnCents.count() > 0)
+    val pairsJoin = Similarity.cosinePairsWithinCells(emb, asg, threshold = 0.45)
+    val pairsCents = Similarity.cosinePairsWithinCells(emb, cents, threshold = 0.45)
+    assert(pairsCents.except(pairsJoin).isEmpty && pairsJoin.except(pairsCents).isEmpty)
+    assert(pairsCents.count() > 0)
+  }
+
   test("matryoshka: hand-built pair, zero-norm prefix guard, exact full-dim") {
     // pair (0,1): 2-prefixes orthogonal, full vectors nearly parallel;
     // pair (2,3): identical vectors whose 2-prefix is all-zero (zero-norm
