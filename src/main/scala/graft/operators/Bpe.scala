@@ -278,9 +278,15 @@ object Bpe {
   def encode(docs: DataFrame, textCol: String, model: Model): DataFrame = {
     val kernel = memoKernel(model)
     docs
+      // zero-word exclusion BEFORE the kernel projection: n_words > 0 ⟺ the
+      // text has a non-space character ⟺ trim(text) ≠ '' — filtering on the
+      // raw column keeps the predicate below the (expensive) kernel, where a
+      // filter on e.n_words would be rewritten through the Project and
+      // evaluate the whole encode twice per row (once in Filter, once in
+      // Project — cross-operator CSE does not fire in codegen)
+      .filter(trim(col(textCol)) =!= "")
       .select(col("doc_id"),
         graft.functions.NativeExpressions.bpeEncodeStats(col(textCol), kernel).as("e"))
-      .filter(col("e.n_words") > 0)
       .select(col("doc_id"), col("e.n_words").as("n_words"),
         col("e.n_tokens").as("n_tokens"), col("e.tokens_hash").as("tokens_hash"))
   }
@@ -333,12 +339,12 @@ object Bpe {
   def tokenCounts(docs: DataFrame, textCol: String, model: Model): DataFrame = {
     val kernel = memoKernel(model)
     docs
+      // zero tokens ⟺ zero words ⟺ trim(text) = '' (every word ≥ 1 token);
+      // raw-column filter for the same single-evaluation reason as [[encode]]
+      .filter(trim(col(textCol)) =!= "")
       .select(col("doc_id"),
         graft.functions.NativeExpressions.bpeTokenCount(col(textCol), kernel)
-          .as("n_tok_l"))
-      // zero tokens ⟺ zero words (every word encodes to ≥ 1 token)
-      .filter(col("n_tok_l") > 0)
-      .select(col("doc_id"), col("n_tok_l").cast("int").as("n_tokens"))
+          .cast("int").as("n_tokens"))
   }
 
   /** Tokenizer-efficiency audit per source: chars-per-token and
