@@ -298,8 +298,16 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val withShingles = shingled(docs, n, textCol, idCol)
     val buckets = bandBuckets(withShingles, k, bandSize)
+    // merge hint: with the carried bkts arrays the bucket side crosses the
+    // broadcast threshold at SMALL scale, and a broadcast here is strictly
+    // worse than the shuffle — the two join inputs are the SAME subtree, so
+    // the shuffled form computes the shingle+minhash pipeline ONCE and
+    // serves both sides from a ReusedExchange, while a broadcast computes
+    // it twice (build side + streamed side) and collects it to the driver.
+    // At scale the join is sort-merge anyway; the hint just pins the small
+    // end to the same shape.
     val candidates = buckets.as("a")
-      .join(buckets.as("b"),
+      .join(buckets.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .filter(firstAgreeingBand("a", "b"))

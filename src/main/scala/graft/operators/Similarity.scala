@@ -1171,12 +1171,41 @@ object Similarity {
     * directions mirror the scored row instead of re-scoring it
     * ([[knnJoinWithinCells]]).
     */
-  private def pairsOnceWithinCells(sides: DataFrame): DataFrame = {
-    val a = sides.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("na"), col("cell"))
-    val b = sides.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cell"))
-    a.join(b, Seq("cell"))
+  /** Block-decomposition factor for the within-cell pair join: each side is
+    * salted by hash(vec_id) % S and replicated S times, so one cell's m²
+    * scoring work splits into S² independent blocks — (a, b) lands in block
+    * (h(a), h(b)), met exactly once. A constant, not a scale knob: it
+    * multiplies SHUFFLE bytes by S (cheap — the exchange is input-sized)
+    * to divide the per-task QUADRATIC work by S² at any scale.
+    */
+  private val PairBlocks = 4
+
+  private def pairsOnceWithinCells(sides0: DataFrame): DataFrame = {
+    // Two measured pathologies at sf10 (plans/r16, OPTIMIZATION_r16.md):
+    // (1) AQE sizes partitions by shuffle BYTES, but this exchange feeds a
+    // join whose output is Σ_c m_c² — ~1000× its input — so advisory-size
+    // coalescing collapsed the scoring stage to 6 tasks on a 32-core box;
+    // an explicit-N repartition (N = the session's shuffle-partition count,
+    // which the bench protocol scales with data) is exempt from coalescing
+    // and satisfies the join's distribution, so no extra exchange follows.
+    // (2) replica pile-up makes single cells quadratically hot (guide §2.5)
+    // — invisible to AQE's byte-based skew splitting — so the join is
+    // block-decomposed over (cell, h(a) % S, h(b) % S): every pair still
+    // meets exactly once, and a hot cell's m² work spreads over S² tasks.
+    val nParts = scala.util.Try(sides0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt).getOrElse(200)
+    val salts = array((0 until PairBlocks).map(lit): _*)
+    val a = sides0.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"), col("cell"),
+        pmod(hash(col("vec_id")), lit(PairBlocks)).as("_blk_a"))
+      .withColumn("_blk_b", explode(salts))
+      .repartition(nParts, col("cell"), col("_blk_a"), col("_blk_b"))
+    val b = sides0.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell"),
+        pmod(hash(col("vec_id")), lit(PairBlocks)).as("_blk_b"))
+      .withColumn("_blk_a", explode(salts))
+      .repartition(nParts, col("cell"), col("_blk_a"), col("_blk_b"))
+    a.join(b, Seq("cell", "_blk_a", "_blk_b"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (NativeExpressions.vecDot(col("va"), col("vb")) /
