@@ -651,22 +651,45 @@ object TextAnalysis {
     // corpus size is a bounded driver-side artifact, like the trained-model
     // builds elsewhere
     val nDocs = docs.count()
+    // the weighted posting list feeds FOUR consumers (norms, seed vectors,
+    // seed norms, the scoring join) which column pruning specializes past
+    // exchange reuse — measured at sf10: the 12.1M-row window pipeline ran
+    // twice. Checkpointed once per invocation, inside the timed region (the
+    // pqShortlist move, r15; deploy-scale substitution per the
+    // [[Graph.pageRank]] checkpoint note), as are the per-doc norms that
+    // both the scoring join and the seed-norm broadcast read.
     val w = tf
       .select(col("doc_id"), col("term"),
         (col("tf") * round(lit(nDocs) /
             count(lit(1)).over(Window.partitionBy("term")), 6)
           .cast("decimal(18,6)"))
           .cast("decimal(18,6)").as("w"))
+      .localCheckpoint()
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+      .localCheckpoint()
     val seedW = w.filter(col("doc_id").isin(seedIds: _*))
       .select(col("doc_id").as("seed_id"), col("term"), col("w").as("ws"))
     val seedNorm = norms.filter(col("doc_id").isin(seedIds: _*))
       .select(col("doc_id").as("seed_id"), col("nrm").as("ns"))
+    // numerators PIVOTED on the bounded seed set (r16, guide §2.3): one
+    // doc-keyed aggregate with |seeds| sum columns replaces the
+    // (seed_id, doc_id)-keyed aggregate, whose partial stage materialized
+    // 36M groups through a 2.0 GB exchange at sf10 (candidates repeat per
+    // seed, so map-side combining barely reduced them). The per-seed sums
+    // are the identical decimal additions; a NULL pivot cell ⟺ the
+    // (seed, doc) pair shared no term ⟺ the old aggregate had no such
+    // group, and the seed row itself is excluded after unpivot exactly as
+    // the old pre-aggregation filter did.
+    val numCols = seedIds.map(s =>
+      sum(when(col("seed_id") === s, col("w") * col("ws"))).as(s"_num_$s"))
     val scored = w.join(broadcast(seedW), Seq("term"))
-      .filter(col("doc_id") =!= col("seed_id"))
-      .groupBy(col("seed_id"), col("doc_id"))
-      .agg(sum(col("w") * col("ws")).as("num"))
+      .groupBy(col("doc_id"))
+      .agg(numCols.head, numCols.tail: _*)
+      .select(col("doc_id"), explode(array(seedIds.map(s =>
+        struct(lit(s).as("seed_id"), col(s"_num_$s").as("num"))): _*)).as("p"))
+      .select(col("doc_id"), col("p.seed_id").as("seed_id"), col("p.num").as("num"))
+      .filter(col("num").isNotNull && col("doc_id") =!= col("seed_id"))
       .join(norms, Seq("doc_id"))
       .join(broadcast(seedNorm), Seq("seed_id"))
       .select(col("seed_id"), col("doc_id"),
