@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.Plans <sfDir> <outDir> <tag> <q1,q2,...|all>
   */
+// (Plans and Probe are the two local profiling mains; neither is the
+// driver-facing bench.)
 object Plans {
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {

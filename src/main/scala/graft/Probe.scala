@@ -27,14 +27,21 @@ object Probe {
     })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // CONSTRUCTION is timed separately (r16): queries that build session
+    // artifacts (label propagation, eager checkpoints) run jobs inside the
+    // registration lambda, and a probe that starts its clock after
+    // construction reports a 0.05 s "cold" cost for a query whose labels
+    // took seconds to build. build + exec = the true cold cost.
+    val tb = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    val buildSec = (System.nanoTime() - tb) / 1e9
     // drive the Dataset's OWN physical plan (a .write would wrap it in a
     // fresh QueryExecution and leave these metrics empty); RDD count()
     // fully materializes every UnsafeRow the plan produces
     val t0 = System.nanoTime()
     val n = df.queryExecution.executedPlan.execute().count()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"PROBE $name%s ${sec}%.2f sec rows=$n%d")
+    println(f"PROBE $name%s ${sec}%.2f sec rows=$n%d build=${buildSec}%.2f sec cold=${buildSec + sec}%.2f sec")
     // walk the final (AQE-resolved) plan, printing non-zero metrics
     def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
       val m = p.metrics.collect {
