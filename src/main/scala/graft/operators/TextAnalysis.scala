@@ -637,6 +637,14 @@ object TextAnalysis {
     * Returns (seed_id, doc_id, cosine, rank), rank 1..k per seed by
     * (cosine desc, doc_id asc), seed itself excluded.
     */
+  /** r16 NOTE — three variants MEASURED same-day at sf10 (solo canonical
+    * medians; the shared-JVM record run proved contaminated for this
+    * stretch, so solo A/B is the instrument): r15 join shape 10.42 s,
+    * pivot WITHOUT checkpoints 19.1 s cold (the w subtree re-runs per
+    * consumer — strictly worse), pivot + both checkpoints 9.23 s. The
+    * pivot+checkpoint form below wins at sf10 and costs +0.3 s at sf0.1
+    * (checkpoint fixed cost at toy scale) — kept, sf10 rules.
+    */
   def moreLikeThis(docs: DataFrame, seedIds: Seq[Long], k: Int = 10): DataFrame = {
     require(seedIds.nonEmpty, "moreLikeThis: no seed documents")
     val terms = docs
@@ -813,45 +821,48 @@ object TextAnalysis {
     * with the double `avg_nll` derived from the integer by one exact cast +
     * one IEEE division — the same fixed-point move as the PageRank oracle.
     *
-    * Scale shape: ONE corpus bigram explode into a (doc, bigram) hash
-    * aggregate; the model counts attach as two window sums over that frame
-    * (one w1-keyed exchange — the (w1, bigram) window reuses its
-    * partitioning), then one doc-keyed aggregate. The bigram inventory is
-    * vocab² worst case — for an open-vocabulary corpus you'd cap histories
-    * with [[trainVocab]]'s top-k first, same call shape. Documents with
-    * fewer than two tokens have no bigrams and are excluded (the oracle
-    * mirrors this).
+    * Scale shape: the model is two hash aggregates bounded by the observed
+    * bigram inventory (vocab² worst case — for an open-vocabulary corpus
+    * you'd cap histories with [[trainVocab]]'s top-k first, same call
+    * shape); scoring is a per-doc bigram explode joined to the model and
+    * one doc-keyed aggregate. Documents with fewer than two tokens have no
+    * bigrams and are excluded (the oracle mirrors this).
+    *
+    * r16 NOTE — a window-df rewrite here was MEASURED WORSE at 10× data
+    * and reverted: serving c_ab/c_h as window sums over the (doc, bigram)
+    * tf frame removed the second corpus explode (14 → 6 Exchanges, 1.31 →
+    * 0.98 s at sf0.1) but regressed 6.3 → 8.9 s at sf10, because a
+    * whole-partition-frame window BUFFERS each partition-key group
+    * (ExternalAppendOnlyUnsafeRowArray, 4096-row spill threshold) and the
+    * w1 groups are stopword-skewed — every hot history's group spills at
+    * scale. Hash aggregates + a join tolerate that skew; the window form
+    * does not. The join form stays — sf10 rules (guide §1.1: measure, then
+    * keep what the measurement says).
     *
     * Returns (doc_id, n_bigrams, avg_nll_micro, avg_nll).
     */
   def perplexity(docs: DataFrame): DataFrame = {
     val bigrams = docs.select(col("doc_id"),
       explode(NativeExpressions.wordBigrams(col("text"))).as("bigram"))
+    // model: bigram counts + history counts + vocabulary size
+    val cBi = bigrams.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .withColumn("w1", split(col("bigram"), " ")(0))
+    val cHist = cBi.groupBy("w1").agg(sum(col("c_ab")).as("c_h"))
     val vocabSize = docs
       .select(explode(split(col("text"), " ")).as("w")).agg(countDistinct(col("w")))
       .head().getLong(0)
-    // model counts as WINDOWS over the per-(doc, bigram) tf frame (r16; the
-    // termRarity/chunkOverlap posting-count move, guide §2.4): c_ab (global
-    // bigram count) = Σ tf over the bigram's rows, c_h (history count) =
-    // Σ tf over all rows whose bigram starts with w1 — so ONE corpus
-    // explode serves model and scoring where the join form exploded the
-    // corpus twice (model branch + scoring branch; ReuseExchange never
-    // fires across the pruning-specialized branches — the r15 lesson) and
-    // then paid a bigram-keyed model join. Window order matters: the w1
-    // window runs first (one w1-keyed exchange), and the (w1, bigram)
-    // window reuses that partitioning (hash(w1) clusters (w1, bigram)) with
-    // only an in-partition sort — verified on the executed plan. The w1
-    // window partition is every occurrence-row of one history — the same
-    // cardinality bound as the join form's cHist aggregate input.
-    val wHist = Window.partitionBy("w1")
-    val wBi = Window.partitionBy("w1", "bigram")
-    bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
-      .withColumn("w1", split(col("bigram"), " ")(0))
-      .withColumn("c_h", sum(col("tf")).over(wHist))
-      .withColumn("c_ab", sum(col("tf")).over(wBi))
-      .select(col("doc_id"), col("tf"),
+    val model = cBi.join(cHist, Seq("w1"))
+      .select(col("bigram"),
         round(-log((col("c_ab") + lit(1.0)) / (col("c_h") + lit(vocabSize.toDouble))), 6)
           .cast("decimal(18,6)").as("contrib"))
+    bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+      // NO broadcast hint: the model is the observed bigram inventory,
+      // which grows with the corpus vocabulary — a forced broadcast
+      // measured 38x per 10x data on the 100x renamed-vocabulary substrate
+      // (driver collect + rebroadcast of a multi-million-row "artifact");
+      // unhinted, Catalyst broadcasts while small and shuffle-joins once
+      // it isn't (the moreLikeThis df-join precedent)
+      .join(model, Seq("bigram"))
       .groupBy("doc_id")
       .agg(
         sum(col("tf")).as("n_bigrams"),
@@ -921,10 +932,11 @@ object TextAnalysis {
     * the keyword-level counterpart of [[moreLikeThis]]'s whole-doc cosine.
     *
     * Distributed shape: explode → one hash aggregate keyed by (doc_id, term)
-    * for tf; the term document frequency is a window count over tf
-    * partitioned by term (one term-keyed exchange; tf has one row per
-    * (doc, term) so the partition row count IS df) — never a driver
-    * collect, and no second corpus explode. Ranking is round-before-rank at 6 dp with a term-asc
+    * for tf; the term document-frequency dictionary comes from a second
+    * aggregate over tf's subtree and joins back UN-broadcast — at 100 TB
+    * the dictionary is millions of terms, a real shuffle join, never a
+    * driver collect (the [[moreLikeThis]] df-join precedent; see the r16
+    * window-revert note in the body). Ranking is round-before-rank at 6 dp with a term-asc
     * tiebreak, served by [[Ranking.topKPerKey]]'s O(k) streaming heaps — no
     * per-doc sort of the full term list. N (corpus size) is one bounded
     * driver-side scalar, the trained-artifact move.
@@ -936,15 +948,16 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df as a window count over tf partitioned by term (r16; the termRarity
-    // move, guide §2.4): tf has exactly one row per (doc, term), so the
-    // per-term row count IS the document frequency. The groupBy + join-back
-    // form evaluated the whole explode+aggregate subtree TWICE (column
-    // pruning specializes the two branches' partial aggregates, so their
-    // exchanges are not canonically equal and ReuseExchange never fires —
-    // the r15 termRarity lesson, verified on the executed plan).
-    val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    // df via groupBy + join-back, NOT a window count (r16: the window form
+    // was tried — it removed the second evaluation of the explode+aggregate
+    // subtree, 10 → 6 Exchanges and 1.04 → 0.83 s at sf0.1 — and MEASURED
+    // WORSE at sf10, 5.7 → 8.7 s, then reverted: a whole-partition-frame
+    // window buffers each term group (4096-row spill threshold) and term
+    // groups are stopword-skewed, so every hot term's group spills at
+    // scale; the df hash aggregate + join tolerate exactly that skew. See
+    // the [[perplexity]] r16 note — same measurement, same verdict.)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") *
           log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")),
